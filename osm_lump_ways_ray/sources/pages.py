@@ -1,0 +1,244 @@
+"""Synthetic Common-Crawl-style ``pages`` table + derived OSM-shaped layers.
+
+Schema (BASELINE.json input_hint): ``(url: string, warc_ts: timestamp[us],
+html: binary, text: string, lang: string)``. Generation is deterministic per
+(seed, row index) — independent of chunking/parallelism — so the same table can be
+synthesized at any scale on any number of workers (no external data).
+
+Derivations (SURVEY.md §7.1):
+
+- ``extract``    — html → text, byte-identical per url (oracle:
+  sources/reference_extract.py; gate: tests/test_pages.py).
+- ``geocode``    — url → ``node_id`` (md5-based hash64) and i32 fixed-point
+  ``(lat, lon)`` (degrees×1e7, mirroring src/nodeid_position.rs:97-101), plus the
+  grid-cell id used as the spatial shuffle key.
+- ``link``       — pages chained into an OSM-way-shaped table
+  ``(way_id, node_ids: list<int64>, tags: map-ish struct, ts)``: CHAIN consecutive
+  doc indexes share a way; consecutive ways share a boundary node unless the chain
+  index hits a break, giving multi-way connected components with interior
+  (degree-2) nodes for the contraction stage (reference M5).
+
+Everything here is a plain function or a ``map_batches``-ready batch callable; no
+ray.init, no global state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.cells import cell_id_fp
+from ..functions.hashing import hash64
+
+EPOCH_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in microseconds
+LANGS = ("en", "de", "fr", "es", "ga")
+
+_WORDS = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor "
+    "incididunt ut labore et dolore magna aliqua enim ad minim veniam quis nostrud "
+    "exercitation ullamco laboris nisi aliquip ex ea commodo consequat duis aute "
+    "irure in reprehenderit voluptate velit esse cillum eu fugiat nulla pariatur "
+    "excepteur sint occaecat cupidatat non proident sunt culpa qui officia deserunt "
+    "mollit anim id est laborum flumen rivus aqua pons vallis mons silva campus"
+).split()
+assert len(_WORDS) == 64
+
+_HTML_PRE = (
+    '<!DOCTYPE html><html><head><meta charset="utf-8"><title>{title}</title></head>'
+    "<body><nav><a href=\"/\">home</a> | <a href=\"/about\">about</a></nav><article>"
+)
+_HTML_POST = "</article><footer>© example — synthetic corpus</footer></body></html>"
+
+CHAIN_LEN = 6  # docs per derived way
+BREAK_EVERY = 4  # every 4th way does NOT share a node with its predecessor
+
+
+def _lcg(state: int) -> int:
+    return (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+
+
+def row_fields(seed: int, i: int) -> dict:
+    """All synthesized fields of row ``i`` — the single source of truth."""
+    h = hash64(f"{seed}:{i}")
+    url = f"https://site{h % 1000}.example/p/{i}"
+    lang = LANGS[h % len(LANGS)]
+    ts = EPOCH_US + (h % 31_536_000) * 1_000_000
+    nwords = 20 + h % 180
+    state = h
+    words = []
+    for _ in range(nwords):
+        state = _lcg(state)
+        words.append(_WORDS[(state >> 32) % 64])
+    text = " ".join(words)
+    html = (_HTML_PRE.format(title=f"Page {i}") + text + _HTML_POST).encode("utf-8")
+    return {"url": url, "warc_ts": ts, "html": html, "text": text, "lang": lang}
+
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def synth_pages_batch(batch: pa.Table, seed: int) -> pa.Table:
+    """map_batches body over ``ray.data.range(n)`` (column ``id``) → pages rows."""
+    ids = batch["id"].to_numpy(zero_copy_only=False)
+    rows = [row_fields(seed, int(i)) for i in ids]
+    return pa.Table.from_arrays(
+        [
+            pa.array([r["url"] for r in rows], pa.string()),
+            pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+            pa.array([r["html"] for r in rows], pa.binary()),
+            pa.array([r["text"] for r in rows], pa.string()),
+            pa.array([r["lang"] for r in rows], pa.string()),
+        ],
+        schema=PAGES_SCHEMA,
+    )
+
+
+def synth_pages_dataset(n: int, seed: int = 42, *, override_num_blocks: int | None = None):
+    """Distributed synthesis: range → map_batches (no driver-side materialization)."""
+    import ray.data
+
+    ds = ray.data.range(n, override_num_blocks=override_num_blocks)
+    return ds.map_batches(
+        lambda b: synth_pages_batch(b, seed), batch_format="pyarrow", batch_size=8192
+    )
+
+
+def synth_pages_table(n: int, seed: int = 42) -> pa.Table:
+    """Driver-side synthesis for tests/oracles (small n only)."""
+    ids = pa.table({"id": pa.array(np.arange(n, dtype=np.int64))})
+    return synth_pages_batch(ids, seed)
+
+
+# ------------------------------------------------------------------ extract stage
+_PRE_END = b"<article>"
+_POST_START = b"</article>"
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """Fast engine extractor: html → extracted_text (bytes of the article body).
+
+    Tested byte-identical to sources/reference_extract.py AND to the ``text``
+    column for every row (the per-row invariant in BASELINE.json input_hint).
+    """
+    html_col = batch["html"]
+    out = []
+    for buf in html_col.to_pylist():
+        start = buf.index(_PRE_END) + len(_PRE_END)
+        end = buf.rindex(_POST_START)
+        out.append(buf[start:end])
+    return batch.append_column("extracted_text", pa.array(out, pa.binary()))
+
+
+# ------------------------------------------------------------------ geocode stage
+def geocode_batch(batch: pa.Table, cell_res: int = 7) -> pa.Table:
+    """url → (node_id, lat, lon, cell). Deterministic md5 geocoding; lat/lon are
+    i32 fixed-point degrees×1e7 (src/nodeid_position.rs:97-101 convention)."""
+    urls = batch["url"].to_pylist()
+    node_id = np.empty(len(urls), dtype=np.int64)
+    lat = np.empty(len(urls), dtype=np.int64)
+    lon = np.empty(len(urls), dtype=np.int64)
+    for j, u in enumerate(urls):
+        node_id[j] = hash64(u)
+        lat[j] = hash64("lat:" + u) % 1_800_000_001 - 900_000_000
+        lon[j] = hash64("lon:" + u) % 3_600_000_001 - 1_800_000_000
+    cells = cell_id_fp(lat, lon, cell_res)
+    return (
+        batch.append_column("node_id", pa.array(node_id, pa.int64()))
+        .append_column("lat", pa.array(lat.astype(np.int32), pa.int32()))
+        .append_column("lon", pa.array(lon.astype(np.int32), pa.int32()))
+        .append_column("cell", pa.array(cells, pa.int64()))
+    )
+
+
+def doc_index_from_url(urls) -> np.ndarray:
+    """Recover the doc index ``i`` from ``…/p/{i}`` (vectorized rsplit)."""
+    return np.array([int(u.rsplit("/", 1)[1]) for u in urls], dtype=np.int64)
+
+
+# --------------------------------------------------------------------- link stage
+def link_pages_batch(batch: pa.Table) -> pa.Table:
+    """Per-page way-membership rows: (way_id, seq, node_id, tags fields, ts).
+
+    Doc ``i`` belongs to chain ``c = i // CHAIN_LEN`` at position ``i % CHAIN_LEN``.
+    Chains where ``c % BREAK_EVERY != 0`` additionally START with the last node of
+    chain ``c-1`` (shared boundary node → multi-chain components). The way's group
+    tag ``name`` is ``g{c // BREAK_EVERY % 64}`` — constant across the linked run
+    of chains, so tag-value lumping (M4 semantics) keeps runs intact; ``lang`` of
+    the first doc is carried as a secondary tag.
+
+    Emitted per page (one row; boundary duplication is resolved in the grouped
+    assembly ``assemble_ways``): way_key, seq within way, node_id, ts.
+    """
+    urls = batch["url"].to_pylist()
+    idx = doc_index_from_url(urls)
+    node_id = batch["node_id"].to_numpy(zero_copy_only=False)
+    ts = batch["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    lang = batch["lang"].to_pylist()
+
+    chain = idx // CHAIN_LEN
+    pos = idx % CHAIN_LEN
+    rows_way = []
+    rows_seq = []
+    rows_node = []
+    rows_ts = []
+    rows_lang = []
+    for j in range(len(idx)):
+        c, p = int(chain[j]), int(pos[j])
+        rows_way.append(c)
+        rows_seq.append(p + 1)  # slot 0 reserved for the predecessor's boundary node
+        rows_node.append(int(node_id[j]))
+        rows_ts.append(int(ts[j]))
+        rows_lang.append(lang[j])
+        if p == CHAIN_LEN - 1 and (c + 1) % BREAK_EVERY != 0:
+            # this doc's node is also the first node of the next chain
+            rows_way.append(c + 1)
+            rows_seq.append(0)
+            rows_node.append(int(node_id[j]))
+            rows_ts.append(0)
+            rows_lang.append(None)
+    return pa.table(
+        {
+            "way_key": pa.array(rows_way, pa.int64()),
+            "seq": pa.array(rows_seq, pa.int32()),
+            "node_id": pa.array(rows_node, pa.int64()),
+            "ts": pa.array(rows_ts, pa.int64()),
+            "lang": pa.array(rows_lang, pa.string()),
+        }
+    )
+
+
+def assemble_ways_group(df):
+    """groupby(way_key).map_groups body (pandas): membership rows → one way row.
+
+    Output: (way_id, node_ids list<int64>, name, lang, ts) — OSM-way-shaped
+    (FIXTURES.md §3). way_id = way_key + 1 (> 0, reference id assertion).
+    """
+    import pandas as pd
+
+    df = df.sort_values("seq")
+    c = int(df["way_key"].iloc[0])
+    name = f"g{(c // BREAK_EVERY) % 64}"
+    langs = [l for l in df["lang"] if l is not None and isinstance(l, str)]
+    return pd.DataFrame(
+        {
+            "way_id": [c + 1],
+            "node_ids": [df["node_id"].to_numpy(dtype=np.int64)],
+            "name": [name],
+            "lang": [langs[0] if langs else "en"],
+            "ts": [int(df["ts"].max())],
+        }
+    )
+
+
+def derive_ways(pages_geo_ds):
+    """pages (geocoded) → ways Dataset. One groupby shuffle keyed by way_key."""
+    member = pages_geo_ds.map_batches(link_pages_batch, batch_format="pyarrow")
+    return member.groupby("way_key").map_groups(assemble_ways_group, batch_format="pandas")

@@ -1,0 +1,89 @@
+"""Checkpoint + lineage layer (north rule: resumable jobs, per-partition lineage).
+
+The reference has NO checkpoint/resume (SURVEY.md §4 — a panic kills the run; the
+only staging is an env-var early exit at src/bin/osm-lump-ways/main.rs:224-226).
+At 100 TB that is not acceptable, so every iterative kernel (connected components,
+SCC, flow rounds) checkpoints its per-round state here:
+
+- each step writes Parquet to ``<root>/steps/<key>/`` ATOMICALLY (write to a
+  ``.tmp-<key>`` dir, then rename) and records completion in ``manifest.json``;
+- a resumed run calls ``has(key)`` and loads the Parquet instead of recomputing —
+  the kill/resume test (tests/test_checkpoint.py) exercises exactly this;
+- ``lineage.jsonl`` gets one record per completed step: step key, row count,
+  wall seconds, and free-form metrics — the per-partition lineage surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from pathlib import Path
+from typing import Any, Optional
+
+
+class CheckpointManager:
+    def __init__(self, root: Optional[str]):
+        """root=None disables checkpointing (all has() → False, save() passthrough)."""
+        self.root = Path(root) if root else None
+        if self.root:
+            (self.root / "steps").mkdir(parents=True, exist_ok=True)
+        self._manifest = self._read_manifest()
+
+    def _manifest_path(self) -> Path:
+        return self.root / "manifest.json"
+
+    def _read_manifest(self) -> dict:
+        if self.root and self._manifest_path().exists():
+            return json.loads(self._manifest_path().read_text())
+        return {"completed": {}}
+
+    def _write_manifest(self) -> None:
+        tmp = self.root / "manifest.json.tmp"
+        tmp.write_text(json.dumps(self._manifest, indent=1))
+        os.replace(tmp, self._manifest_path())
+
+    def step_dir(self, key: str) -> Path:
+        return self.root / "steps" / key
+
+    def has(self, key: str) -> bool:
+        return bool(self.root) and key in self._manifest["completed"]
+
+    def load(self, key: str):
+        import ray.data
+
+        return ray.data.read_parquet(str(self.step_dir(key)))
+
+    def save(self, key: str, ds, extra: Optional[dict] = None):
+        """Materialize ``ds`` to Parquet atomically; returns a Dataset re-read from
+        the checkpoint (so downstream lineage starts from durable storage)."""
+        if not self.root:
+            return ds
+        import ray.data
+
+        t0 = time.monotonic()
+        final = self.step_dir(key)
+        tmp = self.root / "steps" / f".tmp-{key.replace('/', '_')}"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        tmp.mkdir(parents=True)
+        ds.write_parquet(str(tmp))
+        if final.exists():
+            shutil.rmtree(final)
+        final.parent.mkdir(parents=True, exist_ok=True)
+        os.replace(tmp, final)
+        out = ray.data.read_parquet(str(final))
+        rows = out.count()
+        self._manifest["completed"][key] = {"rows": rows, "ts": time.time()}
+        self._write_manifest()
+        self.record(step=key, rows=rows, wall_s=round(time.monotonic() - t0, 3),
+                    **(extra or {}))
+        return out
+
+    def record(self, **fields: Any) -> None:
+        """Append one lineage/metrics record (no-op when checkpointing disabled)."""
+        if not self.root:
+            return
+        with open(self.root / "lineage.jsonl", "a") as f:
+            f.write(json.dumps(fields) + "\n")

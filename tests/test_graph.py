@@ -1,0 +1,151 @@
+"""Graph kernel tests: A1 degree weights, M5/M6 contraction, G1 connected
+components (vs a networkx oracle), including checkpoint/resume."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import osm_lump_ways_ray.stages.graph as G
+from osm_lump_ways_ray.stages.graph import (
+    ContractWays,
+    _dedupe_consecutive,
+    _degree_weights_batch,
+    connected_components,
+    node_degree_weights,
+    pillar_node_array,
+)
+
+
+def ways_table(chains):
+    return pa.table({
+        "way_id": pa.array(range(1, len(chains) + 1), pa.int64()),
+        "node_ids": pa.array(chains, pa.list_(pa.int64())),
+    })
+
+
+def test_degree_weights_reference_quirk():
+    # first +1, interior +2, last +3 (src/bin/osm-lump-ways/main.rs:274-279)
+    t = _degree_weights_batch(ways_table([[1, 2, 3]]), "node_ids")
+    d = dict(zip(t["node_id"].to_pylist(), t["weight"].to_pylist()))
+    assert d == {1: 1, 2: 2, 3: 3}
+
+
+def test_dedupe_consecutive():
+    np.testing.assert_array_equal(
+        _dedupe_consecutive(np.array([1, 1, 2, 3, 3, 3, 1])), [1, 2, 3, 1]
+    )
+
+
+@pytest.fixture(scope="module")
+def ray_ds_factory(ray_session):
+    import ray.data
+
+    def make(table):
+        return ray.data.from_arrow(table)
+
+    return make
+
+
+def test_node_degree_distributed(ray_ds_factory):
+    # two ways sharing node 3: way1=[1,2,3], way2=[3,4,5]
+    ds = ray_ds_factory(ways_table([[1, 2, 3], [3, 4, 5]]))
+    out = {r["node_id"]: r["weight"] for r in node_degree_weights(ds).take_all()}
+    assert out == {1: 1, 2: 2, 3: 4, 4: 2, 5: 3}
+    pillars = pillar_node_array(ds)
+    np.testing.assert_array_equal(pillars, [1, 3, 5])  # weight≠2
+
+
+def test_contraction_basic(ray_ds_factory):
+    # single chain 1-2-3-4-5: interior 2,3,4 non-pillar except last rules
+    pillars = np.array([1, 5], dtype=np.int64)
+    cw = ContractWays(pillars)
+    out = cw(ways_table([[1, 2, 3, 4, 5]]))
+    assert out["u"].to_pylist() == [1]
+    assert out["v"].to_pylist() == [5]
+    assert out["inter_nids"].to_pylist() == [[2, 3, 4]]
+
+
+def test_contraction_splits_at_pillars():
+    pillars = np.array([1, 3, 5], dtype=np.int64)
+    out = ContractWays(pillars)(ways_table([[1, 2, 3, 4, 5]]))
+    assert list(zip(out["u"].to_pylist(), out["v"].to_pylist())) == [(1, 3), (3, 5)]
+    assert out["inter_nids"].to_pylist() == [[2], [4]]
+
+
+def test_contraction_two_node_way_and_dup_scrub():
+    out = ContractWays(np.array([], dtype=np.int64))(ways_table([[7, 8], [9, 9, 10]]))
+    assert list(zip(out["u"].to_pylist(), out["v"].to_pylist())) == [(7, 8), (9, 10)]
+
+
+def test_contraction_split_rejoin_braid():
+    # braid: way walks 1..5 then returns 5..1 via different inters — the backtrack
+    # guard must not emit the same (1,5) edge twice (main.rs:360-377)
+    pillars = np.array([1, 5], dtype=np.int64)
+    out = ContractWays(pillars)(ways_table([[1, 2, 3, 4, 5, 6, 7, 8, 1]]))
+    pairs = set(zip(out["u"].to_pylist(), out["v"].to_pylist()))
+    # edge (1,5) plus a differently-split return path; no duplicate keys
+    canon = [(min(a, b), max(a, b)) for a, b in pairs]
+    assert len(canon) == len(set(canon))
+    assert (1, 5) in canon
+
+
+def _nx_components(edges):
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    return {n: min(c) for c in nx.connected_components(g) for n in c}
+
+
+@pytest.mark.parametrize("seed,n_edges,n_nodes", [(1, 50, 40), (2, 500, 300), (3, 4000, 2500)])
+def test_connected_components_vs_networkx(ray_ds_factory, seed, n_edges, n_nodes):
+    rng = np.random.RandomState(seed)
+    u = rng.randint(1, n_nodes, size=n_edges).astype(np.int64)
+    v = rng.randint(1, n_nodes, size=n_edges).astype(np.int64)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    ds = ray_ds_factory(pa.table({"u": u, "v": v}))
+    got = {r["node"]: r["component_id"]
+           for r in connected_components(ds, num_partitions=8).take_all()}
+    expected = _nx_components(zip(u.tolist(), v.tolist()))
+    assert got == expected
+
+
+def test_connected_components_forced_recursion(ray_ds_factory):
+    # driver_finish_rows=0 forces the distributed recursive path
+    rng = np.random.RandomState(7)
+    u = rng.randint(1, 500, size=800).astype(np.int64)
+    v = rng.randint(1, 500, size=800).astype(np.int64)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    ds = ray_ds_factory(pa.table({"u": u, "v": v}))
+    got = {r["node"]: r["component_id"]
+           for r in connected_components(
+               ds, num_partitions=8, driver_finish_rows=0, max_levels=4
+           ).take_all()}
+    assert got == _nx_components(zip(u.tolist(), v.tolist()))
+
+
+def test_connected_components_checkpoint_resume(ray_ds_factory, tmp_path):
+    from osm_lump_ways_ray.state.checkpoint import CheckpointManager
+
+    u = np.array([1, 2, 10, 11], dtype=np.int64)
+    v = np.array([2, 3, 11, 12], dtype=np.int64)
+    ds = ray_ds_factory(pa.table({"u": u, "v": v}))
+    ck1 = CheckpointManager(str(tmp_path / "ck"))
+    got1 = {r["node"]: r["component_id"]
+            for r in connected_components(ds, checkpoint=ck1, num_partitions=4).take_all()}
+    # simulate a killed+resumed job: fresh manager on same dir must reuse steps
+    ck2 = CheckpointManager(str(tmp_path / "ck"))
+    assert ck2.has("cc/l0/labels") and ck2.has("cc/l0/eq_edges")
+    # poison the recompute path: resume must NOT re-run the per-partition stage
+    orig = G._local_cc_group
+    G._local_cc_group = None
+    try:
+        got2 = {r["node"]: r["component_id"]
+                for r in connected_components(ds, checkpoint=ck2, num_partitions=4).take_all()}
+    finally:
+        G._local_cc_group = orig
+    assert got1 == got2 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+    lineage = (tmp_path / "ck" / "lineage.jsonl").read_text().strip().splitlines()
+    assert len(lineage) >= 2
