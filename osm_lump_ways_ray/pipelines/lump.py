@@ -1,0 +1,210 @@
+"""Flagship lump pipeline — the reference's ``osm-lump-ways`` run re-expressed
+Ray-Data-first over Common-Crawl-style pages (BASELINE.json north star).
+
+Stages (all streaming; ``html`` is dropped immediately after extraction so wide
+binary payloads never enter a shuffle — SURVEY.md §7.5):
+
+  pages ──extract──▶ verify bytes ──geocode──▶ nodes(node_id, lat, lon, cell)
+        └─link────▶ ways(way_id, node_ids, tags) ──A1 degree──▶ pillar set
+  ways ──M5 contract──▶ edges(u, v, inter_nids, name, lang)
+  edges ──G1 CC (grouped)──▶ labels(g, node, component_id)
+  edges ──segment explode──▶ (a, b) pairs ⋈ nodes ⋈ nodes  (J1 position join)
+        ──haversine──▶ per-segment length ⋈ labels ──▶ per-component length (A2)
+  labels ⋈ nodes ──▶ per-tile (cell) stats — the H3-analog tile join
+  components ──sort length desc──▶ ranks (A5/K1)
+
+The reference pipeline being mirrored: src/bin/osm-lump-ways/main.rs:64-868
+(passes 1-3, components, lengths, ranks, sorted output).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.haversine import haversine_m_fp
+from ..sources.pages import derive_ways, extract_batch, geocode_batch
+from ..stages.relational import hash_join
+from ..stages.graph import (
+    connected_components,
+    contract_ways,
+    intern_group_ids,
+    pillar_node_array,
+)
+from ..state.checkpoint import CheckpointManager
+
+
+def extract_and_verify(pages_ds, *, verify: bool = True):
+    """html → extracted text; assert byte-identity vs the embedded text column
+    (the per-row invariant), then PROJECT AWAY the html payload."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = extract_batch(batch)
+        if verify:
+            ok = pc.equal(out["extracted_text"].cast(pa.string()), out["text"])
+            bad = len(out) - pc.sum(ok.cast(pa.int64())).as_py()
+            if bad:
+                raise ValueError(f"extract byte-identity violated for {bad} rows")
+        return out.drop_columns(["html", "extracted_text"])
+
+    return pages_ds.map_batches(run, batch_format="pyarrow")
+
+
+def _segment_pairs(batch: pa.Table) -> pa.Table:
+    """Contracted edge rows → per-segment (a, b) rows carrying (g, anchor=u).
+
+    Each edge expands to its inter chain: [u, *inter_nids, v] → len-1 segments.
+    Stateless flat-map; the downstream position joins are keyed on node id."""
+    u = batch["u"].to_numpy(zero_copy_only=False)
+    v = batch["v"].to_numpy(zero_copy_only=False)
+    g = batch["g"].to_numpy(zero_copy_only=False)
+    inters = batch["inter_nids"].to_pylist()
+    a_out, b_out, g_out, anchor = [], [], [], []
+    for i in range(len(u)):
+        chain = [int(u[i])] + [int(x) for x in inters[i]] + [int(v[i])]
+        for j in range(len(chain) - 1):
+            a_out.append(chain[j])
+            b_out.append(chain[j + 1])
+            g_out.append(int(g[i]))
+            anchor.append(int(u[i]))
+    return pa.table({
+        "a": pa.array(a_out, pa.int64()),
+        "b": pa.array(b_out, pa.int64()),
+        "g": pa.array(g_out, pa.int64()),
+        "anchor": pa.array(anchor, pa.int64()),
+    })
+
+
+def segment_lengths(edges_g, nodes_ds, *, num_partitions: int = 32):
+    """J1: segments ⋈ node positions (twice) → haversine metres per segment.
+
+    This is the central topology⋈geometry join of the reference
+    (src/way_group.rs:38-44), expressed as two hash joins on node id instead of
+    point lookups into an in-process position store."""
+    seg = edges_g.map_batches(_segment_pairs, batch_format="pyarrow")
+    pos_a = nodes_ds.select_columns(["node_id", "lat", "lon"]).rename_columns(
+        ["a", "lat_a", "lon_a"])
+    pos_b = nodes_ds.select_columns(["node_id", "lat", "lon"]).rename_columns(
+        ["b", "lat_b", "lon_b"])
+    seg = hash_join(seg, pos_a, ("a",), how="inner", num_partitions=num_partitions)
+    seg = hash_join(seg, pos_b, ("b",), how="inner", num_partitions=num_partitions)
+
+    def add_len(batch: pa.Table) -> pa.Table:
+        m = haversine_m_fp(
+            batch["lat_a"].to_numpy(zero_copy_only=False),
+            batch["lon_a"].to_numpy(zero_copy_only=False),
+            batch["lat_b"].to_numpy(zero_copy_only=False),
+            batch["lon_b"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table({"g": batch["g"], "anchor": batch["anchor"],
+                         "length_m": pa.array(m, pa.float64())})
+
+    return seg.map_batches(add_len, batch_format="pyarrow")
+
+
+def tile_stats(labels_ds, nodes_ds, *, num_partitions: int = 32):
+    """The H3-analog tile join: component labels ⋈ node cells → per-cell stats.
+
+    Skew note: per-batch partial aggregation runs BEFORE the groupby, so a hot
+    cell (the `tile_hotcell` fixture: 90% of nodes in one cell) contributes one
+    partial row per batch, not one shuffled row per node — the all-to-all stays
+    balanced without explicit salting."""
+    from ray.data.aggregate import Count, Sum
+
+    cells = nodes_ds.select_columns(["node_id", "cell"]).rename_columns(
+        ["node", "cell"])
+    lab = hash_join(labels_ds, cells, ("node",), how="inner", num_partitions=num_partitions)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = np.stack([
+            batch["cell"].to_numpy(zero_copy_only=False),
+            batch["component_id"].to_numpy(zero_copy_only=False),
+        ], axis=1)
+        uniq, counts = np.unique(key, axis=0, return_counts=True)
+        return pa.table({
+            "cell": pa.array(uniq[:, 0], pa.int64()),
+            "component_id": pa.array(uniq[:, 1], pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+        })
+
+    partials = lab.map_batches(partial, batch_format="pyarrow")
+    per_cell_comp = partials.groupby(["cell", "component_id"]).aggregate(
+        Sum("n", alias_name="num_nodes"))
+    return per_cell_comp.groupby("cell").aggregate(
+        Count(alias_name="num_components"),
+        Sum("num_nodes", alias_name="num_nodes"),
+    )
+
+
+def lump(pages_ds, *, cell_res: int = 7, num_partitions: int = 32,
+         checkpoint_dir: Optional[str] = None, verify_extract: bool = True,
+         group_tag: str = "name"):
+    """Full lump pipeline. Returns dict of result Datasets:
+
+    - ``components``: (g, name, component_id, length_m, num_nodes) sorted by
+      length desc with length_desc_rank (A5/K1)
+    - ``labels``: (g, node, component_id)
+    - ``tiles``: per-cell (num_components, num_nodes)
+    and a ``metrics`` dict (wall seconds per phase — the lineage surface).
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    ckpt = CheckpointManager(checkpoint_dir)
+    metrics: dict = {}
+    t0 = time.monotonic()
+
+    pages = extract_and_verify(pages_ds, verify=verify_extract)
+    geo = pages.map_batches(lambda b: geocode_batch(b, cell_res), batch_format="pyarrow")
+    # nodes table reused by several joins → materialize once (it is narrow:
+    # 4 int columns; the wide html payload was dropped at extract)
+    nodes_ds = geo.select_columns(["node_id", "lat", "lon", "cell"]).materialize()
+    metrics["nodes"] = nodes_ds.count()
+
+    ways = derive_ways(geo).materialize()
+    metrics["ways"] = ways.count()
+    metrics["t_derive_s"] = round(time.monotonic() - t0, 3)
+
+    t1 = time.monotonic()
+    pillars = pillar_node_array(ways)
+    pillar_ref = ray.put(pillars)
+    edges = contract_ways(ways, pillar_ref, carry_cols=[group_tag, "lang"])
+    edges_g = intern_group_ids(edges, group_tag).materialize()
+    metrics["edges"] = edges_g.count()
+    metrics["pillars"] = int(len(pillars))
+    metrics["t_contract_s"] = round(time.monotonic() - t1, 3)
+
+    t2 = time.monotonic()
+    labels = connected_components(
+        edges_g, "u", "v", "g", num_partitions=num_partitions, checkpoint=ckpt,
+    ).materialize()
+    metrics["t_cc_s"] = round(time.monotonic() - t2, 3)
+
+    t3 = time.monotonic()
+    seg = segment_lengths(edges_g, nodes_ds, num_partitions=num_partitions)
+    # per-edge-anchor → component: join segments to labels on (g, anchor=node)
+    lab_for_join = labels.rename_columns(["g", "anchor", "component_id"])
+    seg = hash_join(seg, lab_for_join, ("g", "anchor"), how="inner", num_partitions=num_partitions)
+    comp_len = seg.groupby(["g", "component_id"]).aggregate(
+        Sum("length_m", alias_name="length_m"))
+    comp_nodes = labels.groupby(["g", "component_id"]).aggregate(
+        Count(alias_name="num_nodes"))
+    components = hash_join(comp_len, comp_nodes, ("g", "component_id"),
+                           how="inner", num_partitions=max(2, num_partitions // 4))
+    components = components.sort("length_m", descending=True).materialize()
+    metrics["components"] = components.count()
+    metrics["t_lengths_s"] = round(time.monotonic() - t3, 3)
+
+    t4 = time.monotonic()
+    tiles = tile_stats(labels, nodes_ds, num_partitions=num_partitions).materialize()
+    metrics["tiles"] = tiles.count()
+    metrics["t_tiles_s"] = round(time.monotonic() - t4, 3)
+    metrics["t_total_s"] = round(time.monotonic() - t0, 3)
+    ckpt.record(step="lump/metrics", **{k: v for k, v in metrics.items()})
+
+    return {"components": components, "labels": labels, "tiles": tiles,
+            "nodes": nodes_ds, "edges": edges_g, "metrics": metrics}

@@ -38,9 +38,9 @@ _WORDS = (
     "incididunt ut labore et dolore magna aliqua enim ad minim veniam quis nostrud "
     "exercitation ullamco laboris nisi aliquip ex ea commodo consequat duis aute "
     "irure in reprehenderit voluptate velit esse cillum eu fugiat nulla pariatur "
-    "excepteur sint occaecat cupidatat non proident sunt culpa qui officia deserunt "
-    "mollit anim id est laborum flumen rivus aqua pons vallis mons silva campus"
-).split()
+    "excepteur sint occaecat cupidatat non proident sunt culpa qui officia "
+    "flumen rivus aqua pons vallis mons silva"
+).split()[:64]
 assert len(_WORDS) == 64
 
 _HTML_PRE = (

@@ -18,11 +18,15 @@ single-process shared-mutable-HashMap engine, SURVEY.md §4):
   partition differs.
 - M6 consecutive-duplicate scrub (src/bin/osm-lump-ways-down/main.rs:385-393).
 - G1 connected components (src/graph/undirected_graph.rs:346-380): the reference
-  BFS-peels whole in-memory graphs. Here: per-partition union-find contraction
-  (groupby over a hash of the canonical edge key) → per-node minimum local label →
-  a label-equivalence graph orders of magnitude smaller → recurse, with a driver
-  union-find base case below a row threshold. Expected depth at 10^12 rows: 2-3
-  levels. Each level checkpoints (state/checkpoint.py) for kill/resume.
+  BFS-peels whole in-memory graphs, one per tag-group key. Here the vertex
+  identity is the PAIR ``(group, node)`` (a node shared by two tag groups must
+  not merge them — the reference keeps one Graph2 per group key,
+  src/bin/osm-lump-ways/main.rs:319-346): per-partition union-find contraction
+  (groupby over a hash of the canonical edge key) → per-(group,node) minimum
+  local label → a label-equivalence graph orders of magnitude smaller → recurse,
+  with a driver union-find base case below a row threshold. Expected depth at
+  10^12 rows: 2-3 levels. Each level checkpoints (state/checkpoint.py) for
+  kill/resume.
 """
 
 from __future__ import annotations
@@ -35,6 +39,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..state.checkpoint import CheckpointManager
+from .relational import hash_join
 
 # --------------------------------------------------------------------- A1 degree
 
@@ -117,11 +122,10 @@ def _dedupe_consecutive(arr: np.ndarray) -> np.ndarray:
 class ContractWays:
     """Actor-pool/map_batches callable: ways → contracted edge rows.
 
-    Output columns: ``u, v, way_id, inter_nids (list<int64>), num_nodes`` plus any
+    Output columns: ``u, v, way_id, inter_nids (list<int64>)`` plus any
     pass-through columns listed in ``carry_cols`` (e.g. the group key, lang).
-    ``u``/``v`` are NOT canonicalized here; ``canonical_edges`` does that.
-    The pillar set is shipped once via an object-store ref and resolved in
-    ``__init__`` (once per actor), not per batch.
+    ``u``/``v`` are NOT canonicalized here. The pillar set is shipped once via an
+    object-store ref and resolved in ``__init__`` (once per actor), not per batch.
     """
 
     def __init__(self, pillar_ref, node_ids_col: str = "node_ids",
@@ -134,10 +138,9 @@ class ContractWays:
         self.carry_cols = list(carry_cols)
 
     def _is_pillar(self, nids: np.ndarray) -> np.ndarray:
-        idx = np.searchsorted(self.pillars, nids)
-        idx = np.clip(idx, 0, len(self.pillars) - 1) if len(self.pillars) else idx
         if len(self.pillars) == 0:
             return np.zeros(len(nids), dtype=bool)
+        idx = np.clip(np.searchsorted(self.pillars, nids), 0, len(self.pillars) - 1)
         return self.pillars[idx] == nids
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -199,8 +202,8 @@ class ContractWays:
 
 def contract_ways(ways_ds, pillar_ref, *, carry_cols: Sequence[str] = (),
                   concurrency: Optional[int] = None):
-    """ways Dataset → contracted edges Dataset (stateful actor pool when
-    concurrency given, else stateless tasks with the ref resolved per task)."""
+    """ways Dataset → contracted edges Dataset (actor pool: pillar set loaded once
+    per actor in __init__, per-batch work in __call__)."""
     if concurrency is None:
         import ray
 
@@ -218,15 +221,22 @@ def contract_ways(ways_ds, pillar_ref, *, carry_cols: Sequence[str] = (),
 
 
 # ------------------------------------------------------------------------- G1 CC
+#
+# Vertex identity is the pair (g, node): g is an int64 tag-group id (0 when
+# ungrouped). All shuffles/joins key on both columns; labels are node ids (the
+# component minimum within its group), so ``component_id`` keeps the reference's
+# root_nodeid = min-nid convention (src/way_group.rs:17-24).
 
 class _UnionFind:
+    """Min-wins union-find over hashable keys (ints or (g, node) tuples)."""
+
     __slots__ = ("parent", "seen")
 
     def __init__(self):
-        self.parent: dict[int, int] = {}
-        self.seen: set[int] = set()
+        self.parent: dict = {}
+        self.seen: set = set()
 
-    def find(self, x: int) -> int:
+    def find(self, x):
         p = self.parent
         root = x
         while p.get(root, root) != root:
@@ -235,69 +245,73 @@ class _UnionFind:
             p[x], x = root, p[x]
         return root
 
-    def union(self, a: int, b: int) -> None:
+    def union(self, a, b) -> None:
         self.seen.add(a)
         self.seen.add(b)
         ra, rb = self.find(a), self.find(b)
         if ra == rb:
             return
-        if ra < rb:  # min-id wins → labels are component minima
+        if ra < rb:  # min wins → labels are component minima
             self.parent[rb] = ra
         else:
             self.parent[ra] = rb
 
-    def labels(self) -> dict[int, int]:
-        # every touched node, including local roots (a root that appears in
-        # another partition must still emit its (node, label) row, or the
+    def labels(self) -> dict:
+        # every touched vertex, including local roots (a root that appears in
+        # another partition must still emit its (vertex, label) row, or the
         # equivalence edge through it is lost)
         return {x: self.find(x) for x in self.seen}
 
 
 def _local_cc_group(batch: pa.Table) -> pa.Table:
-    """map_groups body: union-find over one edge partition → (node, label) rows,
-    label = min node id in the LOCAL component."""
+    """map_groups body: union-find over one edge partition → (g, node, label)
+    rows, label = min node id in the LOCAL component of that group."""
+    g = batch["g"].to_numpy(zero_copy_only=False)
     u = batch["a"].to_numpy(zero_copy_only=False)
     v = batch["b"].to_numpy(zero_copy_only=False)
     uf = _UnionFind()
-    for a, b in zip(u, v):
-        uf.union(int(a), int(b))
+    for gi, a, b in zip(g, u, v):
+        gi = int(gi)
+        uf.union((gi, int(a)), (gi, int(b)))
     lab = uf.labels()
-    if not lab:
-        return pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
-    nodes = np.fromiter(lab.keys(), dtype=np.int64, count=len(lab))
-    labels = np.fromiter(lab.values(), dtype=np.int64, count=len(lab))
-    return pa.table({"node": nodes, "label": labels})
+    n = len(lab)
+    gs = np.empty(n, dtype=np.int64)
+    nodes = np.empty(n, dtype=np.int64)
+    labels = np.empty(n, dtype=np.int64)
+    for i, ((gi, nd), (_, lb)) in enumerate(lab.items()):
+        gs[i] = gi
+        nodes[i] = nd
+        labels[i] = lb
+    return pa.table({"g": gs, "node": nodes, "label": labels})
 
 
-def _driver_union_find(pairs: "pa.Table") -> dict[int, int]:
+def _driver_union_find(table: pa.Table) -> dict:
+    """Base case: exact UF over the (small) equivalence graph → {(g,label): root}."""
     uf = _UnionFind()
-    a = pairs["a"].to_numpy(zero_copy_only=False)
-    b = pairs["b"].to_numpy(zero_copy_only=False)
-    for x, y in zip(a, b):
-        uf.union(int(x), int(y))
-    return uf.labels()
+    g = table["g"].to_numpy(zero_copy_only=False)
+    a = table["a"].to_numpy(zero_copy_only=False)
+    b = table["b"].to_numpy(zero_copy_only=False)
+    for gi, x, y in zip(g, a, b):
+        gi = int(gi)
+        uf.union((gi, int(x)), (gi, int(y)))
+    return {k: v[1] for k, v in uf.labels().items()}
 
 
-def _apply_label_map(labels_ds, map_ref, in_col: str, out_name: str):
-    """Broadcast small-side lookup: rewrite ``in_col`` through a dict shipped once
-    via the object store (ray.put) — no shuffle."""
-    import ray
+def _empty_labels():
+    import ray.data
 
-    def apply(batch: pa.Table) -> pa.Table:
-        m = ray.get(map_ref)
-        lab = batch[in_col].to_numpy(zero_copy_only=False)
-        out = np.fromiter((m.get(int(x), int(x)) for x in lab), dtype=np.int64,
-                          count=len(lab))
-        idx = batch.schema.get_field_index(in_col)
-        return batch.set_column(idx, out_name, pa.array(out, pa.int64()))
-
-    return labels_ds.map_batches(apply, batch_format="pyarrow")
+    return ray.data.from_arrow(pa.table({
+        "g": pa.array([], pa.int64()),
+        "node": pa.array([], pa.int64()),
+        "component_id": pa.array([], pa.int64()),
+    }))
 
 
 def connected_components(
     edges_ds,
     src: str = "u",
     dst: str = "v",
+    group_col: Optional[str] = None,
     *,
     num_partitions: int = 32,
     driver_finish_rows: int = 2_000_000,
@@ -305,24 +319,25 @@ def connected_components(
     max_levels: int = 6,
     _level: int = 0,
 ):
-    """Distributed CC: Dataset of edges → Dataset ``(node, component_id)`` where
-    ``component_id`` is the minimum node id of the component (the reference's
-    ``root_nodeid`` = min-nid convention, src/way_group.rs:17-24).
+    """Distributed CC: Dataset of edges → Dataset ``(g, node, component_id)``
+    where ``component_id`` is the minimum node id of the component within its
+    tag group (the reference's root_nodeid convention). ``group_col`` names an
+    int64 group-id column (see ``intern_group_ids``); omitted → single group 0.
 
-    One level = partition-contract: hash-partition edges on the canonical edge key
-    → per-partition union-find (``groupby(part).map_groups`` — each group is one
-    whole partition, so per-group overhead is O(num_partitions), not O(nodes)) →
-    per-node minimum local label via a vectorized ``Min`` aggregate → a
-    label-equivalence graph containing only labels of nodes cut across partitions
-    — orders of magnitude smaller than the input. That graph is resolved by
-    RECURSING on it; below ``driver_finish_rows`` a driver-side union-find
-    finishes exactly (documented base case; at 10^12 edges expect 2-3 levels).
-    The resolved root map is either broadcast (``ray.put`` dict, base case) or
-    joined back distributedly (recursive case) — never a full re-shuffle of the
-    input. Every level checkpoints its labels + equivalence graph
-    (state/checkpoint.py) so a killed job resumes mid-algorithm (north rule).
+    One level = partition-contract: hash-partition edges on the canonical edge
+    key → per-partition union-find (``groupby(part).map_groups`` — each group is
+    one whole partition, so per-group overhead is O(num_partitions), not
+    O(nodes)) → per-(g,node) minimum local label via a vectorized ``Min``
+    aggregate → a label-equivalence graph containing only labels of vertices cut
+    across partitions — orders of magnitude smaller than the input. That graph
+    is resolved by RECURSING on it; below ``driver_finish_rows`` a driver-side
+    union-find finishes exactly (documented base case; at 10^12 edges expect 2-3
+    levels). The resolved root map is either broadcast (``ray.put`` dict, base
+    case) or joined back distributedly (recursive case) — never a full
+    re-shuffle of the input. Every level checkpoints its labels + equivalence
+    graph (state/checkpoint.py) so a killed job resumes mid-algorithm.
 
-    Isolated nodes never appear in ``edges_ds`` and are the caller's concern.
+    Isolated vertices never appear in ``edges_ds`` and are the caller's concern.
     """
     from ray.data.aggregate import Min
 
@@ -336,6 +351,8 @@ def connected_components(
     if ckpt.has(labels_key) and ckpt.has(eq_key):
         node_min = ckpt.load(labels_key)
         eq_edges = ckpt.load(eq_key)
+        if node_min.count() == 0:
+            return _empty_labels()
     else:
         def project(batch: pa.Table) -> pa.Table:
             key = pc.min_element_wise(batch[src], batch[dst]).to_numpy(zero_copy_only=False)
@@ -343,26 +360,26 @@ def connected_components(
             # over partitions regardless of id clustering (skew-proof for this key)
             part = ((key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
                     ).astype(np.int64) % num_partitions
-            return pa.table({"a": batch[src], "b": batch[dst],
+            gcol = (batch[group_col] if group_col
+                    else pa.array(np.zeros(len(key), dtype=np.int64), pa.int64()))
+            return pa.table({"g": gcol, "a": batch[src], "b": batch[dst],
                              "part": pa.array(part, pa.int64())})
 
         parts = edges_ds.map_batches(project, batch_format="pyarrow")
         local = parts.groupby("part").map_groups(_local_cc_group, batch_format="pyarrow")
         local = local.materialize()
         if local.count() == 0:  # empty edge set → empty labels, stable schema
-            empty = pa.table({"node": pa.array([], pa.int64()),
-                              "component_id": pa.array([], pa.int64())})
-            return ray.data.from_arrow(empty)
-        node_min = local.groupby("node").aggregate(Min("label", alias_name="min_label"))
-        node_min = node_min.rename_columns(["node", "label"])
-        # equivalence edges: for each (node, local_label) where local_label differs
-        # from the node's global min — connect them in the label graph
-        joined = local.rename_columns(["node", "llabel"]).join(
-            node_min, "inner", num_partitions, on=("node",)
-        )
+            ckpt.save(labels_key, local, extra={"level": _level})
+            ckpt.save(eq_key, local, extra={"level": _level})
+            return _empty_labels()
+        node_min = local.groupby(["g", "node"]).aggregate(Min("label", alias_name="label"))
+        # equivalence edges: for each (g, node, local_label) where local_label
+        # differs from the vertex's min — connect them in the label graph
+        llocal = local.rename_columns(["g", "node", "llabel"])
+        joined = hash_join(llocal, node_min, ("g", "node"), how="inner", num_partitions=num_partitions)
         eq_edges = joined.map_batches(
             lambda b: pa.table(
-                {"a": b["label"], "b": b["llabel"]}
+                {"g": b["g"], "a": b["label"], "b": b["llabel"]}
             ).filter(pc.not_equal(b["label"], b["llabel"])),
             batch_format="pyarrow",
         )
@@ -373,26 +390,51 @@ def connected_components(
     ckpt.record(step=f"cc/l{_level}", eq_edges=n_eq,
                 wall_s=round(time.monotonic() - t0, 3))
     if n_eq == 0:
-        return node_min.rename_columns(["node", "component_id"])
+        return node_min.rename_columns(["g", "node", "component_id"])
 
     if n_eq <= driver_finish_rows or _level + 1 >= max_levels:
         table = pa.concat_tables(list(eq_edges.iter_batches(batch_format="pyarrow")))
         root_ref = ray.put(_driver_union_find(table))
-        out = _apply_label_map(node_min, root_ref, "label", "component_id")
-        return out.rename_columns(["node", "component_id"])
+
+        def apply(batch: pa.Table) -> pa.Table:
+            m = ray.get(root_ref)
+            g = batch["g"].to_numpy(zero_copy_only=False)
+            lab = batch["label"].to_numpy(zero_copy_only=False)
+            out = np.fromiter(
+                (m.get((int(gi), int(x)), int(x)) for gi, x in zip(g, lab)),
+                dtype=np.int64, count=len(lab),
+            )
+            return pa.table({"g": batch["g"], "node": batch["node"],
+                             "component_id": pa.array(out, pa.int64())})
+
+        return node_min.map_batches(apply, batch_format="pyarrow")
 
     # recursive case: resolve the label graph distributedly, join roots back
     sub = connected_components(
-        eq_edges, "a", "b", num_partitions=max(8, num_partitions // 4),
+        eq_edges, "a", "b", "g", num_partitions=max(8, num_partitions // 4),
         driver_finish_rows=driver_finish_rows, checkpoint=checkpoint,
         max_levels=max_levels, _level=_level + 1,
-    )  # (node=label, component_id=root)
-    sub = sub.rename_columns(["label", "root"])
-    joined = node_min.join(sub, "left_outer", num_partitions, on=("label",))
+    )  # (g, node=label, component_id=root)
+    sub = sub.rename_columns(["g", "label", "root"])
+    joined = hash_join(node_min, sub, ("g", "label"), how="left_outer", num_partitions=num_partitions)
     return joined.map_batches(
         lambda b: pa.table({
+            "g": b["g"],
             "node": b["node"],
             "component_id": pc.coalesce(b["root"], b["label"]),
         }),
         batch_format="pyarrow",
     )
+
+
+def intern_group_ids(ds, value_col: str, out_col: str = "g"):
+    """Append an int64 group-id column derived from a string group-value column
+    by md5-based hashing (deterministic across workers; collision probability
+    negligible for realistic distinct-tag-value counts ≲ 10^8)."""
+    from ..functions.hashing import hash64_array
+
+    def add(batch: pa.Table) -> pa.Table:
+        vals = batch[value_col].to_pylist()
+        return batch.append_column(out_col, pa.array(hash64_array(vals), pa.int64()))
+
+    return ds.map_batches(add, batch_format="pyarrow")

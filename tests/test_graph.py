@@ -149,3 +149,16 @@ def test_connected_components_checkpoint_resume(ray_ds_factory, tmp_path):
     assert got1 == got2 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
     lineage = (tmp_path / "ck" / "lineage.jsonl").read_text().strip().splitlines()
     assert len(lineage) >= 2
+
+
+def test_connected_components_grouped(ray_ds_factory):
+    # node 5 is shared by group 1 and group 2 — must NOT merge their components
+    t = pa.table({
+        "u": pa.array([1, 5, 7], pa.int64()),
+        "v": pa.array([5, 2, 5], pa.int64()),
+        "g": pa.array([1, 1, 2], pa.int64()),
+    })
+    got = {(r["g"], r["node"]): r["component_id"]
+           for r in connected_components(ray_ds_factory(t), "u", "v", "g",
+                                         num_partitions=4).take_all()}
+    assert got == {(1, 1): 1, (1, 5): 1, (1, 2): 1, (2, 7): 5, (2, 5): 5}
