@@ -1,16 +1,16 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native lump engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here (or in
+the library) calls ``ray.init()``/``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``        — flagship lump pipeline (pages → extract/verify → geocode
+  → link → contract → grouped connected components → lengths → tile join) over
+  a deterministic pages table derived from /root/testdata/sf0.001 scale.
+- ``queries()``      — one callable per implemented operator family from
+  SURVEY.md §2 plus the training-data extensions (dedup, similarity, text,
+  spatial, multimodal stub); each takes ``sf_dir``.
+- ``oracle_sql()``   — DuckDB twins for every SQL-expressible query (same
+  column names; integer-exact cross-engine values by construction).
 """
 
 from __future__ import annotations
@@ -20,25 +20,24 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship lump pipeline at t1 smoke scale; returns the components table."""
+    from osm_lump_ways_ray.pipelines.lump import lump
+    from osm_lump_ways_ray.sources.pages import synth_pages_dataset
+
+    # t1 scale: ~6k pages (mirrors the sf0.001 lineitem row count; the pages
+    # table itself is synthesized deterministically per BASELINE.json input_hint)
+    pages = synth_pages_dataset(6000, seed=42)
+    result = lump(pages, num_partitions=8, verify_extract=True)
+    return result["components"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from osm_lump_ways_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osm_lump_ways_ray.pipelines.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,978 @@
+"""Driver-facing query battery: one entry per implemented operator family
+(SURVEY.md §2), each with a DuckDB oracle-SQL twin over the same parquet tables.
+
+Float-parity policy (the driver hash-compares values): every floating quantity
+crossing the Ray↔SQL comparison is converted to an INTEGER per row BEFORE any
+aggregation (e.g. haversine metres → floor(d*10+0.5) decimetres per edge, then
+integer sums) so summation order can never flip a rounding; trig ulp differences
+between numpy and libm remain the only (≈1e-8/row) risk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.cells import cell_id_sql
+from ..functions.haversine import MEAN_EARTH_RADIUS_M, haversine_m_fp
+from ..sources import derived as D
+from ..stages.relational import broadcast_join, hash_join
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _hav_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """SQL haversine mirroring functions/haversine.py term-for-term (fixed-point
+    inputs; RADIANS applied per coordinate, not to differences)."""
+    r = [f"RADIANS(({c})/10000000.0)" for c in (lat1, lon1, lat2, lon2)]
+    la1, lo1, la2, lo2 = r
+    return (
+        f"2*{MEAN_EARTH_RADIUS_M}*ASIN(SQRT("
+        f"POWER(SIN(({la2}-{la1})*0.5),2)"
+        f"+COS({la1})*COS({la2})*POWER(SIN(({lo2}-{lo1})*0.5),2)))"
+    )
+
+
+def _dm(expr: str) -> str:
+    """metres expr → integer decimetres (round half up, matches np.floor(x*10+0.5))."""
+    return f"CAST(FLOOR(({expr})*10 + 0.5) AS BIGINT)"
+
+
+def _derived_latlon(node_col_np: np.ndarray):
+    d = node_col_np.astype(np.int64) - 1
+    lat = (d * D.LAT_MULT) % D.LAT_MOD - D.LAT_OFF
+    lon = (d * D.LON_MULT) % D.LON_MOD - D.LON_OFF
+    return lat, lon
+
+
+NODE_LATLON_SQL = {
+    "lat": lambda col: f"((({col})-1) * {D.LAT_MULT}) % {D.LAT_MOD} - {D.LAT_OFF}",
+    "lon": lambda col: f"((({col})-1) * {D.LON_MULT}) % {D.LON_MOD} - {D.LON_OFF}",
+}
+
+
+# ════════════════════════════════════════════════════ graph family (G1/A1/M5)
+
+def q_lump_components(sf_dir: str):
+    """G1 over the derived documents graph → per-component node count."""
+    from ray.data.aggregate import Count
+
+    from ..stages.graph import connected_components
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    edges = D.undirected_edges(docs)
+    labels = connected_components(edges, "u", "v", num_partitions=8)
+    return labels.groupby("component_id").aggregate(Count(alias_name="num_nodes"))
+
+
+SQL_LUMP_COMPONENTS = (
+    D.CC_ORACLE_SQL
+    + "SELECT component_id, COUNT(*) AS num_nodes FROM comp GROUP BY component_id"
+)
+
+
+def q_lump_lengths(sf_dir: str):
+    """A2: per-component Σ edge length in integer decimetres (order-proof)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.graph import connected_components
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    edges = D.undirected_edges(docs).materialize()
+    labels = connected_components(edges, "u", "v", num_partitions=8)
+
+    def add_len(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        lat_u, lon_u = _derived_latlon(u)
+        lat_v, lon_v = _derived_latlon(v)
+        m = haversine_m_fp(lat_u, lon_u, lat_v, lon_v)
+        dm = np.floor(m * 10 + 0.5).astype(np.int64)
+        return batch.append_column("len_dm", pa.array(dm, pa.int64()))
+
+    e = edges.map_batches(add_len, batch_format="pyarrow")
+    lab = labels.select_columns(["node", "component_id"]).rename_columns(
+        ["u", "component_id"])
+    e = hash_join(e, lab, ("u",), how="inner", num_partitions=8)
+    return e.groupby("component_id").aggregate(Sum("len_dm", alias_name="length_dm"))
+
+
+SQL_LUMP_LENGTHS = (
+    D.CC_ORACLE_SQL
+    + f""",
+  elen AS (
+    SELECT e.u, e.v,
+      {_dm(_hav_sql(NODE_LATLON_SQL["lat"]("e.u"), NODE_LATLON_SQL["lon"]("e.u"),
+                    NODE_LATLON_SQL["lat"]("e.v"), NODE_LATLON_SQL["lon"]("e.v")))}
+      AS len_dm
+    FROM e
+  )
+SELECT c.component_id, SUM(elen.len_dm) AS length_dm
+FROM elen JOIN comp c ON c.node = elen.u
+GROUP BY c.component_id"""
+)
+
+
+def q_degree_pillar(sf_dir: str):
+    """A1 degree weighting over derived 5-doc ways → (node_id, weight)."""
+    import pandas as pd
+
+    from ..stages.graph import node_degree_weights
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_members(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"way": pa.array(d // 5, pa.int64()),
+                         "node": pa.array(d + 1, pa.int64())})
+
+    def to_way(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values("node")
+        return pd.DataFrame({
+            "way_id": [int(df["way"].iloc[0]) + 1],
+            "node_ids": [df["node"].to_numpy(dtype=np.int64)],
+        })
+
+    ways = docs.map_batches(to_members, batch_format="pyarrow") \
+               .groupby("way").map_groups(to_way, batch_format="pandas")
+    return node_degree_weights(ways).rename_columns(["node_id", "weight"])
+
+
+SQL_DEGREE_PILLAR = """
+WITH m AS (
+  SELECT doc_id + 1 AS node, doc_id // 5 AS way, doc_id % 5 AS pos,
+         MAX(doc_id % 5) OVER (PARTITION BY doc_id // 5) AS last_pos
+  FROM documents
+)
+SELECT node AS node_id,
+       LEAST(SUM(CASE WHEN pos = 0 THEN 1 ELSE 2 END
+                 + CASE WHEN pos = last_pos THEN 1 ELSE 0 END), 255) AS weight
+FROM m GROUP BY node
+"""
+
+
+def q_way_contraction(sf_dir: str):
+    """M5 over derived 5-doc ways → one contracted edge per way (u, v, n_inter)."""
+    import pandas as pd
+    import ray
+
+    from ..stages.graph import contract_ways, pillar_node_array
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_members(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"way": pa.array(d // 5, pa.int64()),
+                         "node": pa.array(d + 1, pa.int64())})
+
+    def to_way(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values("node")
+        return pd.DataFrame({
+            "way_id": [int(df["way"].iloc[0]) + 1],
+            "node_ids": [df["node"].to_numpy(dtype=np.int64)],
+        })
+
+    ways = docs.map_batches(to_members, batch_format="pyarrow") \
+               .groupby("way").map_groups(to_way, batch_format="pandas").materialize()
+    pillars = pillar_node_array(ways)
+    edges = contract_ways(ways, ray.put(pillars))
+
+    def project(batch: pa.Table) -> pa.Table:
+        n_inter = pc.list_value_length(batch["inter_nids"]).cast(pa.int64())
+        return pa.table({"way_id": batch["way_id"], "u": batch["u"],
+                         "v": batch["v"], "n_inter": n_inter})
+
+    return edges.map_batches(project, batch_format="pyarrow")
+
+
+SQL_WAY_CONTRACTION = """
+SELECT doc_id // 5 + 1 AS way_id,
+       MIN(doc_id) + 1 AS u,
+       MAX(doc_id) + 1 AS v,
+       COUNT(*) - 2 AS n_inter
+FROM documents
+GROUP BY doc_id // 5
+HAVING COUNT(*) >= 2
+"""
+
+
+def q_scc_loops(sf_dir: str):
+    """G10 over the derived decade-cycle graph → (root_nid, num_nodes)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..stages.scc import strongly_connected_components
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    max_doc = int(docs.max("doc_id"))
+    edges = D.directed_edges_closed(docs, max_doc_ref=max_doc)
+    scc = strongly_connected_components(edges, "src", "dst", num_partitions=8)
+    return scc.groupby("scc_id").aggregate(Count(alias_name="num_nodes")) \
+              .rename_columns(["root_nid", "num_nodes"])
+
+
+SQL_SCC_LOOPS = """
+SELECT (doc_id // 10) * 10 + 1 AS root_nid, COUNT(*) AS num_nodes
+FROM documents
+GROUP BY doc_id // 10
+HAVING COUNT(*) = 10 AND SUM(CASE WHEN n_chars % 7 = 0 THEN 1 ELSE 0 END) = 0
+"""
+
+
+def q_flow_upstream(sf_dir: str):
+    """G13 (split-equally) over decade CHAINS (closing edges removed → DAG);
+    integer lengths (doc%13+1) so upstream sums are exact ints."""
+    from ..stages.scc import upstream_flow
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ((nch % 7) != 0) & ((d % 10) != 9)
+        dk = d[keep]
+        return pa.table({
+            "src": pa.array(dk + 1, pa.int64()),
+            "dst": pa.array(dk + 2, pa.int64()),
+            "length_m": pa.array((dk % 13 + 1).astype(np.float64), pa.float64()),
+        })
+
+    edges = docs.map_batches(emit, batch_format="pyarrow")
+    out = upstream_flow(edges, split_equally=True, num_partitions=8)
+
+    def project(batch):
+        batch = batch.copy()
+        batch["upstream_m_int"] = np.floor(batch["upstream_m"] + 0.5).astype(np.int64)
+        return batch[["src", "dst", "upstream_m_int"]]
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+SQL_FLOW_UPSTREAM = """
+WITH e AS (
+  SELECT doc_id + 1 AS src, doc_id + 2 AS dst, doc_id % 13 + 1 AS len,
+         doc_id // 10 AS dec, doc_id AS d
+  FROM documents WHERE n_chars % 7 <> 0 AND doc_id % 10 <> 9
+),
+runs AS (
+  SELECT *, d - ROW_NUMBER() OVER (PARTITION BY dec ORDER BY d) AS run
+  FROM e
+)
+SELECT src, dst,
+       COALESCE(SUM(len) OVER (PARTITION BY dec, run ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS upstream_m_int
+FROM runs
+"""
+
+
+def q_directed_ends(sf_dir: str):
+    """G15 ends over the decade DAG (chains only): out-degree-0 vertices."""
+    from ..stages.scc import directed_ends
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ((nch % 7) != 0) & ((d % 10) != 9)
+        dk = d[keep]
+        return pa.table({"src": pa.array(dk + 1, pa.int64()),
+                         "dst": pa.array(dk + 2, pa.int64())})
+
+    return directed_ends(docs.map_batches(emit, batch_format="pyarrow"))
+
+
+SQL_DIRECTED_ENDS = """
+WITH e AS (
+  SELECT doc_id + 1 AS src, doc_id + 2 AS dst
+  FROM documents WHERE n_chars % 7 <> 0 AND doc_id % 10 <> 9
+)
+SELECT DISTINCT dst AS node FROM e
+WHERE dst NOT IN (SELECT src FROM e)
+"""
+
+
+# ════════════════════════════════════════════ tag filter / grouper family (M1-M4)
+
+def _docs_view(batch: pa.Table):
+    from ..functions.tagfilter import ColumnTagView
+
+    return ColumnTagView(
+        {c: batch[c].to_numpy(zero_copy_only=False)
+         for c in ("lang", "source") if c in batch.column_names},
+        n=len(batch),
+    )
+
+
+def _tagfilter_query(sf_dir: str, expr: str):
+    from ..functions.tagfilter import parse_tag_filter
+
+    tf = parse_tag_filter(expr)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(tf.mask(_docs_view(batch))))
+
+    from ray.data.aggregate import Count
+
+    return docs.map_batches(filt, batch_format="pyarrow") \
+               .groupby("source").aggregate(Count(alias_name="n"))
+
+
+def q_tagfilter_kv(sf_dir: str):
+    """M1 KV filter: DSL ``lang=en`` → count per source."""
+    return _tagfilter_query(sf_dir, "lang=en")
+
+
+SQL_TAGFILTER_KV = "SELECT source, COUNT(*) AS n FROM documents WHERE lang = 'en' GROUP BY source"
+
+
+def q_tagfilter_in(sf_dir: str):
+    """M1 KinV: DSL ``lang∈en,de`` → count per source."""
+    return _tagfilter_query(sf_dir, "lang∈en,de")
+
+
+SQL_TAGFILTER_IN = ("SELECT source, COUNT(*) AS n FROM documents "
+                    "WHERE lang IN ('en','de') GROUP BY source")
+
+
+def q_tagfilter_regex(sf_dir: str):
+    """M1 KreV: DSL ``source~^src1.$`` (regex SEARCH semantics) → count per source."""
+    return _tagfilter_query(sf_dir, "source~^src1.$")
+
+
+SQL_TAGFILTER_REGEX = ("SELECT source, COUNT(*) AS n FROM documents "
+                       "WHERE regexp_matches(source, '^src1.$') GROUP BY source")
+
+
+def q_tagfilter_func(sf_dir: str):
+    """M3 decision list: ``lang=zh→F;source=src1→T;lang=en→T;F`` → count per lang."""
+    from ray.data.aggregate import Count
+
+    from ..functions.tagfilter import TagFilterFunc
+
+    tff = TagFilterFunc.parse("lang=zh→F;source=src1→T;lang=en→T;F")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(tff.mask(_docs_view(batch))))
+
+    return docs.map_batches(filt, batch_format="pyarrow") \
+               .groupby("lang").aggregate(Count(alias_name="n"))
+
+
+SQL_TAGFILTER_FUNC = """
+SELECT lang, COUNT(*) AS n FROM documents
+WHERE (CASE WHEN lang = 'zh' THEN FALSE
+            WHEN source = 'src1' THEN TRUE
+            WHEN lang = 'en' THEN TRUE
+            ELSE FALSE END)
+GROUP BY lang
+"""
+
+
+def q_taggrouper(sf_dir: str):
+    """M4 coalesce grouping: first-set of (source-unless-src0, lang)."""
+    from ray.data.aggregate import Count
+
+    from ..functions.taggrouper import TagGrouper
+    from ..functions.tagfilter import ColumnTagView
+
+    g = TagGrouper("source,lang")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_numpy(zero_copy_only=False).astype(object)
+        src[src == "src0"] = None  # simulate an unset tag slot
+        view = ColumnTagView(
+            {"source": src, "lang": batch["lang"].to_numpy(zero_copy_only=False)},
+            n=len(batch))
+        vals = g.values(view)
+        return pa.table({"group_value": pa.array(list(vals), pa.string())})
+
+    return docs.map_batches(keyed, batch_format="pyarrow") \
+               .groupby("group_value").aggregate(Count(alias_name="n"))
+
+
+SQL_TAGGROUPER = ("SELECT COALESCE(NULLIF(source, 'src0'), lang) AS group_value, "
+                  "COUNT(*) AS n FROM documents GROUP BY 1")
+
+
+# ════════════════════════════════════════════════ aggregates family (A3-A8, K1-K6)
+
+def q_group_stats(sf_dir: str):
+    """A7-style grouped stats on lineitem (integer-exact mean via ppm)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    agg = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Min("l_quantity", alias_name="min_qty"),
+        Max("l_quantity", alias_name="max_qty"),
+        Count(alias_name="n"),
+    )
+
+    def mean_ppm(batch: pa.Table) -> pa.Table:
+        s = batch["sum_qty"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        ppm = np.floor(s * 1_000_000 / n + 0.5).astype(np.int64)
+        sq = np.floor(s + 0.5).astype(np.int64)
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": pa.array(sq, pa.int64()),
+            "min_qty": batch["min_qty"],
+            "max_qty": batch["max_qty"],
+            "n": batch["n"],
+            "mean_qty_ppm": pa.array(ppm, pa.int64()),
+        })
+
+    return agg.map_batches(mean_ppm, batch_format="pyarrow")
+
+
+SQL_GROUP_STATS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(FLOOR(SUM(l_quantity) + 0.5) AS BIGINT) AS sum_qty,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       COUNT(*) AS n,
+       CAST(FLOOR(SUM(l_quantity) * 1000000 / COUNT(*) + 0.5) AS BIGINT) AS mean_qty_ppm
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_latest_ts(sf_dir: str):
+    """A8 latest timestamp (fetch_max parity)."""
+    import ray.data
+
+    li = _read(sf_dir, "lineitem", columns=["l_shipdate"])
+    ev = _read(sf_dir, "events", columns=["ts"])
+    return pa.table({
+        "latest_shipdate": [li.max("l_shipdate")],
+        "latest_event_ts": [ev.max("ts")],
+    })
+
+
+SQL_LATEST_TS = ("SELECT (SELECT MAX(l_shipdate) FROM lineitem) AS latest_shipdate, "
+                 "(SELECT MAX(ts) FROM events) AS latest_event_ts")
+
+
+def q_top_k_orders(sf_dir: str):
+    """K1/K2: global sort desc + limit with deterministic tie-break."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    top = orders.sort([("o_totalprice", "descending"), ("o_orderkey", "ascending")]).limit(10)
+    return top
+
+
+SQL_TOP_K_ORDERS = ("SELECT o_orderkey, o_totalprice FROM orders "
+                    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")
+
+
+def q_threshold(sf_dir: str):
+    """A3/K6: filter by fraction-of-max threshold (driver-computed scalar)."""
+    orders = _read(sf_dir, "orders", columns=["o_totalprice"])
+    mx = orders.max("o_totalprice")
+    half = mx * 0.5
+
+    def filt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["o_totalprice"], pa.scalar(half)))
+
+    kept = orders.map_batches(filt, batch_format="pyarrow")
+    n = kept.count()
+    s = kept.sum("o_totalprice") if n else 0.0
+    return pa.table({"n": [n], "sum_price_int": [int(np.floor(s + 0.5))]})
+
+
+SQL_THRESHOLD = """
+SELECT COUNT(*) AS n, CAST(FLOOR(SUM(o_totalprice) + 0.5) AS BIGINT) AS sum_price_int
+FROM orders WHERE o_totalprice >= 0.5 * (SELECT MAX(o_totalprice) FROM orders)
+"""
+
+
+def q_cumfrac(sf_dir: str):
+    """A4 ``incl90%total``: sort desc, count rows until cumulative ≥ 90% of total;
+    boundary value is the resulting min-length threshold (main.rs:563-577)."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    total = orders.sum("o_totalprice")
+    target = 0.9 * total
+    s = orders.sort([("o_totalprice", "descending"), ("o_orderkey", "ascending")])
+    cum = 0.0
+    n = 0
+    boundary = None
+    for batch in s.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        prices = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        for p in prices:
+            if cum >= target:
+                break
+            cum += float(p)
+            n += 1
+            boundary = float(p)
+        if cum >= target:
+            break
+    return pa.table({"n": [n], "boundary_int": [int(np.floor(boundary + 0.5))]})
+
+
+SQL_CUMFRAC = """
+WITH s AS (
+  SELECT o_totalprice,
+         SUM(o_totalprice) OVER (ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before,
+         SUM(o_totalprice) OVER () AS total
+  FROM orders
+)
+SELECT COUNT(*) AS n,
+       CAST(FLOOR(MIN(o_totalprice) + 0.5) AS BIGINT) AS boundary_int
+FROM s WHERE COALESCE(cum_before, 0) < 0.9 * total
+"""
+
+
+def q_region_rollup(sf_dir: str):
+    """A6-style rollup via BROADCAST dimension joins (small side shipped once)."""
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = pa.concat_tables(_read(sf_dir, "nation").iter_batches(batch_format="pyarrow"))
+    region = pa.concat_tables(_read(sf_dir, "region").iter_batches(batch_format="pyarrow"))
+
+    j = broadcast_join(cust, nation, on=None)  # placeholder replaced below
+
+    # broadcast both dims in one pandas merge chain
+    import pandas as pd
+    import ray
+
+    nref = ray.put(nation.to_pandas())
+    rref = ray.put(region.to_pandas())
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        n = ray.get(nref)
+        r = ray.get(rref)
+        out = batch.merge(n, left_on="c_nationkey", right_on="n_nationkey")
+        out = out.merge(r, left_on="n_regionkey", right_on="r_regionkey")
+        return out[["r_name", "c_acctbal"]]
+
+    joined = cust.map_batches(merge, batch_format="pandas")
+    agg = joined.groupby("r_name").aggregate(
+        Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="sum_bal"))
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        s = batch["sum_bal"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r_name": batch["r_name"],
+            "n_customers": batch["n_customers"],
+            "sum_bal_cents": pa.array(np.floor(s * 100 + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    return agg.map_batches(to_int, batch_format="pyarrow")
+
+
+SQL_REGION_ROLLUP = """
+SELECT r_name, COUNT(*) AS n_customers,
+       CAST(FLOOR(SUM(c_acctbal) * 100 + 0.5) AS BIGINT) AS sum_bal_cents
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY r_name
+"""
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour window per event_type (streaming-shaped aggregate)."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def window(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us - us % 3_600_000_000
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": pa.array(hour, pa.int64()).cast(pa.timestamp("us")),
+            "value": batch["value"],
+        })
+
+    agg = ev.map_batches(window, batch_format="pyarrow") \
+            .groupby(["event_type", "window_start"]).aggregate(
+                Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        s = batch["sum_value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": batch["window_start"],
+            "n": batch["n"],
+            "sum_value_milli": pa.array(np.floor(s * 1000 + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    return agg.map_batches(to_int, batch_format="pyarrow")
+
+
+SQL_EVENTS_WINDOW = """
+SELECT event_type, date_trunc('hour', ts) AS window_start, COUNT(*) AS n,
+       CAST(FLOOR(SUM(value) * 1000 + 0.5) AS BIGINT) AS sum_value_milli
+FROM events GROUP BY 1, 2
+"""
+
+
+# ═════════════════════════════════════════════ text / dedup family
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup by content hash → representative + group size."""
+    from ..stages.dedup import exact_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(docs)
+
+
+SQL_DEDUP_EXACT = ("SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, "
+                   "COUNT(*) AS n_dups FROM documents GROUP BY md5(text)")
+
+
+def q_fingerprint(sf_dir: str):
+    """Document fingerprinting (md5 of 64-char prefix) → cluster sizes."""
+    from ray.data.aggregate import Count, Min
+
+    from ..stages.text import fingerprint_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    fp = docs.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return fp.groupby("fingerprint").aggregate(
+        Min("doc_id", alias_name="keep_id"), Count(alias_name="n"))
+
+
+SQL_FINGERPRINT = ("SELECT md5(substr(text, 1, 64)) AS fingerprint, "
+                   "MIN(doc_id) AS keep_id, COUNT(*) AS n FROM documents "
+                   "GROUP BY md5(substr(text, 1, 64))")
+
+
+def q_token_stats(sf_dir: str):
+    """Token counting per lang (whitespace tokens; SQL parity via string_split)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.text import token_stats_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    t = docs.map_batches(token_stats_batch, batch_format="pyarrow")
+    return t.groupby("lang").aggregate(
+        Sum("ws_tokens", alias_name="total_tokens"), Count(alias_name="n_docs"))
+
+
+SQL_TOKEN_STATS = ("SELECT lang, SUM(len(string_split(text, ' '))) AS total_tokens, "
+                   "COUNT(*) AS n_docs FROM documents GROUP BY lang")
+
+
+def q_quality(sf_dir: str):
+    """Quality scoring: mean stopword ppm per lang (integer arithmetic)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.text import quality_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    q = docs.map_batches(quality_batch, batch_format="pyarrow")
+    agg = q.groupby("lang").aggregate(
+        Sum("stop_ppm", alias_name="sum_ppm"), Count(alias_name="n"))
+
+    def mean_int(batch: pa.Table) -> pa.Table:
+        s = batch["sum_ppm"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table({"lang": batch["lang"],
+                         "mean_stop_ppm": pa.array(s // n, pa.int64())})
+
+    return agg.map_batches(mean_int, batch_format="pyarrow")
+
+
+SQL_QUALITY = """
+WITH perdoc AS (
+  SELECT lang,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','and','of','a','to','in','is','that'))) * 1000000
+         // len(string_split(text, ' ')) AS stop_ppm
+  FROM documents
+)
+SELECT lang, SUM(stop_ppm) // COUNT(*) AS mean_stop_ppm FROM perdoc GROUP BY lang
+"""
+
+
+def q_langid(sf_dir: str):
+    """Language-ID heuristic vs labeled lang → confusion counts."""
+    from ray.data.aggregate import Count
+
+    from ..stages.text import langid_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    d = docs.map_batches(langid_batch, batch_format="pyarrow")
+    return d.groupby(["lang", "detected_lang"]).aggregate(Count(alias_name="n"))
+
+
+SQL_LANGID = """
+SELECT lang,
+       CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 'en'
+            WHEN ' ' || text || ' ' LIKE '% der %' THEN 'de'
+            WHEN ' ' || text || ' ' LIKE '% le %' THEN 'fr'
+            WHEN ' ' || text || ' ' LIKE '% el %' THEN 'es'
+            ELSE 'other' END AS detected_lang,
+       COUNT(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+# ═════════════════════════════════════════════ similarity family
+
+def _load_queries(sf_dir: str, n_queries: int = 5):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id < {n_queries} ORDER BY vec_id").fetchall()
+    con.close()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def q_knn_cosine(sf_dir: str):
+    """Brute-force cosine top-5 for the first 5 vectors (self-excluded)."""
+    from ..stages.similarity import knn_bruteforce
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = _load_queries(sf_dir)
+    out = knn_bruteforce(emb, queries, k=5)
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
+SQL_KNN_COSINE = """
+SELECT query_id, rank, vec_id FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+  FROM embeddings q JOIN embeddings c ON c.vec_id >= 5
+  WHERE q.vec_id < 5
+) WHERE rank <= 5
+"""
+
+
+# ═════════════════════════════════════════════ spatial family (north rule)
+
+def q_tile_assign(sf_dir: str):
+    """Raster→vector tile assignment: derived nodes → res-6 cells → counts."""
+    from ray.data.aggregate import Count
+
+    from ..stages.spatial import assign_tiles
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    nodes = docs.map_batches(D.nodes_batch, batch_format="pyarrow")
+    tiled = assign_tiles(nodes, res=6)
+    return tiled.groupby("cell").aggregate(Count(alias_name="n"))
+
+
+SQL_TILE_ASSIGN = f"""
+WITH n AS ({NODES_SQL})
+SELECT {cell_id_sql("lat", "lon", 6)} AS cell, COUNT(*) AS n
+FROM n GROUP BY 1
+"""
+
+
+_PIP_RECTS = [
+    ("east_box", 0, 0, 600_000_000, 1_500_000_000),
+    ("west_box", -700_000_000, -1_700_000_000, 100_000_000, -100_000_000),
+    ("north_cap", 500_000_000, -1_750_000_000, 849_999_999, 1_749_999_999),
+]
+
+
+def q_pip(sf_dir: str):
+    """Point-in-polygon join (actor-pool geocoder, first-match-wins areas)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.spatial import Polygon, pip_join
+
+    polys = []
+    for name, la0, lo0, la1, lo1 in _PIP_RECTS:
+        ring = [(la0 / 1e7, lo0 / 1e7), (la0 / 1e7, lo1 / 1e7),
+                (la1 / 1e7, lo1 / 1e7), (la1 / 1e7, lo0 / 1e7)]
+        polys.append(Polygon(name, ring))
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    nodes = docs.map_batches(D.nodes_batch, batch_format="pyarrow")
+
+    def to_deg(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False) / 1e7
+        lon = batch["lon"].to_numpy(zero_copy_only=False) / 1e7
+        return pa.table({"node_id": batch["node_id"],
+                         "lat": pa.array(lat), "lon": pa.array(lon)})
+
+    geo = nodes.map_batches(to_deg, batch_format="pyarrow")
+    with_area = pip_join(geo, polys)
+    return with_area.groupby("area").aggregate(Count(alias_name="n"))
+
+
+def _pip_case_sql() -> str:
+    conds = []
+    for name, la0, lo0, la1, lo1 in _PIP_RECTS:
+        conds.append(f"WHEN lat > {la0} AND lat < {la1} AND lon > {lo0} AND lon < {lo1} "
+                     f"THEN '{name}'")
+    return "CASE " + " ".join(conds) + " ELSE 'unknown_area' END"
+
+
+SQL_PIP = f"""
+WITH n AS ({NODES_SQL})
+SELECT {_pip_case_sql()} AS area, COUNT(*) AS n FROM n GROUP BY 1
+"""
+
+
+def q_knn_spatial(sf_dir: str):
+    """Spatial kNN join: nearest anchor (node_id % 97 == 1) per non-anchor node."""
+    from ..stages.spatial import knn_join_broadcast
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    nodes = docs.map_batches(D.nodes_batch, batch_format="pyarrow").materialize()
+
+    anchors = nodes.map_batches(
+        lambda b: b.filter(pc.equal(
+            pc.subtract(b["node_id"], pc.multiply(
+                pc.divide(pc.subtract(b["node_id"], pa.scalar(1, pa.int64())),
+                          pa.scalar(97, pa.int64())),
+                pa.scalar(97, pa.int64()))), pa.scalar(1, pa.int64()))),
+        batch_format="pyarrow").take_all()
+    aid = np.array([r["node_id"] for r in anchors], dtype=np.int64)
+    alat = np.array([r["lat"] for r in anchors], dtype=np.int64)
+    alon = np.array([r["lon"] for r in anchors], dtype=np.int64)
+
+    non_anchor = nodes.map_batches(
+        lambda b: b.filter(pa.array(
+            ((b["node_id"].to_numpy(zero_copy_only=False) - 1) % 97) != 0)),
+        batch_format="pyarrow")
+    out = knn_join_broadcast(non_anchor, (aid, alat, alon))
+    return out.select_columns(["node_id", "nearest_anchor"])
+
+
+SQL_KNN_SPATIAL = f"""
+WITH n AS ({NODES_SQL}),
+a AS (SELECT * FROM n WHERE (node_id - 1) % 97 = 0),
+p AS (SELECT * FROM n WHERE (node_id - 1) % 97 <> 0)
+SELECT node_id, nearest_anchor FROM (
+  SELECT p.node_id, a.node_id AS nearest_anchor,
+         ROW_NUMBER() OVER (PARTITION BY p.node_id ORDER BY
+           {_hav_sql("p.lat", "p.lon", "a.lat", "a.lon")}, a.node_id) AS rk
+  FROM p CROSS JOIN a
+) WHERE rk = 1
+"""
+
+
+# ═════════════════════════════════ no-SQL (rows-only) extension queries
+
+def q_minhash_clusters(sf_dir: str):
+    """MinHash+LSH near-dup clusters (rows-only check: stateful hashing not
+    SQL-expressible). Duplicate texts cluster; unique docs are absent."""
+    from ..stages.dedup import minhash_dedup_clusters
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dedup_clusters(docs, num_perm=32, bands=8)
+
+
+def q_simhash(sf_dir: str):
+    """SimHash signatures (rows-only)."""
+    from ..stages.dedup import simhash_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(simhash_batch, batch_format="pyarrow")
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF-bucketed ANN (rows-only; recall vs brute force checked in pytest)."""
+    from ..stages.similarity import knn_ivf
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_ivf(emb, _load_queries(sf_dir), k=5, nlist=8, nprobe=4) \
+        .select_columns(["query_id", "rank", "vec_id"])
+
+
+def q_multimodal_stub(sf_dir: str):
+    """Multimodal decode plumbing: binary payload → typed metadata via an
+    actor-pool stage. Decode itself is a deterministic fake (no image libs in
+    this container — clearly marked); the Ray-side schema/batching is real."""
+    from ..stages.multimodal import decode_stub
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    return decode_stub(docs)
+
+
+SQL_MULTIMODAL_STUB = """
+SELECT doc_id, n_chars % 640 + 1 AS width, n_chars % 480 + 1 AS height,
+       (n_chars % 640 + 1) * (n_chars % 480 + 1) AS n_pixels
+FROM documents
+"""
+
+
+QUERIES = {
+    "lump_components": q_lump_components,
+    "lump_lengths": q_lump_lengths,
+    "degree_pillar": q_degree_pillar,
+    "way_contraction": q_way_contraction,
+    "scc_loops": q_scc_loops,
+    "flow_upstream": q_flow_upstream,
+    "directed_ends": q_directed_ends,
+    "tagfilter_kv": q_tagfilter_kv,
+    "tagfilter_in": q_tagfilter_in,
+    "tagfilter_regex": q_tagfilter_regex,
+    "tagfilter_func": q_tagfilter_func,
+    "taggrouper": q_taggrouper,
+    "group_stats": q_group_stats,
+    "latest_ts": q_latest_ts,
+    "top_k_orders": q_top_k_orders,
+    "threshold": q_threshold,
+    "cumfrac": q_cumfrac,
+    "region_rollup": q_region_rollup,
+    "events_window": q_events_window,
+    "dedup_exact": q_dedup_exact,
+    "fingerprint": q_fingerprint,
+    "token_stats": q_token_stats,
+    "quality": q_quality,
+    "langid": q_langid,
+    "knn_cosine": q_knn_cosine,
+    "tile_assign": q_tile_assign,
+    "pip": q_pip,
+    "knn_spatial": q_knn_spatial,
+    "minhash_clusters": q_minhash_clusters,
+    "simhash": q_simhash,
+    "knn_ivf": q_knn_ivf,
+    "multimodal_stub": q_multimodal_stub,
+}
+
+ORACLES = {
+    "lump_components": SQL_LUMP_COMPONENTS,
+    "lump_lengths": SQL_LUMP_LENGTHS,
+    "degree_pillar": SQL_DEGREE_PILLAR,
+    "way_contraction": SQL_WAY_CONTRACTION,
+    "scc_loops": SQL_SCC_LOOPS,
+    "flow_upstream": SQL_FLOW_UPSTREAM,
+    "directed_ends": SQL_DIRECTED_ENDS,
+    "tagfilter_kv": SQL_TAGFILTER_KV,
+    "tagfilter_in": SQL_TAGFILTER_IN,
+    "tagfilter_regex": SQL_TAGFILTER_REGEX,
+    "tagfilter_func": SQL_TAGFILTER_FUNC,
+    "taggrouper": SQL_TAGGROUPER,
+    "group_stats": SQL_GROUP_STATS,
+    "latest_ts": SQL_LATEST_TS,
+    "top_k_orders": SQL_TOP_K_ORDERS,
+    "threshold": SQL_THRESHOLD,
+    "cumfrac": SQL_CUMFRAC,
+    "region_rollup": SQL_REGION_ROLLUP,
+    "events_window": SQL_EVENTS_WINDOW,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "fingerprint": SQL_FINGERPRINT,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality": SQL_QUALITY,
+    "langid": SQL_LANGID,
+    "knn_cosine": SQL_KNN_COSINE,
+    "tile_assign": SQL_TILE_ASSIGN,
+    "pip": SQL_PIP,
+    "knn_spatial": SQL_KNN_SPATIAL,
+    "multimodal_stub": SQL_MULTIMODAL_STUB,
+    # minhash_clusters, simhash, knn_ivf: rows-only (stateful hashing / ANN not
+    # SQL-expressible) — driver records the weaker check by design.
+}

@@ -26,6 +26,85 @@ def hash_join(left, right, on: Tuple[str, ...], how: str = "inner",
     )
 
 
+def cogroup_join(left, right, on, how: str = "inner", num_partitions: int = 16):
+    """Partitioned hash join built ONLY from union + groupby + map_groups —
+    no ``Dataset.join`` operator.
+
+    Rationale: Ray 2.49's hash-join aggregator actors misbehave when the same
+    shaped join runs repeatedly in one session (observed: ArrowInvalid
+    "multiple matches for key field" from ``HashShuffleAggregator.finalize`` on
+    the 2nd-3rd sequential join — iterative algorithms like min-label
+    propagation hit this immediately). This implementation is the portable
+    pattern from the Ray guide: tag each side, add ``part = hash(key) % P``,
+    union (schemas padded with nulls), ``groupby(part).map_groups`` and merge
+    per partition with pandas. Supports ``inner`` and ``left_anti``.
+
+    Key columns must have the same names on both sides; non-key columns must be
+    disjoint."""
+    import pandas as pd
+    import pyarrow as pa
+
+    on = list(on) if not isinstance(on, str) else [on]
+    lschema, rschema = left.schema(), right.schema()
+    lcols, rcols = lschema.names, rschema.names
+    types = dict(zip(lcols, lschema.types))
+    types.update(dict(zip(rcols, rschema.types)))
+    l_extra = [c for c in lcols if c not in on]
+    r_extra = [c for c in rcols if c not in on]
+    assert not (set(l_extra) & set(r_extra)), "non-key columns must be disjoint"
+    all_cols = on + l_extra + r_extra
+
+    def tag(side: int, present: list):
+        def fn(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            n = len(batch)
+            key = batch[on[0]].to_numpy(zero_copy_only=False).astype(np.uint64)
+            for k in on[1:]:
+                key = key * np.uint64(1099511628211) ^ batch[k].to_numpy(
+                    zero_copy_only=False).astype(np.uint64)
+            part = ((key * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
+                    ).astype(np.int64) % num_partitions
+            cols = {"_part": pa.array(part, pa.int64()),
+                    "_side": pa.array(np.full(n, side, dtype=np.int8), pa.int8())}
+            for c in all_cols:
+                cols[c] = batch[c] if c in present else pa.nulls(n, type=types[c])
+            return pa.table(cols)
+
+        return fn
+
+    tagged = left.map_batches(tag(0, lcols), batch_format="pyarrow").union(
+        right.map_batches(tag(1, rcols), batch_format="pyarrow"))
+
+    out_cols = on + l_extra + (r_extra if how == "inner" else [])
+    out_schema = pa.schema([(c, types[c]) for c in out_cols])
+
+    def merge(df: "pd.DataFrame") -> pa.Table:
+        l = df[df["_side"] == 0][on + l_extra]
+        r = df[df["_side"] == 1][on + r_extra]
+        if how == "inner":
+            out = l.merge(r, on=on, how="inner")
+        elif how == "left_anti":
+            out = l.merge(r[on].drop_duplicates(), on=on, how="left", indicator=True)
+            out = out[out["_merge"] == "left_only"][on + l_extra]
+        else:
+            raise ValueError(how)
+        # Arrow out with a pinned schema: keeps dtypes stable across empty
+        # groups and avoids Ray's pandas-block Project fusion path
+        return pa.Table.from_pandas(out[out_cols], schema=out_schema,
+                                    preserve_index=False)
+
+    return tagged.groupby("_part").map_groups(merge, batch_format="pandas")
+
+
+def distinct(ds, col: str):
+    """Distinct values of one column as a Dataset (Dataset.unique returns a
+    Python list — not usable mid-pipeline)."""
+    from ray.data.aggregate import Count
+
+    return ds.groupby(col).aggregate(Count(alias_name="_c")).select_columns([col])
+
+
 def broadcast_join(left, right_table, on: str, *, select=None):
     """Small-side join: ship an Arrow table/dict once via ray.put, merge per batch
     with pandas — no shuffle. ``right_table`` is a pyarrow Table."""

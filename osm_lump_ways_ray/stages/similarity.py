@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (graft extension surface).
+
+- Brute-force cosine top-k: numpy matmul per batch against a broadcast query
+  matrix (``ray.put`` once, read per actor) — the baseline.
+- IVF-bucketed variant: rows assigned to the nearest of ``nlist`` centroids
+  (deterministic seeded pseudo-centroids from the data's own rows); queries probe
+  ``nprobe`` nearest lists → candidate set → exact cosine. The scale path: list
+  assignment is the partition key, so a 10^12-row index shards by list id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    mat = np.asarray(mat, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _stack_embeddings(batch: pa.Table, col: str) -> np.ndarray:
+    return np.array(batch[col].to_pylist(), dtype=np.float64)
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per batch, cosine of every row vs the broadcast query
+    matrix; emits (query_id, vec_id, sim_ppm) candidate rows — the global top-k
+    is a tiny downstream ``sort``/``groupby head``. Similarity is reported in
+    integer parts-per-million of cosine (exact cross-engine compare)."""
+
+    def __init__(self, queries_ref, id_col: str = "vec_id",
+                 emb_col: str = "embedding", k: int = 5):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.query_ids, qmat = q
+        self.qmat = _normalize(qmat)
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        mat = _normalize(_stack_embeddings(batch, self.emb_col))
+        sims = mat @ self.qmat.T  # (rows, queries)
+        out_q, out_v, out_s = [], [], []
+        # per-batch top-k per query (pre-aggregation: only k rows per query per
+        # batch travel to the final reduce)
+        k = min(self.k, sims.shape[0])
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, k - 1)[:k] if k < len(col) else np.arange(len(col))
+            for r in top:
+                out_q.append(int(self.query_ids[qi]))
+                out_v.append(int(ids[r]))
+                out_s.append(int(np.floor(col[r] * 1_000_000 + 0.5)))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "sim_ppm": pa.array(out_s, pa.int64()),
+        })
+
+
+def knn_bruteforce(embeddings_ds, queries: tuple, *, k: int = 5,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   exclude_query_ids: bool = True, concurrency=None):
+    """Top-k cosine neighbors for each query vector.
+
+    ``queries`` = (query_ids: int array, query_matrix). Returns
+    (query_id, rank, vec_id, sim_ppm) with deterministic tie-break (sim desc,
+    vec_id asc)."""
+    import ray
+
+    qref = ray.put(queries)
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        concurrency = (1, max(2, ncpu))
+    cands = embeddings_ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs=dict(queries_ref=qref, id_col=id_col,
+                                   emb_col=emb_col, k=k),
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+    if exclude_query_ids:
+        qset = set(int(q) for q in queries[0])
+
+        def drop_self(batch: pa.Table) -> pa.Table:
+            keep = np.array([int(v) not in qset
+                             for v in batch["vec_id"].to_pylist()], dtype=bool)
+            return batch.filter(pa.array(keep)) if len(keep) else batch
+
+        cands = cands.map_batches(drop_self, batch_format="pyarrow")
+
+    def topk_group(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas().sort_values(
+            ["sim_ppm", "vec_id"], ascending=[False, True]).head(k)
+        df["rank"] = np.arange(1, len(df) + 1)
+        return pa.Table.from_pandas(df[["query_id", "rank", "vec_id", "sim_ppm"]],
+                                    preserve_index=False)
+
+    return cands.groupby("query_id").map_groups(topk_group, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------- IVF path
+
+def ivf_assign(embeddings_ds, centroids_ref, *, id_col: str = "vec_id",
+               emb_col: str = "embedding", concurrency=None):
+    """Assign each row to its nearest centroid (list id) — the shard key."""
+    import ray
+
+    class Assign:
+        def __init__(self):
+            self.cent = _normalize(ray.get(centroids_ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _normalize(_stack_embeddings(batch, emb_col))
+            lists = np.argmax(mat @ self.cent.T, axis=1).astype(np.int64)
+            return batch.append_column("ivf_list", pa.array(lists, pa.int64()))
+
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        concurrency = (1, max(2, ncpu))
+    return embeddings_ds.map_batches(Assign, batch_format="pyarrow",
+                                     concurrency=concurrency)
+
+
+def pseudo_centroids(embeddings_ds, nlist: int, *, emb_col: str = "embedding",
+                     id_col: str = "vec_id"):
+    """Deterministic centroids: rows whose id ≡ 0 (mod ceil(n/nlist)) — a seeded
+    sample standing in for k-means (no sklearn in this environment; the IVF
+    mechanics — shard, probe, verify — are what matters at scale)."""
+    n = embeddings_ds.count()
+    step = max(1, n // nlist)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = (ids % step == 0) & (ids // step < nlist)
+        return batch.filter(pa.array(keep))
+
+    rows = embeddings_ds.map_batches(pick, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    return np.array([r[emb_col] for r in rows], dtype=np.float64)
+
+
+def knn_ivf(embeddings_ds, queries: tuple, *, k: int = 5, nlist: int = 8,
+            nprobe: int = 3, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """IVF-bucketed ANN: probe the nprobe nearest lists per query, exact cosine
+    within candidates. Returns same schema as knn_bruteforce."""
+    import ray
+
+    cent = pseudo_centroids(embeddings_ds, nlist, emb_col=emb_col, id_col=id_col)
+    cref = ray.put(cent)
+    assigned = ivf_assign(embeddings_ds, cref, id_col=id_col, emb_col=emb_col)
+    qids, qmat = queries
+    qn = _normalize(qmat)
+    probe_lists = np.argsort(-(qn @ _normalize(cent).T), axis=1)[:, :nprobe]
+    wanted = sorted({int(l) for row in probe_lists for l in row})
+
+    def keep_lists(batch: pa.Table) -> pa.Table:
+        lists = batch["ivf_list"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(lists, wanted)))
+
+    shard = assigned.map_batches(keep_lists, batch_format="pyarrow")
+    return knn_bruteforce(shard, queries, k=k, id_col=id_col, emb_col=emb_col)

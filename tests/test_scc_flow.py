@@ -1,0 +1,128 @@
+"""SCC (G10), ends (G15), upstream flow (G13) tests vs networkx / hand-computed
+oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from osm_lump_ways_ray.stages.scc import (
+    _flow_group,
+    directed_ends,
+    strongly_connected_components,
+    upstream_flow,
+)
+
+
+@pytest.fixture(scope="module")
+def mk(ray_session):
+    import ray.data
+
+    return ray.data.from_arrow
+
+
+def edges_table(pairs):
+    return pa.table({
+        "src": pa.array([p[0] for p in pairs], pa.int64()),
+        "dst": pa.array([p[1] for p in pairs], pa.int64()),
+    })
+
+
+def test_directed_ends(mk):
+    # 1→2→3, 4→3; ends = {3}
+    ds = mk(edges_table([(1, 2), (2, 3), (4, 3)]))
+    assert [r["node"] for r in directed_ends(ds).take_all()] == [3]
+
+
+def _nx_scc(pairs, drop_singletons=True):
+    import networkx as nx
+
+    g = nx.DiGraph()
+    g.add_edges_from(pairs)
+    out = {}
+    for comp in nx.strongly_connected_components(g):
+        if drop_singletons and len(comp) == 1:
+            continue
+        root = min(comp)
+        for n in comp:
+            out[n] = root
+    return out
+
+
+@pytest.mark.parametrize("pairs", [
+    # two 3-cycles + a tail
+    [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (3, 10)],
+    # cycle with entering and leaving chains
+    [(1, 2), (2, 3), (3, 4), (4, 2), (4, 5)],
+    # nested/meshed SCC
+    [(1, 2), (2, 3), (3, 1), (2, 4), (4, 5), (5, 2), (5, 6)],
+], ids=["two-cycles", "chain-cycle-chain", "meshed"])
+def test_scc_vs_networkx(mk, pairs):
+    got = {r["node"]: r["scc_id"]
+           for r in strongly_connected_components(mk(edges_table(pairs))).take_all()}
+    assert got == _nx_scc(pairs)
+
+
+def test_scc_no_cycles_empty(mk):
+    got = strongly_connected_components(mk(edges_table([(1, 2), (2, 3)]))).take_all()
+    assert got == []
+
+
+def flow_df(rows):
+    return pd.DataFrame(rows, columns=["src", "dst", "length_m", "tagid"])
+
+
+def test_flow_single_chain():
+    # 1→2→3, lengths 10,20: edge(1,2).up=0, node2 gets 10; edge(2,3).up=10
+    df = flow_df([(1, 2, 10.0, -1), (2, 3, 20.0, -1)])
+    out = _flow_group(df, split_equally=True).set_index(["src", "dst"])
+    assert out.loc[(1, 2), "upstream_m"] == 0.0
+    assert out.loc[(2, 3), "upstream_m"] == 10.0
+
+
+def test_flow_split_equally_bifurcation():
+    # 1→2 (len 10), then 2→3 and 2→4: inflow at 2 = 0+10; each out gets 5
+    df = flow_df([(1, 2, 10.0, -1), (2, 3, 1.0, -1), (2, 4, 1.0, -1)])
+    out = _flow_group(df, split_equally=True).set_index(["src", "dst"])
+    assert out.loc[(2, 3), "upstream_m"] == 5.0
+    assert out.loc[(2, 4), "upstream_m"] == 5.0
+
+
+def test_flow_follows_tag_with_orphan_group():
+    # node 2 has in-edges: tag 1 (inflow 0+10) and tag 9 (inflow 0+6, no same-tag
+    # out). outs: two tag-1 edges → tag-1 share = 10/2 = 5 each; orphan tag-9
+    # inflow splits equally over ALL outs (+6/2=3) → each out = 8
+    df = flow_df([(1, 2, 10.0, 1), (7, 2, 6.0, 9), (2, 3, 1.0, 1), (2, 4, 1.0, 1)])
+    out = _flow_group(df, split_equally=False).set_index(["src", "dst"])
+    assert out.loc[(2, 3), "upstream_m"] == 8.0
+    assert out.loc[(2, 4), "upstream_m"] == 8.0
+
+
+def test_flow_multi_out_does_not_add_own_length():
+    # reference quirk: multi-out pushes outflow WITHOUT the out-edge's length;
+    # downstream in-edge accounting re-adds it via to_upstream_m
+    df = flow_df([(1, 2, 10.0, -1), (2, 3, 7.0, -1), (2, 4, 7.0, -1),
+                  (3, 5, 1.0, -1)])
+    out = _flow_group(df, split_equally=True).set_index(["src", "dst"])
+    # edge(2,3).up = 5; node3 receives 5 (not 12); edge(3,5).up = 5... single-out
+    # path: node3 curr=5 → edge(3,5).up = 5, push 5+1
+    assert out.loc[(2, 3), "upstream_m"] == 5.0
+    assert out.loc[(3, 5), "upstream_m"] == 5.0
+
+
+def test_flow_cycle_raises():
+    df = flow_df([(1, 2, 1.0, -1), (2, 1, 1.0, -1)])
+    with pytest.raises(ValueError, match="cycle"):
+        _flow_group(df, split_equally=True)
+
+
+def test_upstream_flow_distributed(mk):
+    # two independent components, run through the full distributed path
+    t = pa.table({
+        "src": pa.array([1, 2, 10, 11], pa.int64()),
+        "dst": pa.array([2, 3, 11, 12], pa.int64()),
+        "length_m": pa.array([10.0, 20.0, 5.0, 5.0], pa.float64()),
+    })
+    out = {(r["src"], r["dst"]): r["upstream_m"]
+           for r in upstream_flow(mk(t)).take_all()}
+    assert out == {(1, 2): 0.0, (2, 3): 10.0, (10, 11): 0.0, (11, 12): 5.0}

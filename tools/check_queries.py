@@ -1,0 +1,107 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+and its oracle_sql() twin at a given sf_dir, compare row count, column names and
+order-insensitive values. Usage:
+
+    PYTHONPATH=. python tools/check_queries.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def to_pandas(result):
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()  # ray Dataset
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            got = canon(to_pandas(fn(sf_dir)))
+        except Exception as e:  # noqa: BLE001
+            print(f"✗ {name}: RAY ERROR {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        wall = time.monotonic() - t0
+        if name not in oracles:
+            print(f"· {name}: rows-only ({len(got)} rows, {wall:.1f}s)")
+            continue
+        try:
+            exp = canon(con.execute(oracles[name]).fetchdf())
+        except Exception as e:  # noqa: BLE001
+            print(f"✗ {name}: SQL ERROR {e}")
+            failures.append(name)
+            continue
+        if list(got.columns) != list(exp.columns):
+            print(f"✗ {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+            failures.append(name)
+            continue
+        if len(got) != len(exp):
+            print(f"✗ {name}: rows {len(got)} vs {len(exp)}")
+            failures.append(name)
+            continue
+        # numeric tolerance none: exact compare after canon stringification of
+        # objects; floats compared exactly (queries are integer-exact by design)
+        eq = got.equals(exp)
+        if not eq:
+            diff = (got != exp).any(axis=1)
+            print(f"✗ {name}: {int(diff.sum())}/{len(got)} rows differ; first:")
+            print(pd.concat([got[diff].head(3).add_suffix("_ray"),
+                             exp[diff].head(3).add_suffix("_sql")], axis=1))
+            failures.append(name)
+        else:
+            print(f"✓ {name} ({len(got)} rows, {wall:.1f}s)")
+    print(f"\n{len(failures)} failures: {failures}")
+    ray.shutdown()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
