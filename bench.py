@@ -1,0 +1,124 @@
+"""Benchmark harness — headline lump pipeline + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": "lump_pages_per_sec", "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "rows_per_sec": ...}
+
+- plain run:      timings over $GRAFT_SF_DIR (default /root/testdata/sf0.1) with
+  ray.init(num_cpus=$RAY_GRAFT_CPUS or 32).
+- ``--scaling``:  runs the headline pipeline twice in FRESH processes at
+  num_cpus=8 and num_cpus=32 on the same input and reports both throughputs and
+  the scaling efficiency (the sandbox substitute for two cluster sizes —
+  BASELINE.md).
+
+The headline kernel is the north-rule metric: pages → extract/verify → geocode
+→ link → contract → grouped connected components → lengths → tile join, over a
+deterministically synthesized pages table (seed 42) sized by sf.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_PAGES = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 200_000}
+
+
+def _pages_count(sf_dir: str) -> int:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return SF_PAGES.get(name, 60_000)
+
+
+def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from osm_lump_ways_ray.pipelines.lump import lump
+    from osm_lump_ways_ray.sources.pages import synth_pages_dataset
+
+    n_pages = _pages_count(sf_dir)
+    # warm: synthesize once untimed so the timed run measures pipeline compute,
+    # not cold worker start
+    synth_pages_dataset(min(2000, n_pages), seed=42).count()
+
+    t0 = time.monotonic()
+    res = lump(synth_pages_dataset(n_pages, seed=42), num_partitions=num_cpus * 2,
+               verify_extract=True)
+    headline = time.monotonic() - t0
+    out = {
+        "metric": "lump_wall_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "pages": n_pages,
+        "rows_per_sec": round(n_pages / headline, 1),
+        "phase_metrics": res["metrics"],
+    }
+
+    if queries:
+        from osm_lump_ways_ray.pipelines.queries import QUERIES
+
+        qtimes = {}
+        for name, fn in QUERIES.items():
+            tq = time.monotonic()
+            try:
+                r = fn(sf_dir)
+                # consume: force full execution without driver materialization
+                if hasattr(r, "count"):
+                    r.count()
+                qtimes[name] = round(time.monotonic() - tq, 3)
+            except Exception as e:  # noqa: BLE001
+                qtimes[name] = f"ERROR {type(e).__name__}"
+        out["queries"] = qtimes
+    return out
+
+
+def main() -> int:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        # fresh process per parallelism level; headline only (queries skipped)
+        results = {}
+        for level in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(level),
+                       GRAFT_BENCH_HEADLINE_ONLY="1")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, check=True).stdout
+            results[level] = json.loads(out.strip().splitlines()[-1])
+        t8 = results[8]["value"]
+        t32 = results[32]["value"]
+        eff = (t8 / t32) / (32 / 8)
+        print(json.dumps({
+            "metric": "lump_scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "sec_8": t8, "sec_32": t32,
+            "rows_per_sec_8": results[8]["rows_per_sec"],
+            "rows_per_sec_32": results[32]["rows_per_sec"],
+            "sf": results[32]["sf"],
+        }))
+        return 0
+
+    headline_only = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") == "1"
+    out = run_bench(sf_dir, ncpu, queries=not headline_only)
+    import ray
+
+    ray.shutdown()
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

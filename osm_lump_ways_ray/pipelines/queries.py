@@ -50,6 +50,8 @@ def _derived_latlon(node_col_np: np.ndarray):
     return lat, lon
 
 
+NODES_SQL = D.NODES_SQL
+
 NODE_LATLON_SQL = {
     "lat": lambda col: f"((({col})-1) * {D.LAT_MULT}) % {D.LAT_MOD} - {D.LAT_OFF}",
     "lon": lambda col: f"((({col})-1) * {D.LON_MULT}) % {D.LON_MOD} - {D.LON_OFF}",
@@ -99,7 +101,11 @@ def q_lump_lengths(sf_dir: str):
     lab = labels.select_columns(["node", "component_id"]).rename_columns(
         ["u", "component_id"])
     e = hash_join(e, lab, ("u",), how="inner", num_partitions=8)
-    return e.groupby("component_id").aggregate(Sum("len_dm", alias_name="length_dm"))
+    agg = e.groupby("component_id").aggregate(Sum("len_dm", alias_name="length_dm"))
+    return agg.map_batches(  # Ray Sum may widen to float; oracle is BIGINT
+        lambda b: pa.table({"component_id": b["component_id"],
+                            "length_dm": b["length_dm"].cast(pa.int64())}),
+        batch_format="pyarrow")
 
 
 SQL_LUMP_LENGTHS = (
@@ -466,7 +472,7 @@ SQL_LATEST_TS = ("SELECT (SELECT MAX(l_shipdate) FROM lineitem) AS latest_shipda
 def q_top_k_orders(sf_dir: str):
     """K1/K2: global sort desc + limit with deterministic tie-break."""
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
-    top = orders.sort([("o_totalprice", "descending"), ("o_orderkey", "ascending")]).limit(10)
+    top = orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
     return top
 
 
@@ -501,7 +507,7 @@ def q_cumfrac(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     total = orders.sum("o_totalprice")
     target = 0.9 * total
-    s = orders.sort([("o_totalprice", "descending"), ("o_orderkey", "ascending")])
+    s = orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
     cum = 0.0
     n = 0
     boundary = None

@@ -7,8 +7,8 @@ float hashing). ``documents(doc_id, text, lang, source, n_chars)`` plays the
 role of the OSM node/way streams:
 
 - **nodes**:  ``node_id = doc_id + 1`` (> 0, reference id assertion),
-  ``lat = (doc_id*7919) % 1700000001 - 850000000``,
-  ``lon = (doc_id*104729) % 3500000001 - 1750000000``  (i32 fixed-point ×1e7,
+  ``lat = (doc_id*LAT_MULT) % 1700000001 - 850000000``,
+  ``lon = (doc_id*LON_MULT) % 3500000001 - 1750000000``  (i32 fixed-point ×1e7,
   away from poles/antimeridian so cell/PIP arithmetic has no wrap cases).
 - **undirected edges** (the lump graph): doc d links to d-1 when ``d % 8 != 0``
   AND ``lang(d) == lang(d-1)`` (the shared-tag-value rule, M4 semantics); plus a
@@ -28,8 +28,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-LAT_MULT, LAT_MOD, LAT_OFF = 7919, 1_700_000_001, 850_000_000
-LON_MULT, LON_MOD, LON_OFF = 104_729, 3_500_000_001, 1_750_000_000
+LAT_MULT, LAT_MOD, LAT_OFF = 7_919_777, 1_700_000_001, 850_000_000
+LON_MULT, LON_MOD, LON_OFF = 104_729_333, 3_500_000_001, 1_750_000_000
 
 
 def nodes_batch(batch: pa.Table) -> pa.Table:

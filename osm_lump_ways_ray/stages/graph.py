@@ -39,7 +39,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..state.checkpoint import CheckpointManager
-from .relational import hash_join
+from .relational import cogroup_join, hash_join
 
 # --------------------------------------------------------------------- A1 degree
 
@@ -376,7 +376,8 @@ def connected_components(
         # equivalence edges: for each (g, node, local_label) where local_label
         # differs from the vertex's min — connect them in the label graph
         llocal = local.rename_columns(["g", "node", "llabel"])
-        joined = hash_join(llocal, node_min, ("g", "node"), how="inner", num_partitions=num_partitions)
+        joined = cogroup_join(llocal, node_min, ("g", "node"), how="inner",
+                              num_partitions=num_partitions)
         eq_edges = joined.map_batches(
             lambda b: pa.table(
                 {"g": b["g"], "a": b["label"], "b": b["llabel"]}
@@ -416,7 +417,8 @@ def connected_components(
         max_levels=max_levels, _level=_level + 1,
     )  # (g, node=label, component_id=root)
     sub = sub.rename_columns(["g", "label", "root"])
-    joined = hash_join(node_min, sub, ("g", "label"), how="left_outer", num_partitions=num_partitions)
+    joined = cogroup_join(node_min, sub, ("g", "label"), how="left_outer",
+                          num_partitions=num_partitions)
     return joined.map_batches(
         lambda b: pa.table({
             "g": b["g"],

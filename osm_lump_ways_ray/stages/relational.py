@@ -45,7 +45,19 @@ def cogroup_join(left, right, on, how: str = "inner", num_partitions: int = 16):
     import pyarrow as pa
 
     on = list(on) if not isinstance(on, str) else [on]
-    lschema, rschema = left.schema(), right.schema()
+
+    def _schema_of(ds):
+        # schema(fetch_if_missing=True) runs a limit-1 mini-execution that can
+        # WEDGE on plans with unions/empty blocks (observed, Ray 2.49); prefer
+        # metadata, fall back to a full materialize (which completes reliably)
+        sch = ds.schema(fetch_if_missing=False)
+        if sch is None:
+            ds = ds.materialize()
+            sch = ds.schema()
+        return ds, sch
+
+    left, lschema = _schema_of(left)
+    right, rschema = _schema_of(right)
     lcols, rcols = lschema.names, rschema.names
     types = dict(zip(lcols, lschema.types))
     types.update(dict(zip(rcols, rschema.types)))
@@ -73,10 +85,11 @@ def cogroup_join(left, right, on, how: str = "inner", num_partitions: int = 16):
 
         return fn
 
-    tagged = left.map_batches(tag(0, lcols), batch_format="pyarrow").union(
+    tagged = concat_blocks(
+        left.map_batches(tag(0, lcols), batch_format="pyarrow"),
         right.map_batches(tag(1, rcols), batch_format="pyarrow"))
 
-    out_cols = on + l_extra + (r_extra if how == "inner" else [])
+    out_cols = on + l_extra + (r_extra if how in ("inner", "left_outer") else [])
     out_schema = pa.schema([(c, types[c]) for c in out_cols])
 
     def merge(df: "pd.DataFrame") -> pa.Table:
@@ -84,17 +97,69 @@ def cogroup_join(left, right, on, how: str = "inner", num_partitions: int = 16):
         r = df[df["_side"] == 1][on + r_extra]
         if how == "inner":
             out = l.merge(r, on=on, how="inner")
+        elif how == "left_outer":
+            out = l.merge(r, on=on, how="left")
         elif how == "left_anti":
             out = l.merge(r[on].drop_duplicates(), on=on, how="left", indicator=True)
             out = out[out["_merge"] == "left_only"][on + l_extra]
         else:
             raise ValueError(how)
         # Arrow out with a pinned schema: keeps dtypes stable across empty
-        # groups and avoids Ray's pandas-block Project fusion path
-        return pa.Table.from_pandas(out[out_cols], schema=out_schema,
-                                    preserve_index=False)
+        # groups and avoids Ray's pandas-block Project fusion path.
+        # left_outer introduces NaN into integer columns → nullable Int64 first
+        out = out[out_cols].copy()
+        for c in out_cols:
+            if pa.types.is_integer(types[c]) and out[c].dtype.kind == "f":
+                out[c] = out[c].astype("Int64")
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
     return tagged.groupby("_part").map_groups(merge, batch_format="pandas")
+
+
+def _nonempty_refs(mat) -> list:
+    """Block refs of a materialized dataset, dropping EMPTY blocks.
+
+    Empty blocks out of map_groups/aggregate stages carry a columnless schema
+    (Ray logs "new schema: ."); a later Aggregate over a source containing such
+    blocks wedges the 2.49 streaming executor. Blocks are shared-memory Arrow —
+    the ray.get here maps them zero-copy to read num_rows."""
+    import ray
+
+    refs = mat.to_arrow_refs()
+    keep = [r for r in refs if ray.get(r).num_rows > 0]
+    return keep if keep else refs[:1]
+
+
+def concat_blocks(*dss):
+    """Union datasets WITHOUT the Union operator: execute each input and stitch
+    their object-store block refs into one plain block-source Dataset.
+
+    Ray 2.49's streaming executor has been observed to wedge (forever blocked
+    in ``get_output_blocking``) on plans where a Union feeds an all-to-all
+    (groupby/aggregate) — exactly the shape of iterative graph rounds. Block
+    concatenation sidesteps the operator entirely; blocks stay zero-copy in the
+    object store."""
+    import ray.data
+
+    refs = []
+    for ds in dss:
+        refs.extend(_nonempty_refs(ds.materialize()))
+    return ray.data.from_arrow_refs(refs)
+
+
+def snapshot(ds):
+    """Execute ``ds`` and rebuild it from raw object-store block refs.
+
+    ``materialize()`` keeps the logical plan attached; in Ray 2.49 long chains
+    of reused materialized datasets (iterative graph algorithms) wedge the
+    streaming executor on later executions (observed: schema()/materialize()
+    blocking forever in ``get_output_blocking``). ``from_arrow_refs`` severs the
+    plan entirely — downstream executions see a plain block source. Zero-copy:
+    the blocks stay in the object store. Empty blocks are dropped (see
+    ``_nonempty_refs``)."""
+    import ray.data
+
+    return ray.data.from_arrow_refs(_nonempty_refs(ds.materialize()))
 
 
 def distinct(ds, col: str):

@@ -34,7 +34,7 @@ import numpy as np
 import pyarrow as pa
 
 from .graph import connected_components
-from .relational import cogroup_join, distinct, hash_join
+from .relational import cogroup_join, concat_blocks, distinct, hash_join, snapshot
 
 
 # ---------------------------------------------------------------------- G15 ends
@@ -138,20 +138,145 @@ def _propagate_min(edges_ds, labels_ds, src: str, dst: str,
             "label": pa.array(np.zeros(len(s), dtype=np.int64), pa.int64()),
         })
 
-    edges_tagged = edges_ds.map_batches(tag_edges, batch_format="pyarrow").materialize()
+    edges_tagged = snapshot(edges_ds.map_batches(tag_edges, batch_format="pyarrow"))
     prev_sum = None
     labels = labels_ds
     for _ in range(max_rounds):
-        tagged = labels.map_batches(tag_labels, batch_format="pyarrow").union(edges_tagged)
+        tagged = concat_blocks(
+            labels.map_batches(tag_labels, batch_format="pyarrow"), edges_tagged)
         cand = tagged.groupby("bucket").map_groups(_propagate_round_local,
                                                    batch_format="pandas")
         labels = cand.groupby("node").aggregate(Min("label", alias_name="label"))
-        labels = labels.materialize()
+        labels = snapshot(labels)
         s = labels.sum("label")
         if prev_sum is not None and s == prev_sum:
             break
         prev_sum = s
     return labels
+
+
+def _trim_dir_group(df, trim_out: bool):
+    """map_groups body: one bucket's edges → surviving edges + killed-node rows.
+
+    Bucketed by the OWNED endpoint (src for out-trim, dst for in-trim), so a
+    node's entire out-degree (resp. in-degree) is locally known and degree-0
+    nodes cascade-kill within the bucket — a chain living in one id-range
+    bucket dies in a single round (classic SCC trimming, made bucket-local).
+    Output rows: kind 0 = surviving edge (src, dst); kind 1 = killed node."""
+    import pandas as pd
+    from collections import defaultdict
+
+    src_a = df["src"].to_numpy()
+    dst_a = df["dst"].to_numpy()
+    own = src_a if trim_out else dst_a
+    other = dst_a if trim_out else src_a
+    bucket = int(own[0]) >> _BUCKET_SHIFT
+
+    deg = defaultdict(int)       # owned-endpoint degree (out for out-trim)
+    rev = defaultdict(list)      # other-endpoint (local) -> edge idxs
+    alive = np.ones(len(src_a), dtype=bool)
+    local_nodes = set()
+    for i in range(len(src_a)):
+        deg[int(own[i])] += 1
+        local_nodes.add(int(own[i]))
+        o = int(other[i])
+        if o >> _BUCKET_SHIFT == bucket:
+            rev[o].append(i)
+
+    # seed: local nodes appearing ONLY as the other endpoint have local degree 0
+    killed = []
+    work = [n for n in (set(rev.keys()) - local_nodes)]
+    seen_killed = set(work)
+    while work:
+        n = work.pop()
+        killed.append(n)
+        for i in rev.get(n, ()):
+            if not alive[i]:
+                continue
+            alive[i] = False
+            m = int(own[i])
+            deg[m] -= 1
+            if deg[m] == 0 and m not in seen_killed:
+                seen_killed.add(m)
+                work.append(m)
+
+    surv = np.where(alive)[0]
+    k = len(killed)
+    return pa.table({
+        "kind": pa.array(np.concatenate([np.zeros(len(surv), dtype=np.int8),
+                                         np.ones(k, dtype=np.int8)])),
+        "src": pa.array(np.concatenate([src_a[surv].astype(np.int64),
+                                        np.asarray(killed, dtype=np.int64)])),
+        "dst": pa.array(np.concatenate([dst_a[surv].astype(np.int64),
+                                        np.zeros(k, dtype=np.int64)])),
+    })
+
+
+def _trim_acyclic(edges, src: str, dst: str, num_partitions: int,
+                  max_rounds: int = 10):
+    """Iteratively remove provably-acyclic nodes before FW-BW peeling. Without
+    this, every chain prefix costs one full peel round (fwd-min ≠ bwd-min along
+    chains). Per round and direction: (1) bucket-local degree-0 cascade (kills
+    whole id-local chains at once), (2) a global anti-join layer for
+    cross-bucket dangling nodes (distinct dsts never appearing as src, and
+    vice versa)."""
+
+    for _ in range(max_rounds):
+        n_before = edges.count()
+        if n_before == 0:
+            return edges
+        for trim_out in (True, False):
+            own = src if trim_out else dst
+            anti_col = dst if trim_out else src
+
+            def bucketize(batch: pa.Table, _own=own) -> pa.Table:
+                o = batch[_own].to_numpy(zero_copy_only=False)
+                return pa.table({
+                    "bucket": pa.array(o >> _BUCKET_SHIFT, pa.int64()),
+                    "src": batch[src], "dst": batch[dst],
+                })
+
+            out = edges.map_batches(bucketize, batch_format="pyarrow") \
+                       .groupby("bucket").map_groups(
+                           lambda df, _t=trim_out: _trim_dir_group(df, _t),
+                           batch_format="pandas")
+            out = snapshot(out)
+            killed = out.map_batches(
+                lambda b, _a=anti_col: pa.table({_a: b.filter(
+                    pa.compute.equal(b["kind"], pa.scalar(1, pa.int8())))["src"]}),
+                batch_format="pyarrow")
+            killed = snapshot(killed)
+            surv = out.map_batches(
+                lambda b: (lambda f: pa.table({"src": f["src"], "dst": f["dst"]}))(
+                    b.filter(pa.compute.equal(b["kind"], pa.scalar(0, pa.int8())))),
+                batch_format="pyarrow")
+            if killed.count():
+                edges = cogroup_join(surv, killed, (anti_col,), how="left_anti",
+                                     num_partitions=num_partitions)
+                edges = snapshot(edges)
+            else:
+                edges = snapshot(surv)
+            if edges.count() == 0:
+                return edges
+            # global layer: nodes appearing only on the dead side
+            dead = cogroup_join(
+                distinct(edges.map_batches(
+                    lambda b, _a=anti_col: pa.table({"node": b[_a]}),
+                    batch_format="pyarrow"), "node"),
+                distinct(edges.map_batches(
+                    lambda b, _o=own: pa.table({"node": b[_o]}),
+                    batch_format="pyarrow"), "node"),
+                ("node",), how="left_anti", num_partitions=num_partitions)
+            dead = dead.map_batches(
+                lambda b, _a=anti_col: pa.table({_a: b["node"]}),
+                batch_format="pyarrow")
+            dead = snapshot(dead)
+            if dead.count():
+                edges = snapshot(cogroup_join(edges, dead, (anti_col,), how="left_anti",
+                                              num_partitions=num_partitions))
+        if edges.count() == n_before:
+            break
+    return edges
 
 
 def strongly_connected_components(edges_ds, src: str = "src", dst: str = "dst",
@@ -160,21 +285,28 @@ def strongly_connected_components(edges_ds, src: str = "src", dst: str = "dst",
                                   drop_singletons: bool = True):
     """Distributed SCC → Dataset (node, scc_id); scc_id = min node of the cycle
     (the reference's root_nid = min nid convention, -down/main.rs:544-663).
-    Singleton components dropped by default (kosaraju.rs:87 parity)."""
+    Singleton components dropped by default (kosaraju.rs:87 parity).
+
+    Pipeline: acyclic trimming (kills chains/trees — the vast majority of a
+    waterway graph) → FW-BW min-label peeling on the cyclic core."""
     import ray.data
 
     assigned = None  # union of per-round hits (stays distributed)
-    edges = edges_ds.select_columns([src, dst]).materialize()
+    edges = snapshot(edges_ds.select_columns([src, dst]))
+    edges = _trim_acyclic(edges, src, dst, num_partitions)
 
     for _ in range(max_peel_rounds):
         if edges.count() == 0:
             break
-        verts = distinct(
-            edges.select_columns([src]).rename_columns(["node"]).union(
-                edges.select_columns([dst]).rename_columns(["node"])), "node")
+        verts = distinct(concat_blocks(
+            edges.map_batches(lambda b: pa.table({"node": b[src]}),
+                              batch_format="pyarrow"),
+            edges.map_batches(lambda b: pa.table({"node": b[dst]}),
+                              batch_format="pyarrow")), "node")
         init = verts.map_batches(
             lambda b: pa.table({"node": b["node"], "label": b["node"]}),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow")
+        init = snapshot(init)
         fwd = _propagate_min(edges, init, src, dst, num_partitions)
         bwd = _propagate_min(edges, init, dst, src, num_partitions)
         both = cogroup_join(fwd.rename_columns(["node", "fwd"]),
@@ -183,11 +315,12 @@ def strongly_connected_components(edges_ds, src: str = "src", dst: str = "dst",
         hit = both.map_batches(
             lambda b: pa.table({"node": b["node"], "scc_id": b["fwd"]}).filter(
                 pa.compute.equal(b["fwd"], b["bwd"])),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow")
+        hit = snapshot(hit)
         n_hit = hit.count()
         if n_hit == 0:
             break
-        assigned = hit if assigned is None else assigned.union(hit)
+        assigned = hit if assigned is None else concat_blocks(assigned, hit)
         # peel: drop edges whose src or dst is assigned
         a_src = hit.map_batches(lambda b: pa.table({src: b["node"]}),
                                 batch_format="pyarrow")
@@ -197,7 +330,7 @@ def strongly_connected_components(edges_ds, src: str = "src", dst: str = "dst",
                              how="left_anti", num_partitions=num_partitions)
         edges = cogroup_join(edges, a_dst, (dst,),
                              how="left_anti", num_partitions=num_partitions)
-        edges = edges.materialize()
+        edges = snapshot(edges)
 
     if assigned is None:
         return ray.data.from_arrow(pa.table({

@@ -32,6 +32,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -87,8 +91,17 @@ def main():
             print(f"✗ {name}: rows {len(got)} vs {len(exp)}")
             failures.append(name)
             continue
-        # numeric tolerance none: exact compare after canon stringification of
-        # objects; floats compared exactly (queries are integer-exact by design)
+        # align mixed int/float dtypes (e.g. a Ray Sum yielding float64 vs a SQL
+        # BIGINT) before the exact compare
+        for c in got.columns:
+            if got[c].dtype != exp[c].dtype:
+                if pd.api.types.is_datetime64_any_dtype(got[c]) or \
+                        pd.api.types.is_datetime64_any_dtype(exp[c]):
+                    got[c] = pd.to_datetime(got[c]).astype("datetime64[us]")
+                    exp[c] = pd.to_datetime(exp[c]).astype("datetime64[us]")
+                else:
+                    got[c] = got[c].astype("float64")
+                    exp[c] = exp[c].astype("float64")
         eq = got.equals(exp)
         if not eq:
             diff = (got != exp).any(axis=1)
@@ -97,7 +110,7 @@ def main():
                              exp[diff].head(3).add_suffix("_sql")], axis=1))
             failures.append(name)
         else:
-            print(f"✓ {name} ({len(got)} rows, {wall:.1f}s)")
+            print(f"OK {name} ({len(got)} rows, {wall:.1f}s)")
     print(f"\n{len(failures)} failures: {failures}")
     ray.shutdown()
     return 1 if failures else 0
