@@ -189,12 +189,26 @@ def lump(pages_ds, *, cell_res: int = 7, num_partitions: int = 32,
     # per-edge-anchor → component: join segments to labels on (g, anchor=node)
     lab_for_join = labels.rename_columns(["g", "anchor", "component_id"])
     seg = hash_join(seg, lab_for_join, ("g", "anchor"), how="inner", num_partitions=num_partitions)
-    comp_len = seg.groupby(["g", "component_id"]).aggregate(
-        Sum("length_m", alias_name="length_m"))
-    comp_nodes = labels.groupby(["g", "component_id"]).aggregate(
-        Count(alias_name="num_nodes"))
-    components = hash_join(comp_len, comp_nodes, ("g", "component_id"),
-                           how="inner", num_partitions=max(2, num_partitions // 4))
+    # fuse length-sum and node-count into ONE groupby: labels contribute
+    # (n=1, length=0) rows, segments (n=0, length) rows — saves a join+shuffle
+    from ..stages.relational import concat_blocks
+
+    seg_rows = seg.map_batches(
+        lambda b: pa.table({
+            "g": b["g"], "component_id": b["component_id"],
+            "length_m": b["length_m"],
+            "n": pa.array(np.zeros(len(b), dtype=np.int64), pa.int64()),
+        }), batch_format="pyarrow")
+    node_rows = labels.map_batches(
+        lambda b: pa.table({
+            "g": b["g"], "component_id": b["component_id"],
+            "length_m": pa.array(np.zeros(len(b)), pa.float64()),
+            "n": pa.array(np.ones(len(b), dtype=np.int64), pa.int64()),
+        }), batch_format="pyarrow")
+    unified = concat_blocks(seg_rows, node_rows)
+    components = unified.groupby(["g", "component_id"]).aggregate(
+        Sum("length_m", alias_name="length_m"),
+        Sum("n", alias_name="num_nodes"))
     components = components.sort("length_m", descending=True).materialize()
     metrics["components"] = components.count()
     metrics["t_lengths_s"] = round(time.monotonic() - t3, 3)

@@ -215,30 +215,47 @@ def link_pages_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def assemble_ways_group(df):
-    """groupby(way_key).map_groups body (pandas): membership rows → one way row.
+def assemble_ways_partition(df):
+    """map_groups body over a HASH PARTITION of membership rows (not one group
+    per way — per-way map_groups costs one Python call per way, which at 10^12
+    scale is the difference between minutes and days). Sorts the partition by
+    (way_key, seq) and emits one way row per key via numpy run splitting.
 
     Output: (way_id, node_ids list<int64>, name, lang, ts) — OSM-way-shaped
-    (FIXTURES.md §3). way_id = way_key + 1 (> 0, reference id assertion).
-    """
+    (FIXTURES.md §3). way_id = way_key + 1 (> 0, reference id assertion)."""
     import pandas as pd
 
-    df = df.sort_values("seq")
-    c = int(df["way_key"].iloc[0])
-    name = f"g{(c // BREAK_EVERY) % 64}"
-    langs = [l for l in df["lang"] if l is not None and isinstance(l, str)]
-    return pd.DataFrame(
-        {
-            "way_id": [c + 1],
-            "node_ids": [df["node_id"].to_numpy(dtype=np.int64)],
-            "name": [name],
-            "lang": [langs[0] if langs else "en"],
-            "ts": [int(df["ts"].max())],
-        }
-    )
+    df = df.sort_values(["way_key", "seq"], kind="mergesort")
+    keys = df["way_key"].to_numpy()
+    nodes = df["node_id"].to_numpy()
+    ts = df["ts"].to_numpy()
+    langs = df["lang"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    ends = np.r_[starts[1:], len(keys)]
+    way_ids, node_lists, names, out_langs, out_ts = [], [], [], [], []
+    for s, e in zip(starts, ends):
+        c = int(keys[s])
+        way_ids.append(c + 1)
+        node_lists.append(nodes[s:e].astype(np.int64))
+        names.append(f"g{(c // BREAK_EVERY) % 64}")
+        lg = next((l for l in langs[s:e] if isinstance(l, str)), "en")
+        out_langs.append(lg)
+        out_ts.append(int(ts[s:e].max()))
+    return pd.DataFrame({"way_id": way_ids, "node_ids": node_lists,
+                         "name": names, "lang": out_langs, "ts": out_ts})
 
 
-def derive_ways(pages_geo_ds):
-    """pages (geocoded) → ways Dataset. One groupby shuffle keyed by way_key."""
+def derive_ways(pages_geo_ds, *, num_partitions: int = 32):
+    """pages (geocoded) → ways Dataset. One groupby shuffle keyed by a hash
+    partition of way_key (ways assembled vectorized per partition)."""
     member = pages_geo_ds.map_batches(link_pages_batch, batch_format="pyarrow")
-    return member.groupby("way_key").map_groups(assemble_ways_group, batch_format="pandas")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch["way_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
+                ).astype(np.int64) % num_partitions
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    return member.map_batches(add_part, batch_format="pyarrow") \
+                 .groupby("part").map_groups(assemble_ways_partition,
+                                             batch_format="pandas")

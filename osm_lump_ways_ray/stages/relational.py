@@ -92,9 +92,17 @@ def cogroup_join(left, right, on, how: str = "inner", num_partitions: int = 16):
     out_cols = on + l_extra + (r_extra if how in ("inner", "left_outer") else [])
     out_schema = pa.schema([(c, types[c]) for c in out_cols])
 
-    def merge(df: "pd.DataFrame") -> pa.Table:
-        l = df[df["_side"] == 0][on + l_extra]
-        r = df[df["_side"] == 1][on + r_extra]
+    def merge(t: pa.Table) -> pa.Table:
+        # CRITICAL: split sides in ARROW before any pandas conversion. The
+        # null-padded other-side columns would force int64 → float64(NaN) in
+        # pandas, silently corrupting 64-bit hash ids (> 2^53 loses bits).
+        import pyarrow.compute as _pc
+
+        side = t["_side"]
+        l = t.filter(_pc.equal(side, pa.scalar(0, pa.int8()))) \
+             .select(on + l_extra).to_pandas()
+        r = t.filter(_pc.equal(side, pa.scalar(1, pa.int8()))) \
+             .select(on + r_extra).to_pandas()
         if how == "inner":
             out = l.merge(r, on=on, how="inner")
         elif how == "left_outer":
@@ -113,7 +121,7 @@ def cogroup_join(left, right, on, how: str = "inner", num_partitions: int = 16):
                 out[c] = out[c].astype("Int64")
         return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
-    return tagged.groupby("_part").map_groups(merge, batch_format="pandas")
+    return tagged.groupby("_part").map_groups(merge, batch_format="pyarrow")
 
 
 def _nonempty_refs(mat) -> list:

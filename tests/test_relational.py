@@ -1,0 +1,70 @@
+"""cogroup_join / snapshot / distinct helpers — including the 64-bit-id
+precision regression (null-padded int64 → float64 corruption above 2^53)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from osm_lump_ways_ray.stages.relational import (
+    cogroup_join,
+    concat_blocks,
+    distinct,
+    snapshot,
+)
+
+
+@pytest.fixture(scope="module")
+def mk(ray_session):
+    import ray.data
+
+    return ray.data.from_arrow
+
+
+BIG = 9_100_000_000_000_000_003  # > 2^53: float64 round-trip would corrupt it
+
+
+def test_cogroup_inner_preserves_64bit_ids(mk):
+    left = mk(pa.table({"k": pa.array([BIG, BIG + 2], pa.int64()),
+                        "lval": pa.array([BIG + 7, BIG + 9], pa.int64())}))
+    right = mk(pa.table({"k": pa.array([BIG], pa.int64()),
+                         "rval": pa.array([BIG + 11], pa.int64())}))
+    out = cogroup_join(left, right, ("k",), how="inner", num_partitions=4).take_all()
+    assert out == [{"k": BIG, "lval": BIG + 7, "rval": BIG + 11}]
+
+
+def test_cogroup_left_anti(mk):
+    left = mk(pa.table({"k": pa.array([1, 2, 3], pa.int64())}))
+    right = mk(pa.table({"k": pa.array([2], pa.int64())}))
+    out = sorted(r["k"] for r in cogroup_join(left, right, ("k",),
+                                              how="left_anti", num_partitions=4).take_all())
+    assert out == [1, 3]
+
+
+def test_cogroup_left_outer_nulls(mk):
+    left = mk(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    right = mk(pa.table({"k": pa.array([1], pa.int64()),
+                         "v": pa.array([BIG + 5], pa.int64())}))
+    rows = {r["k"]: r["v"] for r in cogroup_join(left, right, ("k",),
+                                                 how="left_outer", num_partitions=4).take_all()}
+    assert rows == {1: BIG + 5, 2: None}
+
+
+def test_cogroup_multikey(mk):
+    left = mk(pa.table({"a": pa.array([1, 1], pa.int64()),
+                        "b": pa.array([10, 11], pa.int64()),
+                        "x": pa.array([100, 101], pa.int64())}))
+    right = mk(pa.table({"a": pa.array([1], pa.int64()),
+                         "b": pa.array([11], pa.int64()),
+                         "y": pa.array([7], pa.int64())}))
+    out = cogroup_join(left, right, ("a", "b"), how="inner", num_partitions=4).take_all()
+    assert out == [{"a": 1, "b": 11, "x": 101, "y": 7}]
+
+
+def test_distinct_and_snapshot_and_concat(mk):
+    ds = mk(pa.table({"x": pa.array([1, 1, 2, 3, 3], pa.int64())}))
+    vals = sorted(r["x"] for r in distinct(ds, "x").take_all())
+    assert vals == [1, 2, 3]
+    snap = snapshot(ds)
+    assert snap.count() == 5
+    both = concat_blocks(ds, ds)
+    assert both.count() == 10
