@@ -85,12 +85,15 @@ def segment_lengths(edges_g, nodes_ds, *, num_partitions: int = 32):
     This is the central topology⋈geometry join of the reference
     (src/way_group.rs:38-44), expressed as two hash joins on node id instead of
     point lookups into an in-process position store."""
+    from ..stages.relational import snapshot
+
     seg = edges_g.map_batches(_segment_pairs, batch_format="pyarrow")
     pos_a = nodes_ds.select_columns(["node_id", "lat", "lon"]).rename_columns(
         ["a", "lat_a", "lon_a"])
     pos_b = nodes_ds.select_columns(["node_id", "lat", "lon"]).rename_columns(
         ["b", "lat_b", "lon_b"])
-    seg = hash_join(seg, pos_a, ("a",), how="inner", num_partitions=num_partitions)
+    # one shuffle per stage (see lump() note on Ray 2.49 multi-shuffle DAGs)
+    seg = snapshot(hash_join(seg, pos_a, ("a",), how="inner", num_partitions=num_partitions))
     seg = hash_join(seg, pos_b, ("b",), how="inner", num_partitions=num_partitions)
 
     def add_len(batch: pa.Table) -> pa.Table:
@@ -117,7 +120,10 @@ def tile_stats(labels_ds, nodes_ds, *, num_partitions: int = 32):
 
     cells = nodes_ds.select_columns(["node_id", "cell"]).rename_columns(
         ["node", "cell"])
-    lab = hash_join(labels_ds, cells, ("node",), how="inner", num_partitions=num_partitions)
+    from ..stages.relational import snapshot
+
+    lab = snapshot(hash_join(labels_ds, cells, ("node",), how="inner",
+                             num_partitions=num_partitions))
 
     def partial(batch: pa.Table) -> pa.Table:
         key = np.stack([
@@ -185,30 +191,33 @@ def lump(pages_ds, *, cell_res: int = 7, num_partitions: int = 32,
     metrics["t_cc_s"] = round(time.monotonic() - t2, 3)
 
     t3 = time.monotonic()
-    seg = segment_lengths(edges_g, nodes_ds, num_partitions=num_partitions)
+    # staged execution (snapshot between shuffles): Ray 2.49's executor handles
+    # one shuffle at a time far better than a 5-shuffle mega-DAG — measured 2-3×
+    # on this pipeline — and each stage's blocks stay in the object store
+    from ..stages.relational import snapshot
+
+    seg = snapshot(segment_lengths(edges_g, nodes_ds, num_partitions=num_partitions))
     # per-edge-anchor → component: join segments to labels on (g, anchor=node)
     lab_for_join = labels.rename_columns(["g", "anchor", "component_id"])
-    seg = hash_join(seg, lab_for_join, ("g", "anchor"), how="inner", num_partitions=num_partitions)
-    # fuse length-sum and node-count into ONE groupby: labels contribute
-    # (n=1, length=0) rows, segments (n=0, length) rows — saves a join+shuffle
-    from ..stages.relational import concat_blocks
+    seg = snapshot(hash_join(seg, lab_for_join, ("g", "anchor"), how="inner",
+                             num_partitions=num_partitions))
 
-    seg_rows = seg.map_batches(
-        lambda b: pa.table({
-            "g": b["g"], "component_id": b["component_id"],
-            "length_m": b["length_m"],
-            "n": pa.array(np.zeros(len(b), dtype=np.int64), pa.int64()),
-        }), batch_format="pyarrow")
-    node_rows = labels.map_batches(
-        lambda b: pa.table({
-            "g": b["g"], "component_id": b["component_id"],
-            "length_m": pa.array(np.zeros(len(b)), pa.float64()),
-            "n": pa.array(np.ones(len(b), dtype=np.int64), pa.int64()),
-        }), batch_format="pyarrow")
-    unified = concat_blocks(seg_rows, node_rows)
-    components = unified.groupby(["g", "component_id"]).aggregate(
-        Sum("length_m", alias_name="length_m"),
-        Sum("n", alias_name="num_nodes"))
+    # pre-aggregate per batch (combiner) before the wide groupby: the shuffle
+    # then moves one row per (g, component) per batch instead of per segment
+    def partial_len(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.select(["g", "component_id", "length_m"]).to_pandas()
+        agg = df.groupby(["g", "component_id"], as_index=False)["length_m"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    comp_len = snapshot(seg.map_batches(partial_len, batch_format="pyarrow")
+                        .groupby(["g", "component_id"]).aggregate(
+                            Sum("length_m", alias_name="length_m")))
+    comp_nodes = snapshot(labels.groupby(["g", "component_id"]).aggregate(
+        Count(alias_name="num_nodes")))
+    components = hash_join(comp_len, comp_nodes, ("g", "component_id"),
+                           how="inner", num_partitions=max(2, num_partitions // 4))
     components = components.sort("length_m", descending=True).materialize()
     metrics["components"] = components.count()
     metrics["t_lengths_s"] = round(time.monotonic() - t3, 3)
