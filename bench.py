@@ -28,6 +28,9 @@ SF_PAGES = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 200_000}
 
 
 def _pages_count(sf_dir: str) -> int:
+    override = os.environ.get("GRAFT_PAGES_OVERRIDE")
+    if override:
+        return int(override)
     name = os.path.basename(os.path.normpath(sf_dir))
     return SF_PAGES.get(name, 60_000)
 
@@ -50,8 +53,12 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
     # not cold worker start
     synth_pages_dataset(min(2000, n_pages), seed=42).count()
 
+    # shuffle partition count scales with DATA (≈128 MB blocks target), not with
+    # CPUs: at these row sizes extra hash-join aggregator actors cost far more
+    # than they parallelize (measured 125s @64 parts vs 28s @16 parts, sf0.1)
+    num_partitions = max(8, min(16, n_pages // 12_500))
     t0 = time.monotonic()
-    res = lump(synth_pages_dataset(n_pages, seed=42), num_partitions=num_cpus * 2,
+    res = lump(synth_pages_dataset(n_pages, seed=42), num_partitions=num_partitions,
                verify_extract=True)
     headline = time.monotonic() - t0
     out = {
@@ -88,11 +95,16 @@ def main() -> int:
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if "--scaling" in sys.argv:
-        # fresh process per parallelism level; headline only (queries skipped)
+        # fresh process per parallelism level; headline only (queries skipped).
+        # The scaling run uses a LARGER pages table (default 10^6) so per-stage
+        # scheduling latency (constant in cluster size) amortizes — the sandbox
+        # stand-in for the two-cluster-size criterion.
         results = {}
+        n_scaling = os.environ.get("GRAFT_SCALING_PAGES", "1000000")
         for level in (8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(level),
-                       GRAFT_BENCH_HEADLINE_ONLY="1")
+                       GRAFT_BENCH_HEADLINE_ONLY="1",
+                       GRAFT_PAGES_OVERRIDE=n_scaling)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
                 capture_output=True, text=True, check=True).stdout

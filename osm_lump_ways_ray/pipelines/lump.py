@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 
 from ..functions.haversine import haversine_m_fp
 from ..sources.pages import derive_ways, extract_batch, geocode_batch
-from ..stages.relational import hash_join
+from ..stages.relational import cogroup_join as hash_join
 from ..stages.graph import (
     connected_components,
     contract_ways,

@@ -17,7 +17,8 @@ import pyarrow.compute as pc
 from ..functions.cells import cell_id_sql
 from ..functions.haversine import MEAN_EARTH_RADIUS_M, haversine_m_fp
 from ..sources import derived as D
-from ..stages.relational import broadcast_join, hash_join
+from ..stages.relational import broadcast_join
+from ..stages.relational import cogroup_join as hash_join
 
 
 def _read(sf_dir: str, table: str, columns=None):

@@ -232,17 +232,28 @@ def assemble_ways_partition(df):
     langs = df["lang"].to_numpy()
     starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
     ends = np.r_[starts[1:], len(keys)]
-    way_ids, node_lists, names, out_langs, out_ts = [], [], [], [], []
+    way_ids, names, out_langs, out_ts = [], [], [], []
     for s, e in zip(starts, ends):
         c = int(keys[s])
         way_ids.append(c + 1)
-        node_lists.append(nodes[s:e].astype(np.int64))
         names.append(f"g{(c // BREAK_EVERY) % 64}")
         lg = next((l for l in langs[s:e] if isinstance(l, str)), "en")
         out_langs.append(lg)
         out_ts.append(int(ts[s:e].max()))
-    return pd.DataFrame({"way_id": way_ids, "node_ids": node_lists,
-                         "name": names, "lang": out_langs, "ts": out_ts})
+    # Arrow list column built from offsets directly — the node values are
+    # already contiguous per way after the sort (no per-way Python lists)
+    offsets = np.empty(len(starts) + 1, dtype=np.int32)
+    offsets[:-1] = starts
+    offsets[-1] = len(keys)
+    node_ids = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                        pa.array(nodes.astype(np.int64), pa.int64()))
+    return pa.table({
+        "way_id": pa.array(way_ids, pa.int64()),
+        "node_ids": node_ids,
+        "name": pa.array(names, pa.string()),
+        "lang": pa.array(out_langs, pa.string()),
+        "ts": pa.array(out_ts, pa.int64()),
+    })
 
 
 def derive_ways(pages_geo_ds, *, num_partitions: int = 32):
