@@ -983,3 +983,302 @@ ORACLES = {
     # minhash_clusters, simhash, knn_ivf: rows-only (stateful hashing / ANN not
     # SQL-expressible) — driver records the weaker check by design.
 }
+
+
+# ═══════════════════════════════════ waterways family (G11/G14/G16/G18/G19)
+
+def _decade_chain_edges(sf_dir: str, with_tag: bool = False, with_len: bool = False):
+    """Directed decade CHAINS (no closing edges → DAG), optional tagid=doc%3 and
+    integer length doc%13+1 — shared derivation for the directed-op oracles."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ((nch % 7) != 0) & ((d % 10) != 9)
+        dk = d[keep]
+        cols = {"src": pa.array(dk + 1, pa.int64()),
+                "dst": pa.array(dk + 2, pa.int64())}
+        if with_tag:
+            cols["tagid"] = pa.array(dk % 3, pa.int64())
+        if with_len:
+            cols["length_m"] = pa.array((dk % 13 + 1).astype(np.float64), pa.float64())
+        return pa.table(cols)
+
+    return docs.map_batches(emit, batch_format="pyarrow")
+
+
+_CHAIN_RUNS_SQL = """
+WITH e AS (
+  SELECT doc_id + 1 AS src, doc_id + 2 AS dst, doc_id AS d, doc_id // 10 AS dec,
+         doc_id % 3 AS tagid, doc_id % 13 + 1 AS len
+  FROM documents WHERE n_chars % 7 <> 0 AND doc_id % 10 <> 9
+),
+runs AS (
+  SELECT *, d - ROW_NUMBER() OVER (PARTITION BY dec ORDER BY d) AS run
+  FROM e
+)
+"""
+
+
+def q_cycle_contraction(sf_dir: str):
+    """G11: contract decade cycles → DAG edges (cycle decades vanish)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    max_doc = int(docs.max("doc_id"))
+    edges = D.directed_edges_closed(docs, max_doc_ref=max_doc)
+
+    def with_len(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "length_m", pa.array(np.ones(len(batch)), pa.float64()))
+
+    from ..stages.waterways import contract_cycles
+
+    dag, _scc = contract_cycles(edges.map_batches(with_len, batch_format="pyarrow"),
+                                num_partitions=8)
+    return dag.select_columns(["src", "dst"])
+
+
+SQL_CYCLE_CONTRACTION = """
+WITH cyc AS (
+  SELECT doc_id // 10 AS dec FROM documents
+  GROUP BY doc_id // 10
+  HAVING COUNT(*) = 10 AND SUM(CASE WHEN n_chars % 7 = 0 THEN 1 ELSE 0 END) = 0
+),
+e AS (
+  SELECT a.doc_id + 1 AS src,
+         CASE WHEN a.doc_id % 10 <> 9 THEN a.doc_id + 2 ELSE a.doc_id - 8 END AS dst,
+         a.doc_id // 10 AS dec
+  FROM documents a JOIN documents t
+    ON t.doc_id = (CASE WHEN a.doc_id % 10 <> 9 THEN a.doc_id + 1 ELSE a.doc_id - 9 END)
+  WHERE a.n_chars % 7 <> 0
+)
+SELECT src, dst FROM e WHERE dec NOT IN (SELECT dec FROM cyc)
+"""
+
+
+def q_biggest_end(sf_dir: str):
+    """G14 over the chain DAG: every node's assigned end (= its run's last node)."""
+    from ..stages.waterways import biggest_end_and_grouped_paths
+
+    edges = _decade_chain_edges(sf_dir, with_len=True)
+
+    def with_flow(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "upstream_m", pa.array(np.zeros(len(batch)), pa.float64()))
+
+    out = biggest_end_and_grouped_paths(
+        edges.map_batches(with_flow, batch_format="pyarrow"), num_partitions=8)
+
+    def nodes_only(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["kind"], pa.scalar(0, pa.int64())))
+        return pa.table({"node": t["node"], "end_nid": t["end_nid"]})
+
+    return out.map_batches(nodes_only, batch_format="pyarrow")
+
+
+SQL_BIGGEST_END = _CHAIN_RUNS_SQL + """
+, ends AS (
+  SELECT run, dec, MAX(dst) AS end_nid, MIN(src) AS first_src FROM runs
+  GROUP BY run, dec
+)
+SELECT n.node, e.end_nid FROM (
+  SELECT src AS node, run, dec FROM runs
+  UNION
+  SELECT dst AS node, run, dec FROM runs
+) n JOIN ends e ON e.run = n.run AND e.dec = n.dec
+"""
+
+
+def q_grouped_paths(sf_dir: str):
+    """G16 core over the chain DAG: per-end path rows (end, n_nodes)."""
+    from ..stages.waterways import biggest_end_and_grouped_paths
+
+    edges = _decade_chain_edges(sf_dir, with_len=True)
+
+    def with_flow(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "upstream_m", pa.array(np.zeros(len(batch)), pa.float64()))
+
+    out = biggest_end_and_grouped_paths(
+        edges.map_batches(with_flow, batch_format="pyarrow"), num_partitions=8)
+
+    def paths_only(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["kind"], pa.scalar(1, pa.int64())))
+        return pa.table({"end_nid": t["end_nid"], "n_nodes": t["n_nodes"]})
+
+    return out.map_batches(paths_only, batch_format="pyarrow")
+
+
+SQL_GROUPED_PATHS = _CHAIN_RUNS_SQL + """
+SELECT MAX(dst) AS end_nid, COUNT(*) + 1 AS n_nodes FROM runs GROUP BY run, dec
+"""
+
+
+def q_tag_groups(sf_dir: str):
+    """G18 flood fill over the chain DAG with tagid = doc%3 → per-taggroup
+    segment counts (stream levels excluded from the oracle compare)."""
+    from ..stages.waterways import tag_groups
+
+    edges = _decade_chain_edges(sf_dir, with_tag=True)
+    out = tag_groups(edges, num_partitions=8)
+    return out.select_columns(["taggroupid", "tagid", "num_segments"])
+
+
+SQL_TAG_GROUPS = _CHAIN_RUNS_SQL + """
+, truns AS (
+  SELECT *, d - ROW_NUMBER() OVER (PARTITION BY dec, run, tagid ORDER BY d) AS trun
+  FROM runs
+)
+SELECT MIN(src) AS taggroupid, tagid, COUNT(*) AS num_segments
+FROM truns GROUP BY dec, run, tagid, trun
+"""
+
+
+def q_longest_source_mouth(sf_dir: str):
+    """G19 over the chain DAG: per-mouth river-system length (integer lengths)."""
+    from ..stages.waterways import longest_source_mouth
+
+    edges = _decade_chain_edges(sf_dir, with_len=True)
+    out = longest_source_mouth(edges, num_partitions=8)
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        m = batch["river_system_length_m"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "mouth_nid": batch["mouth_nid"],
+            "source_nid": batch["source_nid"],
+            "length_int": pa.array(np.floor(m + 0.5).astype(np.int64), pa.int64()),
+            "path_nodes": batch["path_nodes"],
+        })
+
+    return out.map_batches(to_int, batch_format="pyarrow")
+
+
+SQL_LONGEST_SOURCE_MOUTH = _CHAIN_RUNS_SQL + """
+SELECT MAX(dst) AS mouth_nid, MIN(src) AS source_nid,
+       SUM(len) AS length_int, COUNT(*) + 1 AS path_nodes
+FROM runs GROUP BY run, dec
+"""
+
+
+def q_loop_stats(sf_dir: str):
+    """G21 loop features (decade cycles): root_nid, num_nodes, num_segments."""
+    import ray
+
+    from ..stages.waterways import loop_features
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    max_doc = int(docs.max("doc_id"))
+    edges = D.directed_edges_closed(docs, max_doc_ref=max_doc)
+    # positions: derived arithmetic, collected once (small at correctness scale;
+    # the production path joins positions instead)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
+    pos_rows = con.execute(
+        f"SELECT node_id, lat, lon FROM ({D.NODES_SQL}) n").fetchall()
+    con.close()
+    pos = {int(r[0]): (int(r[1]), int(r[2])) for r in pos_rows}
+    out = loop_features(edges, ray.put(pos), num_partitions=8)
+    return out.select_columns(["root_nid", "num_nodes", "num_segments"])
+
+
+SQL_LOOP_STATS = """
+SELECT (doc_id // 10) * 10 + 1 AS root_nid, COUNT(*) AS num_nodes,
+       COUNT(*) AS num_segments
+FROM documents
+GROUP BY doc_id // 10
+HAVING COUNT(*) = 10 AND SUM(CASE WHEN n_chars % 7 = 0 THEN 1 ELSE 0 END) = 0
+"""
+
+
+# ═══════════════════════ per-component ops family (G2-G9, rows-only checks)
+
+def _lump_graph_and_positions(sf_dir: str):
+    import duckdb
+
+    from ..stages.graph import connected_components
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    edges = D.undirected_edges(docs)
+
+    def add_cols(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return batch.append_column("g", pa.array(np.zeros(n, dtype=np.int64))) \
+                    .append_column("inter_nids",
+                                   pa.array([[]] * n, pa.list_(pa.int64())))
+
+    edges_g = edges.map_batches(add_cols, batch_format="pyarrow").materialize()
+    labels = connected_components(edges_g, "u", "v", "g", num_partitions=8)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
+    pos_rows = con.execute(f"SELECT node_id, lat, lon FROM ({D.NODES_SQL}) n").fetchall()
+    con.close()
+    pos = {int(r[0]): (int(r[1]), int(r[2])) for r in pos_rows}
+    return edges_g, labels, pos
+
+
+def q_component_compress(sf_dir: str):
+    """G2 per component (rows-only): vertex counts before/after compression."""
+    from ..pipelines.group_ops import component_compress_stats
+
+    edges_g, labels, _pos = _lump_graph_and_positions(sf_dir)
+    return component_compress_stats(edges_g, labels, num_partitions=8) \
+        .select_columns(["component_id", "vertices_before", "vertices_after"])
+
+
+def q_component_lines(sf_dir: str):
+    """G4 per component (rows-only): line decomposition stats."""
+    import ray
+
+    from ..pipelines.group_ops import component_lines
+
+    edges_g, labels, pos = _lump_graph_and_positions(sf_dir)
+    return component_lines(edges_g, labels, ray.put(pos), num_partitions=8) \
+        .select_columns(["component_id", "line_idx", "n_nodes"])
+
+
+def q_component_frames(sf_dir: str):
+    """G8 per component (rows-only): frame line stats."""
+    import ray
+
+    from ..pipelines.group_ops import component_frames
+
+    edges_g, labels, pos = _lump_graph_and_positions(sf_dir)
+    return component_frames(edges_g, labels, ray.put(pos), num_partitions=8)
+
+
+def q_betweenness(sf_dir: str):
+    """G9 per component (rows-only): sampled edge betweenness."""
+    import ray
+
+    from ..pipelines.group_ops import component_betweenness
+
+    edges_g, labels, pos = _lump_graph_and_positions(sf_dir)
+    return component_betweenness(edges_g, labels, ray.put(pos),
+                                 max_nodes=50, num_partitions=8)
+
+
+QUERIES.update({
+    "cycle_contraction": q_cycle_contraction,
+    "biggest_end": q_biggest_end,
+    "grouped_paths": q_grouped_paths,
+    "tag_groups": q_tag_groups,
+    "longest_source_mouth": q_longest_source_mouth,
+    "loop_stats": q_loop_stats,
+    "component_compress": q_component_compress,
+    "component_lines": q_component_lines,
+    "component_frames": q_component_frames,
+    "betweenness": q_betweenness,
+})
+
+ORACLES.update({
+    "cycle_contraction": SQL_CYCLE_CONTRACTION,
+    "biggest_end": SQL_BIGGEST_END,
+    "grouped_paths": SQL_GROUPED_PATHS,
+    "tag_groups": SQL_TAG_GROUPS,
+    "longest_source_mouth": SQL_LONGEST_SOURCE_MOUTH,
+    "loop_stats": SQL_LOOP_STATS,
+    # component_* and betweenness: rows-only (per-group UDF decompositions are
+    # deterministic but not SQL-expressible)
+})

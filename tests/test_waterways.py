@@ -1,0 +1,132 @@
+"""Waterways-layer tests: cycle contraction (G11), loops (G21), biggest-end +
+grouped paths (G14/G16), upstream segments (G17), tag groups (G18), longest
+source-mouth (G19)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from osm_lump_ways_ray.stages.waterways import (
+    _component_walks,
+    _longest_source_mouth_component,
+    _tag_group_component,
+    contract_cycles,
+    longest_source_mouth,
+    loop_features,
+    upstream_segments,
+)
+
+
+@pytest.fixture(scope="module")
+def mk(ray_session):
+    import ray.data
+
+    return ray.data.from_arrow
+
+
+def e_table(rows):  # (src, dst, length)
+    return pa.table({
+        "src": pa.array([r[0] for r in rows], pa.int64()),
+        "dst": pa.array([r[1] for r in rows], pa.int64()),
+        "length_m": pa.array([float(r[2]) for r in rows], pa.float64()),
+    })
+
+
+def test_contract_cycles(mk):
+    # chain 1→2→{3,4,5 cycle}→6: cycle contracts to node 3; DAG 1→2→3→6
+    rows = [(1, 2, 10), (2, 3, 10), (3, 4, 1), (4, 5, 1), (5, 3, 1), (5, 6, 10)]
+    dag, scc = contract_cycles(mk(e_table(rows)), num_partitions=4)
+    edges = sorted((r["src"], r["dst"]) for r in dag.take_all())
+    assert edges == [(1, 2), (2, 3), (3, 6)]
+    labs = {r["node"]: r["scc_id"] for r in scc.take_all()}
+    assert labs == {3: 3, 4: 3, 5: 3}
+
+
+def test_loop_features(mk):
+    rows = [(1, 2, 5), (2, 3, 5), (3, 1, 5), (3, 9, 5)]
+    pos = {n: (n * 1_000_000, n * 1_000_000) for n in (1, 2, 3, 9)}
+    import ray
+
+    out = loop_features(mk(e_table(rows)), ray.put(pos), num_partitions=4).take_all()
+    assert len(out) == 1
+    f = out[0]
+    assert f["root_nid"] == 1 and f["num_nodes"] == 3 and f["num_segments"] == 3
+    assert f["length_m"] > 0 and f["area"] == "unknown_area"
+
+
+def flow_df(rows):  # (src, dst, length, upstream)
+    return pd.DataFrame(rows, columns=["src", "dst", "length_m", "upstream_m"])
+
+
+def test_component_walks_biggest_end():
+    # Y: 1→2→3(end A), 2→4(end B); end A has larger upstream
+    df = flow_df([(1, 2, 10.0, 0.0), (2, 3, 100.0, 5.0), (2, 4, 1.0, 5.0)])
+    assigned, paths = _component_walks(df, None, max_dist_m=None)
+    # end upstream: 3 → 5+100=105; 4 → 5+1=6 → nodes 1,2 assign to end 3
+    assert assigned[3] == 3 and assigned[4] == 4
+    assert assigned[2] == 3 and assigned[1] == 3
+    # paths: end 3 walks up through 2,1; end 4 gets only itself
+    by_end = {e: n for e, n, _d in paths}
+    assert by_end[3] == 3 and by_end[4] == 1
+
+
+def test_component_walks_distance_cut():
+    df = flow_df([(1, 2, 10.0, 0.0), (2, 3, 10.0, 10.0)])
+    _a, paths = _component_walks(df, None, max_dist_m=15.0)
+    (end, n, dist) = paths[0]
+    assert end == 3 and n == 2  # second hop would exceed 15 m
+
+
+def test_upstream_segments(mk):
+    import ray
+
+    t = pa.table({
+        "src": pa.array([1], pa.int64()),
+        "dst": pa.array([3], pa.int64()),
+        "upstream_m": pa.array([100.0], pa.float64()),
+        "inter_nids": pa.array([[2]], pa.list_(pa.int64())),
+    })
+    pos = {1: (0, 0), 2: (0, 100_000), 3: (0, 200_000)}
+    segs = upstream_segments(mk(t), ray.put(pos)).take_all()
+    assert [(s["a"], s["b"]) for s in segs] == [(1, 2), (2, 3)]
+    assert segs[0]["from_upstream_m"] == 100.0
+    assert segs[1]["from_upstream_m"] == pytest.approx(
+        100.0 + (segs[0]["to_upstream_m"] - 100.0))
+
+
+def test_tag_group_component():
+    # main river (tag 1): 1→2→3→4; tributary (tag 2): 10→2
+    df = pd.DataFrame({
+        "src": [1, 2, 3, 10],
+        "dst": [2, 3, 4, 2],
+        "tagid": [1, 1, 1, 2],
+    })
+    out = _tag_group_component(df).sort_values("taggroupid").reset_index(drop=True)
+    assert len(out) == 2
+    main = out[out["tagid"] == 1].iloc[0]
+    trib = out[out["tagid"] == 2].iloc[0]
+    assert main["num_segments"] == 3 and main["num_sources"] == 1
+    assert main["stream_level"] == 1  # reaches the terminal sink
+    assert trib["stream_level"] == 2  # one step removed
+
+
+def test_longest_source_mouth_missouri():
+    # Mississippi/Missouri style: short headwater 1→3, long branch 10→11→3, 3→4 (mouth 4)
+    df = pd.DataFrame({
+        "src": [1, 10, 11, 3],
+        "dst": [3, 11, 3, 4],
+        "length_m": [100.0, 400.0, 400.0, 50.0],
+    })
+    out = _longest_source_mouth_component(df)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["mouth_nid"] == 4 and r["source_nid"] == 10
+    assert r["river_system_length_m"] == 850.0 and r["path_nodes"] == 4
+
+
+def test_longest_source_mouth_distributed_topn(mk):
+    rows = [(1, 2, 100), (2, 3, 100),          # system A len 200, mouth 3
+            (10, 11, 500), (11, 12, 500)]      # system B len 1000, mouth 12
+    out = longest_source_mouth(mk(e_table(rows)), top_n=1, num_partitions=4).take_all()
+    assert len(out) == 1 and out[0]["mouth_nid"] == 12
