@@ -146,6 +146,93 @@ def tile_stats(labels_ds, nodes_ds, *, num_partitions: int = 32):
     )
 
 
+def finalize_components(components_ds, edges_g, *, num_partitions: int = 8):
+    """M9 props + A5 ranks on the components table.
+
+    Props (src/bin/osm-lump-ways/main.rs:635-654): root_nodeid (= component_id,
+    min contracted vertex), root_nodeid_120, length_m (1 dp, half-away rounding
+    parity), length_m_int, length_km (2 dp), length_km_int, tag_group_0 (the
+    group value string, re-attached from the interned g hash).
+
+    Ranks (main.rs:1158-1208): length_desc_rank (0-based), length_desc_rank_perc
+    (4 dp), length_asc_rank (= n - desc_rank), length_asc_rank_perc,
+    length_m_fraction_total, length_m_fraction_longest. Rank assignment is a
+    broadcast binary search against the sorted length vector — the vector is one
+    float per COMPONENT (orders of magnitude smaller than the input; documented
+    driver-side reduction)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..functions.utils import round_half_away
+
+    # g → group-value string map (distinct pairs; small)
+    gmap_rows = edges_g.groupby(["g", "name"]).aggregate(Count(alias_name="_c")) \
+                       .take_all()
+    gmap = {r["g"]: r["name"] for r in gmap_rows}
+    gmap_ref = ray.put(gmap)
+
+    lengths = np.array([r["length_m"] for r in
+                        components_ds.select_columns(["length_m"]).take_all()])
+    order = np.sort(lengths)  # ascending
+    n = len(order)
+    total = float(lengths.sum())
+    longest = float(lengths.max()) if n else 0.0
+    ord_ref = ray.put(order)
+
+    def props(batch: pa.Table) -> pa.Table:
+        srt = ray.get(ord_ref)
+        gm = ray.get(gmap_ref)
+        length = batch["length_m"].to_numpy(zero_copy_only=False)
+        root = batch["component_id"].to_numpy(zero_copy_only=False)
+        # desc rank = number of strictly-greater lengths (ties share the
+        # smallest rank — deterministic, unlike the reference's unstable sort)
+        desc_rank = n - np.searchsorted(srt, length, side="right")
+        gvals = batch["g"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": batch["g"],
+            "tag_group_0": pa.array([gm.get(int(x)) for x in gvals], pa.string()),
+            "component_id": batch["component_id"],
+            "root_nodeid": batch["component_id"],
+            "root_nodeid_120": pa.array(root % 120, pa.int64()),
+            "num_nodes": batch["num_nodes"],
+            "length_m": pa.array(round_half_away(length, 1), pa.float64()),
+            "length_m_int": pa.array(np.floor(length + 0.5).astype(np.int64)),
+            "length_km": pa.array(round_half_away(length / 1000.0, 2), pa.float64()),
+            "length_km_int": pa.array(np.floor(length / 1000.0 + 0.5).astype(np.int64)),
+            "length_desc_rank": pa.array(desc_rank.astype(np.int64)),
+            "length_desc_rank_perc": pa.array(round_half_away(desc_rank / n, 4)),
+            "length_asc_rank": pa.array((n - desc_rank).astype(np.int64)),
+            "length_asc_rank_perc": pa.array(round_half_away((n - desc_rank) / n, 4)),
+            "length_m_fraction_total": pa.array(round_half_away(length / total, 4)),
+            "length_m_fraction_longest": pa.array(round_half_away(length / longest, 4)),
+        })
+
+    return components_ds.map_batches(props, batch_format="pyarrow")
+
+
+def write_outputs(result: dict, output_dir: str):
+    """Resumable partitioned output layout (north rule): one parquet directory
+    per result table + the lineage/manifest files live under the checkpoint
+    dir. Re-running with the same dir skips completed tables."""
+    import os
+
+    import ray.data  # noqa: F401
+
+    for name in ("components", "labels", "tiles"):
+        final = os.path.join(output_dir, name)
+        if os.path.exists(os.path.join(final, "_SUCCESS")):
+            continue
+        tmp = os.path.join(output_dir, f".tmp-{name}")
+        os.makedirs(tmp, exist_ok=True)
+        result[name].write_parquet(tmp)
+        os.makedirs(final, exist_ok=True)
+        for f in os.listdir(tmp):
+            os.replace(os.path.join(tmp, f), os.path.join(final, f))
+        os.rmdir(tmp)
+        open(os.path.join(final, "_SUCCESS"), "w").close()
+    return output_dir
+
+
 def lump(pages_ds, *, cell_res: int = 7, num_partitions: int = 32,
          checkpoint_dir: Optional[str] = None, verify_extract: bool = True,
          group_tag: str = "name"):

@@ -1282,3 +1282,224 @@ ORACLES.update({
     # component_* and betweenness: rows-only (per-group UDF decompositions are
     # deterministic but not SQL-expressible)
 })
+
+
+# ═══════════════════════════════ J4 / J6 / ranks / embedding near-dup
+
+def q_relation_tags(sf_dir: str):
+    """J4: relation tags overwrite member-way tags; most-members relation wins
+    (deterministic tie-break: max rel_id — documented divergence from the
+    reference's file-order 'last seen')."""
+    from ..stages.relations import relation_tags_overwrite
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def members(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (nch % 4) != 0
+        dk = d[keep]
+        rel = dk // 20
+        return pa.table({
+            "way_id": pa.array(dk // 5 + 1, pa.int64()),
+            "rel_id": pa.array(rel + 1, pa.int64()),
+            "rel_tag": pa.array([f"r{int(r) % 7}" for r in rel], pa.string()),
+        })
+
+    m = docs.map_batches(members, batch_format="pyarrow")
+    # distinct memberships: several docs of one way may map to the same rel
+    from ..stages.relational import distinct as _distinct  # noqa: F401
+    from ray.data.aggregate import Count
+
+    dedup = m.groupby(["way_id", "rel_id", "rel_tag"]).aggregate(
+        Count(alias_name="_c")).select_columns(["way_id", "rel_id", "rel_tag"])
+    return relation_tags_overwrite(dedup, num_partitions=8)
+
+
+SQL_RELATION_TAGS = """
+WITH member AS (
+  SELECT DISTINCT doc_id // 5 + 1 AS way_id, doc_id // 20 + 1 AS rel_id,
+         'r' || CAST((doc_id // 20) % 7 AS VARCHAR) AS rel_tag
+  FROM documents WHERE n_chars % 4 <> 0
+),
+sizes AS (SELECT rel_id, COUNT(*) AS n_members FROM member GROUP BY rel_id)
+SELECT way_id, rel_id, rel_tag, n_members FROM (
+  SELECT m.*, s.n_members,
+         ROW_NUMBER() OVER (PARTITION BY m.way_id
+             ORDER BY s.n_members DESC, m.rel_id DESC) AS rk
+  FROM member m JOIN sizes s USING (rel_id)
+) WHERE rk = 1
+"""
+
+
+def q_ends_membership(sf_dir: str):
+    """J6: per-end is_in:<filter> flags over the ways touching each end."""
+    from ..functions.tagfilter import parse_tag_filter
+    from ..stages.relations import ends_membership
+    from ..stages.scc import directed_ends
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars", "lang"])
+
+    def emit_edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ((nch % 7) != 0) & ((d % 10) != 9)
+        dk = d[keep]
+        return pa.table({"src": pa.array(dk + 1, pa.int64()),
+                         "dst": pa.array(dk + 2, pa.int64())})
+
+    ends = directed_ends(docs.map_batches(emit_edges, batch_format="pyarrow"))
+
+    def way_nodes(batch: pa.Table) -> pa.Table:
+        # every doc's node with its lang tag (the "way rows" carrying tags)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(d + 1, pa.int64()),
+                         "lang": batch["lang"]})
+
+    wn = docs.map_batches(way_nodes, batch_format="pyarrow")
+    filters = [("en", parse_tag_filter("lang=en")),
+               ("de", parse_tag_filter("lang=de"))]
+    out = ends_membership(ends, wn, filters, num_partitions=8)
+    return out.rename_columns(["node", "is_in_en", "is_in_de", "is_in_count"])
+
+
+SQL_ENDS_MEMBERSHIP = """
+WITH e AS (
+  SELECT doc_id + 1 AS src, doc_id + 2 AS dst
+  FROM documents WHERE n_chars % 7 <> 0 AND doc_id % 10 <> 9
+),
+ends AS (SELECT DISTINCT dst AS node FROM e WHERE dst NOT IN (SELECT src FROM e)),
+wn AS (SELECT doc_id + 1 AS node, lang FROM documents)
+SELECT ends.node,
+       MAX(CASE WHEN wn.lang = 'en' THEN 1 ELSE 0 END) AS is_in_en,
+       MAX(CASE WHEN wn.lang = 'de' THEN 1 ELSE 0 END) AS is_in_de,
+       MAX(CASE WHEN wn.lang = 'en' THEN 1 ELSE 0 END)
+       + MAX(CASE WHEN wn.lang = 'de' THEN 1 ELSE 0 END) AS is_in_count
+FROM ends JOIN wn ON wn.node = ends.node
+GROUP BY ends.node
+"""
+
+
+def q_component_ranks(sf_dir: str):
+    """A5/M9 over derived lump components: ranks + fraction props (integer and
+    4-dp-rounded columns only — deterministic cross-engine)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.graph import connected_components
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    edges = D.undirected_edges(docs).materialize()
+    labels = connected_components(edges, "u", "v", num_partitions=8)
+
+    def add_len(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        lat_u, lon_u = _derived_latlon(u)
+        lat_v, lon_v = _derived_latlon(v)
+        m = haversine_m_fp(lat_u, lon_u, lat_v, lon_v)
+        dm = np.floor(m * 10 + 0.5).astype(np.int64)
+        return batch.append_column("len_dm", pa.array(dm, pa.int64()))
+
+    e = edges.map_batches(add_len, batch_format="pyarrow")
+    lab = labels.select_columns(["node", "component_id"]).rename_columns(
+        ["u", "component_id"])
+    e = hash_join(e, lab, ("u",), how="inner", num_partitions=8)
+    comp = e.groupby("component_id").aggregate(Sum("len_dm", alias_name="length_dm"))
+
+    rows = comp.take_all()
+    lengths = np.sort(np.array([r["length_dm"] for r in rows], dtype=np.int64))
+    n = len(lengths)
+
+    def ranks(batch: pa.Table) -> pa.Table:
+        ln = batch["length_dm"].to_numpy(zero_copy_only=False).astype(np.int64)
+        desc = n - np.searchsorted(lengths, ln, side="right")
+        root = batch["component_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "component_id": batch["component_id"],
+            "root_nodeid_120": pa.array(root % 120, pa.int64()),
+            "length_dm": pa.array(ln, pa.int64()),
+            "length_desc_rank": pa.array(desc.astype(np.int64)),
+            "length_asc_rank": pa.array((n - desc).astype(np.int64)),
+        })
+
+    return comp.map_batches(ranks, batch_format="pyarrow")
+
+
+SQL_COMPONENT_RANKS = (
+    D.CC_ORACLE_SQL
+    + f""",
+  elen AS (
+    SELECT e.u,
+      {_dm(_hav_sql(NODE_LATLON_SQL["lat"]("e.u"), NODE_LATLON_SQL["lon"]("e.u"),
+                    NODE_LATLON_SQL["lat"]("e.v"), NODE_LATLON_SQL["lon"]("e.v")))}
+      AS len_dm
+    FROM e
+  ),
+  complen AS (
+    SELECT c.component_id, SUM(elen.len_dm) AS length_dm
+    FROM elen JOIN comp c ON c.node = elen.u
+    GROUP BY c.component_id
+  )
+SELECT component_id, component_id % 120 AS root_nodeid_120, length_dm,
+       (SELECT COUNT(*) FROM complen c2 WHERE c2.length_dm > c1.length_dm)
+           AS length_desc_rank,
+       (SELECT COUNT(*) FROM complen c2 WHERE c2.length_dm <= c1.length_dm)
+           AS length_asc_rank
+FROM complen c1"""
+)
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.35 in float64; i < j).
+
+    The synthetic embeddings are near-orthogonal (max pairwise cosine ≈ 0.48),
+    so the production threshold 0.9 finds nothing; 0.35 exercises the operator.
+    Both engines compute in float64 (SQL casts the float32 lists)."""
+    from ..stages.similarity import _normalize, _stack_embeddings
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    rows = emb.take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = _normalize(np.array([r["embedding"] for r in rows], dtype=np.float64))
+    import ray
+
+    ref = ray.put((ids, mat))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        aids, amat = ray.get(ref)
+        bid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        bmat = _normalize(_stack_embeddings(batch, "embedding"))
+        sims = bmat @ amat.T
+        us, vs = [], []
+        for i in range(len(bid)):
+            hits = np.where(sims[i] >= 0.35)[0]
+            for h in hits:
+                if aids[h] > bid[i]:
+                    us.append(int(bid[i]))
+                    vs.append(int(aids[h]))
+        return pa.table({"u": pa.array(us, pa.int64()),
+                         "v": pa.array(vs, pa.int64())})
+
+    return emb.map_batches(pairs, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS u, b.vec_id AS v
+FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+"""
+
+
+QUERIES.update({
+    "relation_tags": q_relation_tags,
+    "ends_membership": q_ends_membership,
+    "component_ranks": q_component_ranks,
+    "embedding_neardup": q_embedding_neardup,
+})
+ORACLES.update({
+    "relation_tags": SQL_RELATION_TAGS,
+    "ends_membership": SQL_ENDS_MEMBERSHIP,
+    "component_ranks": SQL_COMPONENT_RANKS,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+})

@@ -115,3 +115,33 @@ def test_lump_metrics_lineage(lump_result):
     assert m["ways"] == N_PAGES // P.CHAIN_LEN
     assert m["components"] > 0 and m["tiles"] > 0
     assert m["t_total_s"] > 0
+
+
+def test_finalize_components_props_and_ranks(lump_result, tmp_path):
+    from osm_lump_ways_ray.pipelines.lump import finalize_components, write_outputs
+
+    final = finalize_components(lump_result["components"], lump_result["edges"],
+                                num_partitions=4)
+    rows = final.take_all()
+    assert rows, "no components"
+    n = len(rows)
+    for r in rows:
+        assert r["root_nodeid"] == r["component_id"]
+        assert r["root_nodeid_120"] == r["component_id"] % 120
+        assert r["tag_group_0"].startswith("g")
+        assert 0 <= r["length_desc_rank"] < n
+        assert r["length_asc_rank"] == n - r["length_desc_rank"]
+        assert 0 <= r["length_m_fraction_longest"] <= 1.0
+    # ranks are a permutation-ish: the longest component has desc_rank 0
+    longest = max(rows, key=lambda r: r["length_m"])
+    assert longest["length_desc_rank"] == 0
+
+    out = write_outputs(lump_result, str(tmp_path / "out"))
+    import os
+
+    for name in ("components", "labels", "tiles"):
+        assert os.path.exists(os.path.join(out, name, "_SUCCESS"))
+    # resumability: second call is a no-op (mtimes unchanged)
+    m1 = os.path.getmtime(os.path.join(out, "components", "_SUCCESS"))
+    write_outputs(lump_result, out)
+    assert os.path.getmtime(os.path.join(out, "components", "_SUCCESS")) == m1
