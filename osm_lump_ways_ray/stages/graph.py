@@ -44,13 +44,34 @@ from .relational import cogroup_join, hash_join
 # --------------------------------------------------------------------- A1 degree
 
 def _list_offsets_values(col: "pa.ChunkedArray"):
-    """(offsets, values) numpy views of an Arrow list column (zero-copy)."""
+    """(offsets, values) numpy views of an Arrow list column (zero-copy).
+
+    Handles plain list arrays, Ray's ArrowTensorArray extension (equal-length
+    lists get auto-tensorized by pandas-block conversion), and falls back to a
+    pylist walk for anything else."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if isinstance(arr, pa.ChunkedArray):  # single chunk after combine
         arr = arr.chunk(0)
-    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    values = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
-    return offsets, values
+    if hasattr(arr, "offsets"):
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        return offsets, values
+    try:  # Ray ArrowTensorArray → (n, k) ndarray
+        mat = arr.to_numpy(zero_copy_only=False)
+        if getattr(mat, "ndim", 1) == 2:
+            n, k = mat.shape
+            return (np.arange(n + 1, dtype=np.int64) * k,
+                    np.ascontiguousarray(mat, dtype=np.int64).ravel())
+    except Exception:  # noqa: BLE001
+        pass
+    rows = arr.to_pylist()
+    offsets = np.zeros(len(rows) + 1, dtype=np.int64)
+    vals = []
+    for i, r in enumerate(rows):
+        r = r if r is not None else []
+        vals.extend(int(x) for x in r)
+        offsets[i + 1] = offsets[i] + len(r)
+    return offsets, np.asarray(vals, dtype=np.int64)
 
 
 def _degree_weights_batch(batch: pa.Table, node_ids_col: str) -> pa.Table:

@@ -448,3 +448,54 @@ def longest_source_mouth(dag_edges_ds, *, top_n: Optional[int] = None,
     if top_n is not None:
         out = out.sort("river_system_length_m", descending=True).limit(top_n)
     return out
+
+
+# ---------------------------------------------------------------------- G20
+
+def _through_path_component(df):
+    """One weak component: longest source→sink shortest-path length
+    (calc_through_path_length, -down/main.rs:2231-2263)."""
+    import pandas as pd
+
+    outs = defaultdict(list)
+    indeg = defaultdict(int)
+    outdeg = defaultdict(int)
+    nodes = set()
+    for s, d, ln in zip(df["src"], df["dst"], df["length_m"]):
+        s, d = int(s), int(d)
+        outs[s].append((d, float(ln)))
+        outdeg[s] += 1
+        indeg[d] += 1
+        nodes.add(s)
+        nodes.add(d)
+    sources = sorted(n for n in nodes if indeg[n] == 0)
+    best = 0.0
+    for src0 in sources:
+        dist = {src0: 0.0}
+        frontier = [(0.0, src0)]
+        while frontier:
+            dcur, cur = heapq.heappop(frontier)
+            if dcur > dist.get(cur, float("inf")):
+                continue
+            for d, ln in outs.get(cur, ()):
+                nd = dcur + ln
+                if nd < dist.get(d, float("inf")):
+                    dist[d] = nd
+                    heapq.heappush(frontier, (nd, d))
+        for n, dd in dist.items():
+            if outdeg[n] == 0 and dd > best:
+                best = dd
+    comp = int(df["component"].iloc[0]) if "component" in df else -1
+    return pd.DataFrame({"component": [comp], "through_path_m": [best]})
+
+
+def through_path_length(dag_edges_ds, *, num_partitions: int = 8):
+    """G20: per weak component, the longest source→sink shortest-path length."""
+    labels = connected_components(dag_edges_ds, "src", "dst",
+                                  num_partitions=num_partitions)
+    lab = labels.select_columns(["node", "component_id"]).rename_columns(
+        ["src", "component"])
+    e = cogroup_join(dag_edges_ds, lab, ("src",), how="inner",
+                     num_partitions=num_partitions)
+    return e.groupby("component").map_groups(_through_path_component,
+                                             batch_format="pandas")
