@@ -56,7 +56,7 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
     # shuffle partition count scales with DATA (≈128 MB blocks target), not with
     # CPUs: at these row sizes extra hash-join aggregator actors cost far more
     # than they parallelize (measured 125s @64 parts vs 28s @16 parts, sf0.1)
-    num_partitions = max(8, min(16, n_pages // 12_500))
+    num_partitions = max(8, min(32, n_pages // 50_000))
     t0 = time.monotonic()
     res = lump(synth_pages_dataset(n_pages, seed=42), num_partitions=num_partitions,
                verify_extract=True)
@@ -100,7 +100,7 @@ def main() -> int:
         # scheduling latency (constant in cluster size) amortizes — the sandbox
         # stand-in for the two-cluster-size criterion.
         results = {}
-        n_scaling = os.environ.get("GRAFT_SCALING_PAGES", "1000000")
+        n_scaling = os.environ.get("GRAFT_SCALING_PAGES", "10000000")
         for level in (8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(level),
                        GRAFT_BENCH_HEADLINE_ONLY="1",

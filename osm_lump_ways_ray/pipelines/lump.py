@@ -137,13 +137,16 @@ def tile_stats(labels_ds, nodes_ds, *, num_partitions: int = 32):
             "n": pa.array(counts, pa.int64()),
         })
 
+    from ..stages.relational import bucket_agg
+
     partials = lab.map_batches(partial, batch_format="pyarrow")
-    per_cell_comp = partials.groupby(["cell", "component_id"]).aggregate(
-        Sum("n", alias_name="num_nodes"))
-    return per_cell_comp.groupby("cell").aggregate(
-        Count(alias_name="num_components"),
-        Sum("num_nodes", alias_name="num_nodes"),
-    )
+    per_cell_comp = bucket_agg(partials, ["cell", "component_id"],
+                               {"num_nodes": ("n", "sum")},
+                               num_partitions=num_partitions)
+    return bucket_agg(per_cell_comp, ["cell"],
+                      {"num_components": (None, "count"),
+                       "num_nodes": ("num_nodes", "sum")},
+                      num_partitions=max(4, num_partitions // 2))
 
 
 def finalize_components(components_ds, edges_g, *, num_partitions: int = 8):
@@ -298,11 +301,15 @@ def lump(pages_ds, *, cell_res: int = 7, num_partitions: int = 32,
         agg = df.groupby(["g", "component_id"], as_index=False)["length_m"].sum()
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    comp_len = snapshot(seg.map_batches(partial_len, batch_format="pyarrow")
-                        .groupby(["g", "component_id"]).aggregate(
-                            Sum("length_m", alias_name="length_m")))
-    comp_nodes = snapshot(labels.groupby(["g", "component_id"]).aggregate(
-        Count(alias_name="num_nodes")))
+    from ..stages.relational import bucket_agg
+
+    comp_len = snapshot(bucket_agg(
+        seg.map_batches(partial_len, batch_format="pyarrow"),
+        ["g", "component_id"], {"length_m": ("length_m", "sum")},
+        num_partitions=num_partitions))
+    comp_nodes = snapshot(bucket_agg(
+        labels, ["g", "component_id"], {"num_nodes": (None, "count")},
+        num_partitions=num_partitions))
     components = hash_join(comp_len, comp_nodes, ("g", "component_id"),
                            how="inner", num_partitions=max(2, num_partitions // 4))
     components = components.sort("length_m", descending=True).materialize()

@@ -97,12 +97,12 @@ def _degree_weights_batch(batch: pa.Table, node_ids_col: str) -> pa.Table:
 
 def node_degree_weights(ways_ds, node_ids_col: str = "node_ids"):
     """ways → (node_id, weight) with weight clipped to 255 (u8 saturation parity)."""
-    from ray.data.aggregate import Sum
+    from .relational import bucket_sum
 
     partial = ways_ds.map_batches(
         lambda b: _degree_weights_batch(b, node_ids_col), batch_format="pyarrow"
     )
-    agg = partial.groupby("node_id").aggregate(Sum("weight", alias_name="weight"))
+    agg = bucket_sum(partial, "node_id", "weight", num_partitions=16)
     return agg.map_batches(
         lambda b: b.set_column(
             b.schema.get_field_index("weight"), "weight",
@@ -227,24 +227,42 @@ class ContractWays:
         return pa.table(cols)
 
 
-def contract_ways(ways_ds, pillar_ref, *, carry_cols: Sequence[str] = (),
-                  concurrency: Optional[int] = None):
-    """ways Dataset → contracted edges Dataset (actor pool: pillar set loaded once
-    per actor in __init__, per-batch work in __call__)."""
-    if concurrency is None:
-        import ray
+_PILLAR_CACHE: dict = {}  # per-worker-process pillar arrays, keyed by object ref
 
-        # callable classes need an explicit actor-pool size; autoscale up to the
-        # session's CPUs so the pool never starves the read/shuffle stages
-        ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = (1, max(2, ncpu))
-    return ways_ds.map_batches(
-        ContractWays,
-        fn_constructor_kwargs=dict(pillar_ref=pillar_ref, carry_cols=carry_cols),
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=concurrency,
-    )
+
+def contract_ways(ways_ds, pillar_ref, *, carry_cols: Sequence[str] = (),
+                  concurrency: Optional[int] = None, use_actors: bool = False):
+    """ways Dataset → contracted edges Dataset.
+
+    Default path: STATELESS tasks with a per-worker-process cache of the pillar
+    array (worker processes are reused, so the ``ray.get`` happens once per
+    worker — actor-pool semantics without the pool spin-up, which measured ~2 s
+    flat at 32 CPUs). ``use_actors=True`` selects the explicit actor pool
+    (same state lifecycle via ``__init__``)."""
+    if use_actors:
+        if concurrency is None:
+            import ray
+
+            ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+            concurrency = (1, max(2, ncpu))
+        return ways_ds.map_batches(
+            ContractWays,
+            fn_constructor_kwargs=dict(pillar_ref=pillar_ref, carry_cols=carry_cols),
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=concurrency,
+        )
+
+    def run(batch: pa.Table) -> pa.Table:
+        key = pillar_ref.hex() if hasattr(pillar_ref, "hex") else id(pillar_ref)
+        worker = _PILLAR_CACHE.get(key)
+        if worker is None:
+            worker = ContractWays(pillar_ref, carry_cols=carry_cols)
+            _PILLAR_CACHE.clear()  # only ever one live pillar set per job
+            _PILLAR_CACHE[key] = worker
+        return worker(batch)
+
+    return ways_ds.map_batches(run, batch_format="pyarrow", batch_size=4096)
 
 
 # ------------------------------------------------------------------------- G1 CC
@@ -310,6 +328,44 @@ def _local_cc_group(batch: pa.Table) -> pa.Table:
         nodes[i] = nd
         labels[i] = lb
     return pa.table({"g": gs, "node": nodes, "label": labels})
+
+
+def _node_min_eq_group(batch: pa.Table) -> pa.Table:
+    """map_groups body over one vertex-hash bucket of (g, node, label) rows:
+    emit kind-0 rows (g, node, min_label) and kind-1 equivalence edges
+    (g, min_label, other_label) for every non-minimal local label."""
+    import pandas as pd
+
+    df = batch.select(["g", "node", "label"]).to_pandas()
+    df = df.sort_values(["g", "node", "label"], kind="mergesort")
+    g = df["g"].to_numpy()
+    node = df["node"].to_numpy()
+    lab = df["label"].to_numpy()
+    new_vertex = np.r_[True, (g[1:] != g[:-1]) | (node[1:] != node[:-1])]
+    starts = np.flatnonzero(new_vertex)
+    ends = np.r_[starts[1:], len(g)]
+    kinds, og, oa, ob = [], [], [], []
+    for s, e in zip(starts, ends):
+        m = int(lab[s])  # sorted → first label is the min
+        kinds.append(0)
+        og.append(int(g[s]))
+        oa.append(int(node[s]))
+        ob.append(m)
+        prev = m
+        for i in range(s + 1, e):
+            l = int(lab[i])
+            if l != prev:  # sorted → dedup by adjacency
+                kinds.append(1)
+                og.append(int(g[s]))
+                oa.append(m)
+                ob.append(l)
+                prev = l
+    return pa.table({
+        "kind": pa.array(np.asarray(kinds, dtype=np.int8), pa.int8()),
+        "g": pa.array(np.asarray(og, dtype=np.int64), pa.int64()),
+        "a": pa.array(np.asarray(oa, dtype=np.int64), pa.int64()),
+        "b": pa.array(np.asarray(ob, dtype=np.int64), pa.int64()),
+    })
 
 
 def _driver_union_find(table: pa.Table) -> dict:
@@ -399,18 +455,35 @@ def connected_components(
             ckpt.save(labels_key, local, extra={"level": _level})
             ckpt.save(eq_key, local, extra={"level": _level})
             return _empty_labels()
-        node_min = local.groupby(["g", "node"]).aggregate(Min("label", alias_name="label"))
-        # equivalence edges: for each (g, node, local_label) where local_label
-        # differs from the vertex's min — connect them in the label graph
-        llocal = local.rename_columns(["g", "node", "llabel"])
-        joined = cogroup_join(llocal, node_min, ("g", "node"), how="inner",
-                              num_partitions=num_partitions)
-        eq_edges = joined.map_batches(
-            lambda b: pa.table(
-                {"g": b["g"], "a": b["label"], "b": b["llabel"]}
-            ).filter(pc.not_equal(b["label"], b["llabel"])),
-            batch_format="pyarrow",
-        )
+
+        # ONE shuffle computes both the per-(g,node) min label and the
+        # equivalence edges: co-partition label rows by a hash of the vertex so
+        # every row of a vertex lands in one group (replaces an aggregate + a
+        # join — 3 fewer stage launches per level, the dominant fixed cost on
+        # iterative rounds)
+        def vbucket(batch: pa.Table) -> pa.Table:
+            n = batch["node"].to_numpy(zero_copy_only=False)
+            g = batch["g"].to_numpy(zero_copy_only=False)
+            key = (n.astype(np.uint64) * np.uint64(1099511628211)
+                   ^ g.astype(np.uint64))
+            b = ((key * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
+                 ).astype(np.int64) % num_partitions
+            return batch.append_column("vb", pa.array(b, pa.int64()))
+
+        resolved = local.map_batches(vbucket, batch_format="pyarrow") \
+                        .groupby("vb").map_groups(_node_min_eq_group,
+                                                  batch_format="pyarrow")
+        resolved = resolved.materialize()
+        node_min = resolved.map_batches(
+            lambda b: (lambda f: pa.table({"g": f["g"], "node": f["a"],
+                                           "label": f["b"]}))(
+                b.filter(pc.equal(b["kind"], pa.scalar(0, pa.int8())))),
+            batch_format="pyarrow")
+        eq_edges = resolved.map_batches(
+            lambda b: (lambda f: pa.table({"g": f["g"], "a": f["a"],
+                                           "b": f["b"]}))(
+                b.filter(pc.equal(b["kind"], pa.scalar(1, pa.int8())))),
+            batch_format="pyarrow")
         node_min = ckpt.save(labels_key, node_min, extra={"level": _level})
         eq_edges = ckpt.save(eq_key, eq_edges, extra={"level": _level})
 
