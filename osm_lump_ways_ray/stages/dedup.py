@@ -96,25 +96,37 @@ class MinHashLSH:
         })
 
 
+_PAIR_CAP = 200  # all-pairs guard: above this a bucket degrades to star+chain
+
+
 def _bucket_pairs(batch: pa.Table) -> pa.Table:
     """map_groups body over (band, band_hash) buckets → candidate pairs
-    (min doc as u). Buckets are tiny for honest data; a pathological bucket is
-    capped and logged via the pair limit."""
+    (min doc as u). Buckets are tiny for honest data. A pathological bucket
+    (all-pairs would exceed ``_PAIR_CAP``) degrades to STAR pairs through the
+    min doc PLUS consecutive-doc CHAIN pairs — O(n) pairs that preserve
+    connectivity inside the bucket for the downstream connected-components
+    clustering (nothing is silently dropped) — and logs a warning."""
     docs = np.unique(batch["doc"].to_numpy(zero_copy_only=False))
     if len(docs) < 2:
         return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
     docs.sort()
-    cap = 200  # pathological-bucket guard: cap pairs per bucket (documented)
-    u, v = [], []
-    for i in range(len(docs)):
-        for j in range(i + 1, len(docs)):
-            u.append(int(docs[i]))
-            v.append(int(docs[j]))
-            if len(u) >= cap:
-                break
-        if len(u) >= cap:
-            break
-    return pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())})
+    n = len(docs)
+    if n * (n - 1) // 2 > _PAIR_CAP:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "LSH bucket with %d docs exceeds all-pairs cap %d; degrading to "
+            "star+chain pairs (%d pairs, connectivity preserved)",
+            n, _PAIR_CAP, 2 * (n - 1))
+        star_u = np.full(n - 1, docs[0], dtype=np.int64)
+        star_v = docs[1:].astype(np.int64)
+        chain_u = docs[:-1].astype(np.int64)
+        chain_v = docs[1:].astype(np.int64)
+        return pa.table({"u": pa.array(np.concatenate([star_u, chain_u])),
+                         "v": pa.array(np.concatenate([star_v, chain_v]))})
+    iu, ju = np.triu_indices(n, k=1)
+    return pa.table({"u": pa.array(docs[iu].astype(np.int64)),
+                     "v": pa.array(docs[ju].astype(np.int64))})
 
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
@@ -125,16 +137,28 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _shingle_set(text: str, k: int) -> set:
+    words = text.split(" ")
+    if len(words) < k:
+        return {tuple(words)}
+    return set(map(tuple, zip(*[words[i:] for i in range(k)])))
+
+
 def minhash_dedup_clusters(docs_ds, *, num_perm: int = 64, bands: int = 16,
-                           shingle_k: int = 3, jaccard_threshold: float = 0.8,
+                           shingle_k: int = 3, jaccard_threshold=0.8,
                            id_col: str = "doc_id", text_col: str = "text",
                            num_partitions: int = 16, concurrency=None,
-                           verify_texts_ref=None):
+                           verify_with=None):
     """Full MinHash-LSH near-dup pipeline → Dataset (node, component_id) of dup
     clusters (component_id = min doc id — same convention as G1).
 
-    ``verify_texts_ref``: optional ray.put({doc_id: text}) for the exact-Jaccard
-    verification step; omitted → trust LSH candidates (banding precision)."""
+    ``verify_with``: optional documents Dataset for the exact-Jaccard
+    verification step, JOINED onto the candidate pairs (u-side and v-side text
+    hash-joins — no whole-corpus broadcast, scales to any corpus size);
+    omitted → trust LSH candidates (banding precision).
+    ``jaccard_threshold``: float, or an (num, den) integer pair for an exact
+    rational compare (``den*|A∩B| >= num*|A∪B|``) that is bit-stable across
+    engines (used by the SQL oracle)."""
     import ray
 
     if concurrency is None:
@@ -149,17 +173,43 @@ def minhash_dedup_clusters(docs_ds, *, num_perm: int = 64, bands: int = 16,
     )
     pairs = sigs.groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pyarrow")
+    # a pair found in B bands appears B times — dedupe BEFORE the (expensive)
+    # text verify so each candidate is verified once
+    from ray.data.aggregate import Count
 
-    if verify_texts_ref is not None:
+    pairs = pairs.groupby(["u", "v"]).aggregate(Count(alias_name="_c")) \
+                 .select_columns(["u", "v"])
+
+    if verify_with is not None:
+        from .relational import cogroup_join
+
+        texts = verify_with.map_batches(
+            lambda b: pa.table({"u": b[id_col], "_tu": b[text_col]}),
+            batch_format="pyarrow")
+        pairs = cogroup_join(pairs, texts, ("u",), how="inner",
+                             num_partitions=num_partitions)
+        texts_v = verify_with.map_batches(
+            lambda b: pa.table({"v": b[id_col], "_tv": b[text_col]}),
+            batch_format="pyarrow")
+        pairs = cogroup_join(pairs, texts_v, ("v",), how="inner",
+                             num_partitions=num_partitions)
+        if isinstance(jaccard_threshold, tuple):
+            num, den = jaccard_threshold
+        else:
+            num, den = jaccard_threshold, 1.0
+
         def verify(batch: pa.Table) -> pa.Table:
-            texts = ray.get(verify_texts_ref)
-            u = batch["u"].to_numpy(zero_copy_only=False)
-            v = batch["v"].to_numpy(zero_copy_only=False)
-            keep = np.array([
-                ngram_jaccard(texts[int(a)], texts[int(b)], shingle_k) >= jaccard_threshold
-                for a, b in zip(u, v)
-            ], dtype=bool) if len(u) else np.array([], dtype=bool)
-            return batch.filter(pa.array(keep))
+            tu = batch["_tu"].to_pylist()
+            tv = batch["_tv"].to_pylist()
+            keep = np.empty(len(tu), dtype=bool)
+            for i in range(len(tu)):
+                sa = _shingle_set(tu[i], shingle_k)
+                sb = _shingle_set(tv[i], shingle_k)
+                inter = len(sa & sb)
+                union = len(sa | sb)
+                keep[i] = den * inter >= num * union if union else True
+            return pa.table({"u": batch["u"], "v": batch["v"]}).filter(
+                pa.array(keep))
 
         pairs = pairs.map_batches(verify, batch_format="pyarrow")
 
@@ -182,7 +232,9 @@ def simhash_batch(batch: pa.Table, id_col: str = "doc_id",
         for j, w in enumerate(words):
             hs[j] = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-        score = bits.sum(axis=0) * 2 - len(words)
+        # SIGNED score: the uint64 sum would wrap on negative majorities and
+        # set the bit for every non-tie (caught by the SQL value-oracle, r2)
+        score = bits.sum(axis=0).astype(np.int64) * 2 - len(words)
         sig = np.uint64(0)
         for b in range(64):
             if score[b] > 0:

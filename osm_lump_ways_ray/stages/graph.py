@@ -428,8 +428,23 @@ def connected_components(
 
     ckpt = checkpoint or CheckpointManager(None)
     t0 = time.monotonic()
-    labels_key = f"cc/l{_level}/labels"
-    eq_key = f"cc/l{_level}/eq_edges"
+    # Fingerprint the invocation into the checkpoint key (ADVICE r1): a fixed
+    # "cc/l{level}" key silently served ANOTHER input's labels when one
+    # checkpoint dir was shared across runs or across two CC calls in one
+    # pipeline. Cheap content proxy = row count (one metadata-only pass on the
+    # materialized input) mixed with the parameter tuple; computed only when
+    # checkpointing is enabled.
+    if ckpt.root is not None:
+        import hashlib as _hl
+
+        edges_ds = edges_ds.materialize()
+        fp_src = f"{src}|{dst}|{group_col}|{num_partitions}|{edges_ds.count()}"
+        fp = _hl.md5(fp_src.encode()).hexdigest()[:10]
+        key_prefix = f"cc-{fp}"
+    else:
+        key_prefix = "cc"
+    labels_key = f"{key_prefix}/l{_level}/labels"
+    eq_key = f"{key_prefix}/l{_level}/eq_edges"
 
     if ckpt.has(labels_key) and ckpt.has(eq_key):
         node_min = ckpt.load(labels_key)

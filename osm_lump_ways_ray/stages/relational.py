@@ -106,6 +106,13 @@ def cogroup_join(left, right, on, how: str = "inner", num_partitions: int = 16):
         if how == "inner":
             out = l.merge(r, on=on, how="inner")
         elif how == "left_outer":
+            # Cast right-side integer columns to NULLABLE Int64 BEFORE the
+            # merge: pandas pads unmatched left rows with NaN, upcasting int64
+            # → float64 and silently losing low bits of 63-bit hash ids
+            # (> 2^53). The post-merge Int64 re-cast below cannot recover them.
+            for c in r_extra:
+                if pa.types.is_integer(types[c]) and r[c].dtype.kind in "iu":
+                    r[c] = r[c].astype("Int64")
             out = l.merge(r, on=on, how="left")
         elif how == "left_anti":
             out = l.merge(r[on].drop_duplicates(), on=on, how="left", indicator=True)

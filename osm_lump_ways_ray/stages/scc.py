@@ -49,74 +49,156 @@ def directed_ends(edges_ds, src: str = "src", dst: str = "dst"):
 
 # ------------------------------------------------------------- min-label rounds
 
-def _propagate_round_local(df):
-    """map_groups body: one bucket's label rows + edge rows → locally-fixpointed
-    labels plus cross-bucket push candidates.
+_BUCKET_SHIFT = 6  # 64 consecutive node ids per bucket (locality-preserving)
+_INF = 1 << 62     # "no candidate" sentinel (min-combines away)
 
-    Rows: kind 0 = label (node, other=-, label); kind 1 = edge (node=src,
-    other=dst). Runs a worklist min-propagation over the LOCAL subgraph, so a
-    chain living in one bucket collapses in a single round (bucketing is by
-    node-id range → spatially/sequentially local graphs converge in ~1-2
-    cross-bucket rounds instead of diameter rounds)."""
-    import pandas as pd
+
+def _fwbw_round_local(df):
+    """map_groups body: one bucket's label rows + edge rows → locally-fixpointed
+    (fwd, bwd) label pairs for OWNED nodes plus cross-bucket push candidates.
+
+    Rows: kind 0 = label (node, fwd, bwd); kind 1 = edge (node=src, other=dst).
+    Every label row for node n lives in bucket(n); every edge is shipped to BOTH
+    endpoint buckets, so the owned subgraph is locally complete. fwd labels flow
+    src→dst, bwd labels flow dst→src — one fused worklist fixpoint instead of
+    two separate propagation jobs (halves rounds, barriers and shuffles).
+    ``changed`` = 1 on owned rows whose final fwd/bwd improved on the incoming
+    minimum → Σchanged==0 is the global fixpoint test."""
     from collections import defaultdict
 
     kind = df["kind"].to_numpy()
     node = df["node"].to_numpy()
     other = df["other"].to_numpy()
-    label_col = df["label"].to_numpy()
+    fwd_col = df["fwd"].to_numpy()
+    bwd_col = df["bwd"].to_numpy()
+    # prev_owned: 1 on label rows that were a bucket's OWNED output last round;
+    # 0 on external candidates. ``changed`` must compare against the owned
+    # previous value ONLY — folding ext candidates into prev hid cross-bucket
+    # improvements and stopped the loop a round early (caught at sf0.01).
+    owned_col = (df["prev_owned"].to_numpy() if "prev_owned" in df.columns
+                 else np.ones(len(kind), dtype=np.int8))
 
-    lab: dict[int, int] = {}
-    adj = defaultdict(list)
+    labF: dict[int, int] = {}
+    labB: dict[int, int] = {}
+    prevF: dict[int, int] = {}
+    prevB: dict[int, int] = {}
+    outs = defaultdict(list)  # u -> [v]  (edge u→v, u or v owned here)
+    ins = defaultdict(list)   # v -> [u]
     for i in range(len(kind)):
         if kind[i] == 0:
             n = int(node[i])
-            l = int(label_col[i])
-            if n not in lab or l < lab[n]:
-                lab[n] = l
+            f, b = int(fwd_col[i]), int(bwd_col[i])
+            if f < labF.get(n, _INF):
+                labF[n] = f
+            if b < labB.get(n, _INF):
+                labB[n] = b
+            if owned_col[i] == 1:
+                if f < prevF.get(n, _INF):
+                    prevF[n] = f
+                if b < prevB.get(n, _INF):
+                    prevB[n] = b
         else:
-            adj[int(node[i])].append(int(other[i]))
-
-    # local fixpoint: push min labels along local edges until stable
-    work = list(lab.keys())
-    external: dict[int, int] = {}
+            u, v = int(node[i]), int(other[i])
+            outs[u].append(v)
+            ins[v].append(u)
+    extF: dict[int, int] = {}
+    extB: dict[int, int] = {}
+    work = list(labF.keys())
+    in_work = set(work)
     while work:
-        nxt = []
+        nxt, nxt_set = [], set()
         for u in work:
-            lu = lab.get(u)
-            if lu is None:
-                continue
-            for v in adj.get(u, ()):
-                if v in lab:
-                    if lu < lab[v]:
-                        lab[v] = lu
-                        nxt.append(v)
-                else:
-                    # dst's label row lives in another bucket → emit candidate
-                    if v not in external or lu < external[v]:
-                        external[v] = lu
-        work = nxt
+            fu = labF.get(u, _INF)
+            bu = labB.get(u, _INF)
+            if fu < _INF:
+                for v in outs.get(u, ()):
+                    if v in labF:
+                        if fu < labF[v]:
+                            labF[v] = fu
+                            if v not in nxt_set:
+                                nxt.append(v)
+                                nxt_set.add(v)
+                    elif fu < extF.get(v, _INF):
+                        extF[v] = fu
+            if bu < _INF:
+                for v in ins.get(u, ()):
+                    if v in labB:
+                        if bu < labB[v]:
+                            labB[v] = bu
+                            if v not in nxt_set:
+                                nxt.append(v)
+                                nxt_set.add(v)
+                    elif bu < extB.get(v, _INF):
+                        extB[v] = bu
+        work, in_work = nxt, nxt_set
 
-    nodes_out = list(lab.keys()) + list(external.keys())
-    labels_out = list(lab.values()) + list(external.values())
-    # Arrow out (pandas blocks trip Ray's Project fusion on rename downstream)
-    return pa.table({"node": pa.array(np.asarray(nodes_out, dtype=np.int64)),
-                     "label": pa.array(np.asarray(labels_out, dtype=np.int64))})
+    owned_nodes = list(labF.keys())
+    ext_nodes = sorted(set(extF) | set(extB))
+    n_own, n_ext = len(owned_nodes), len(ext_nodes)
+    nodes_out = np.empty(n_own + n_ext, dtype=np.int64)
+    f_out = np.empty(n_own + n_ext, dtype=np.int64)
+    b_out = np.empty(n_own + n_ext, dtype=np.int64)
+    chg = np.zeros(n_own + n_ext, dtype=np.int64)
+    owned_flag = np.zeros(n_own + n_ext, dtype=np.int8)
+    for i, n in enumerate(owned_nodes):
+        nodes_out[i] = n
+        f_out[i] = labF[n]
+        b_out[i] = labB[n]
+        owned_flag[i] = 1
+        if labF[n] < prevF.get(n, _INF) or labB[n] < prevB.get(n, _INF):
+            chg[i] = 1
+    for j, n in enumerate(ext_nodes):
+        nodes_out[n_own + j] = n
+        f_out[n_own + j] = extF.get(n, _INF)
+        b_out[n_own + j] = extB.get(n, _INF)
+    return pa.table({"node": pa.array(nodes_out), "fwd": pa.array(f_out),
+                     "bwd": pa.array(b_out), "changed": pa.array(chg),
+                     "owned": pa.array(owned_flag)})
 
 
-_BUCKET_SHIFT = 6  # 64 consecutive node ids per bucket (locality-preserving)
+def _propagate_fwbw(edges_ds, src: str, dst: str, max_rounds: int = 64):
+    """Fused forward+backward min-label propagation to fixpoint.
 
+    Labels start at (node, node); each round co-partitions label rows with
+    both-endpoint edge copies by node-id-range bucket and runs the fused local
+    fixpoint. Rounds ≈ cross-bucket diameter. Returns (node, fwd, bwd) for all
+    vertices of ``edges_ds``."""
 
-def _propagate_min(edges_ds, labels_ds, src: str, dst: str,
-                   num_partitions: int, max_rounds: int = 64):
-    """Iterate label(dst) = min(label(dst), label(src)) to fixpoint.
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        s = batch[src].to_numpy(zero_copy_only=False)
+        d = batch[dst].to_numpy(zero_copy_only=False)
+        bs = s >> _BUCKET_SHIFT
+        bd = d >> _BUCKET_SHIFT
+        cross = bs != bd  # ship a 2nd copy to the dst bucket only when it differs
+        bucket = np.concatenate([bs, bd[cross]])
+        node = np.concatenate([s, s[cross]])
+        other = np.concatenate([d, d[cross]])
+        n = len(bucket)
+        return pa.table({
+            "bucket": pa.array(bucket, pa.int64()),
+            "kind": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+            "node": pa.array(node, pa.int64()),
+            "other": pa.array(other, pa.int64()),
+            "fwd": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+            "bwd": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+            "prev_owned": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+        })
 
-    Each round: co-partition labels + edges by a RANGE bucket of the node id
-    (``node >> 6``), run a local worklist fixpoint per bucket
-    (``groupby(bucket).map_groups``), then a global ``groupby(node).min``.
-    Rounds needed ≈ cross-bucket diameter, not node diameter. Convergence:
-    Σlabel strictly decreases until stable (labels only ever shrink)."""
-    from ray.data.aggregate import Min, Sum
+    def init_labels(batch: pa.Table) -> pa.Table:
+        # vertex init from edge rows: both endpoints, label = own id; duplicates
+        # collapse inside the bucket-local pass (min semantics)
+        s = batch[src].to_numpy(zero_copy_only=False)
+        d = batch[dst].to_numpy(zero_copy_only=False)
+        n = np.concatenate([s, d])
+        return pa.table({
+            "bucket": pa.array(n >> _BUCKET_SHIFT, pa.int64()),
+            "kind": pa.array(np.zeros(len(n), dtype=np.int8), pa.int8()),
+            "node": pa.array(n, pa.int64()),
+            "other": pa.array(np.zeros(len(n), dtype=np.int64), pa.int64()),
+            "fwd": pa.array(n, pa.int64()),
+            "bwd": pa.array(n, pa.int64()),
+            "prev_owned": pa.array(np.ones(len(n), dtype=np.int8), pa.int8()),
+        })
 
     def tag_labels(batch: pa.Table) -> pa.Table:
         n = batch["node"].to_numpy(zero_copy_only=False)
@@ -125,193 +207,200 @@ def _propagate_min(edges_ds, labels_ds, src: str, dst: str,
             "kind": pa.array(np.zeros(len(n), dtype=np.int8), pa.int8()),
             "node": batch["node"],
             "other": pa.array(np.zeros(len(n), dtype=np.int64), pa.int64()),
-            "label": batch["label"],
-        })
-
-    def tag_edges(batch: pa.Table) -> pa.Table:
-        s = batch[src].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "bucket": pa.array(s >> _BUCKET_SHIFT, pa.int64()),
-            "kind": pa.array(np.ones(len(s), dtype=np.int8), pa.int8()),
-            "node": batch[src],
-            "other": batch[dst],
-            "label": pa.array(np.zeros(len(s), dtype=np.int64), pa.int64()),
+            "fwd": batch["fwd"],
+            "bwd": batch["bwd"],
+            "prev_owned": batch["owned"].cast(pa.int8()),
         })
 
     edges_tagged = snapshot(edges_ds.map_batches(tag_edges, batch_format="pyarrow"))
-    prev_sum = None
-    labels = labels_ds
-    for _ in range(max_rounds):
-        tagged = concat_blocks(
-            labels.map_batches(tag_labels, batch_format="pyarrow"), edges_tagged)
-        cand = tagged.groupby("bucket").map_groups(_propagate_round_local,
-                                                   batch_format="pandas")
-        labels = cand.groupby("node").aggregate(Min("label", alias_name="label"))
+    labels = None
+    for rnd in range(max_rounds):
+        if labels is None:
+            tagged = concat_blocks(
+                edges_ds.map_batches(init_labels, batch_format="pyarrow"),
+                edges_tagged)
+        else:
+            tagged = concat_blocks(
+                labels.map_batches(tag_labels, batch_format="pyarrow"),
+                edges_tagged)
+        labels = tagged.groupby("bucket").map_groups(_fwbw_round_local,
+                                                     batch_format="pandas")
         labels = snapshot(labels)
-        s = labels.sum("label")
-        if prev_sum is not None and s == prev_sum:
+        if labels.sum("changed") == 0 and rnd > 0:
             break
-        prev_sum = s
-    return labels
+    # keep only OWNED rows (external candidates are round-internal transport;
+    # at fixpoint they provably improve nothing — Σchanged == 0)
+    return labels.map_batches(
+        lambda b: pa.table({"node": b["node"], "fwd": b["fwd"], "bwd": b["bwd"]})
+        .filter(pa.compute.equal(b["owned"], pa.scalar(1, pa.int8()))),
+        batch_format="pyarrow")
 
 
-def _trim_dir_group(df, trim_out: bool):
-    """map_groups body: one bucket's edges → surviving edges + killed-node rows.
+def _trim_round_local(df):
+    """map_groups body: one bucket's edge copies → edge copies surviving the
+    bucket-local acyclic cascade.
 
-    Bucketed by the OWNED endpoint (src for out-trim, dst for in-trim), so a
-    node's entire out-degree (resp. in-degree) is locally known and degree-0
-    nodes cascade-kill within the bucket — a chain living in one id-range
-    bucket dies in a single round (classic SCC trimming, made bucket-local).
-    Output rows: kind 0 = surviving edge (src, dst); kind 1 = killed node."""
-    import pandas as pd
+    Each edge is shipped to bucket(src) AND bucket(dst) (one copy when equal,
+    ``need`` records the copy count), so a bucket knows the COMPLETE in/out
+    degree of every node in its id range. Classic SCC trimming — kill nodes
+    with in-degree 0 or out-degree 0 (they cannot lie on a cycle), cascade —
+    runs locally over the owned nodes; cross-bucket effects land next round via
+    the vote count (an edge survives only if ALL its copies survive)."""
     from collections import defaultdict
 
     src_a = df["src"].to_numpy()
     dst_a = df["dst"].to_numpy()
-    own = src_a if trim_out else dst_a
-    other = dst_a if trim_out else src_a
-    bucket = int(own[0]) >> _BUCKET_SHIFT
+    need_a = df["need"].to_numpy()
+    bucket = int(df["bucket"].iloc[0])
 
-    deg = defaultdict(int)       # owned-endpoint degree (out for out-trim)
-    rev = defaultdict(list)      # other-endpoint (local) -> edge idxs
-    alive = np.ones(len(src_a), dtype=bool)
-    local_nodes = set()
+    indeg = defaultdict(int)
+    outdeg = defaultdict(int)
+    inc = defaultdict(list)  # owned node -> incident edge idxs
     for i in range(len(src_a)):
-        deg[int(own[i])] += 1
-        local_nodes.add(int(own[i]))
-        o = int(other[i])
-        if o >> _BUCKET_SHIFT == bucket:
-            rev[o].append(i)
+        s, d = int(src_a[i]), int(dst_a[i])
+        if s >> _BUCKET_SHIFT == bucket:
+            outdeg[s] += 1
+            inc[s].append(i)
+        if d >> _BUCKET_SHIFT == bucket:
+            indeg[d] += 1
+            inc[d].append(i)
 
-    # seed: local nodes appearing ONLY as the other endpoint have local degree 0
-    killed = []
-    work = [n for n in (set(rev.keys()) - local_nodes)]
-    seen_killed = set(work)
+    alive = np.ones(len(src_a), dtype=bool)
+    dead_nodes = set()
+    work = [n for n in inc
+            if (n >> _BUCKET_SHIFT == bucket) and (indeg[n] == 0 or outdeg[n] == 0)]
+    dead_nodes.update(work)
     while work:
         n = work.pop()
-        killed.append(n)
-        for i in rev.get(n, ()):
+        for i in inc[n]:
             if not alive[i]:
                 continue
             alive[i] = False
-            m = int(own[i])
-            deg[m] -= 1
-            if deg[m] == 0 and m not in seen_killed:
-                seen_killed.add(m)
-                work.append(m)
+            for m, deg in ((int(src_a[i]), outdeg), (int(dst_a[i]), indeg)):
+                if m >> _BUCKET_SHIFT == bucket and m not in dead_nodes:
+                    deg[m] -= 1
+                    if indeg[m] == 0 or outdeg[m] == 0:
+                        dead_nodes.add(m)
+                        work.append(m)
 
-    surv = np.where(alive)[0]
-    k = len(killed)
-    return pa.table({
-        "kind": pa.array(np.concatenate([np.zeros(len(surv), dtype=np.int8),
-                                         np.ones(k, dtype=np.int8)])),
-        "src": pa.array(np.concatenate([src_a[surv].astype(np.int64),
-                                        np.asarray(killed, dtype=np.int64)])),
-        "dst": pa.array(np.concatenate([dst_a[surv].astype(np.int64),
-                                        np.zeros(k, dtype=np.int64)])),
-    })
+    keep = np.where(alive)[0]
+    return pa.table({"src": pa.array(src_a[keep].astype(np.int64)),
+                     "dst": pa.array(dst_a[keep].astype(np.int64)),
+                     "need": pa.array(need_a[keep].astype(np.int8))})
+
+
+def _vote_reduce(df):
+    """Per hash-bucket: keep edges whose surviving-copy count equals ``need``."""
+    src_a = df["src"].to_numpy().astype(np.int64)
+    dst_a = df["dst"].to_numpy().astype(np.int64)
+    need_a = df["need"].to_numpy().astype(np.int64)
+    order = np.lexsort((dst_a, src_a))
+    ss, dd = src_a[order], dst_a[order]
+    boundaries = np.concatenate([[True], (ss[1:] != ss[:-1]) | (dd[1:] != dd[:-1])])
+    grp = np.cumsum(boundaries) - 1
+    counts = np.bincount(grp)
+    firsts = np.where(boundaries)[0]
+    ok = counts == need_a[order][firsts]
+    sel = order[firsts[ok]]
+    return pa.table({"src": pa.array(src_a[sel]), "dst": pa.array(dst_a[sel]),
+                     "need": pa.array(need_a[sel].astype(np.int8))})
 
 
 def _trim_acyclic(edges, src: str, dst: str, num_partitions: int,
-                  max_rounds: int = 10):
+                  max_rounds: int = 12):
     """Iteratively remove provably-acyclic nodes before FW-BW peeling. Without
     this, every chain prefix costs one full peel round (fwd-min ≠ bwd-min along
-    chains). Per round and direction: (1) bucket-local degree-0 cascade (kills
-    whole id-local chains at once), (2) a global anti-join layer for
-    cross-bucket dangling nodes (distinct dsts never appearing as src, and
-    vice versa)."""
+    chains). One round = ONE fused bucket-local cascade over both directions
+    (each edge shipped to both endpoint buckets) + ONE vote-count reduce — two
+    shuffles total, replacing the round-1 design's per-direction join/count
+    ladder (~8 barriers/round)."""
 
+    def fanout(batch: pa.Table) -> pa.Table:
+        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        bs = s >> _BUCKET_SHIFT
+        bd = d >> _BUCKET_SHIFT
+        cross = bs != bd
+        need = np.where(cross, 2, 1).astype(np.int8)
+        return pa.table({
+            "bucket": pa.array(np.concatenate([bs, bd[cross]]), pa.int64()),
+            "src": pa.array(np.concatenate([s, s[cross]]), pa.int64()),
+            "dst": pa.array(np.concatenate([d, d[cross]]), pa.int64()),
+            "need": pa.array(np.concatenate([need, need[cross]]), pa.int8()),
+        })
+
+    def vote_bucket(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = batch["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((s * np.uint64(1099511628211) ^ d) * np.uint64(0x9E3779B97F4A7C15)
+             >> np.uint64(17)).astype(np.int64) % num_partitions
+        return batch.append_column("vbucket", pa.array(h, pa.int64()))
+
+    prev_count = None
     for _ in range(max_rounds):
-        n_before = edges.count()
-        if n_before == 0:
-            return edges
-        for trim_out in (True, False):
-            own = src if trim_out else dst
-            anti_col = dst if trim_out else src
-
-            def bucketize(batch: pa.Table, _own=own) -> pa.Table:
-                o = batch[_own].to_numpy(zero_copy_only=False)
-                return pa.table({
-                    "bucket": pa.array(o >> _BUCKET_SHIFT, pa.int64()),
-                    "src": batch[src], "dst": batch[dst],
-                })
-
-            out = edges.map_batches(bucketize, batch_format="pyarrow") \
-                       .groupby("bucket").map_groups(
-                           lambda df, _t=trim_out: _trim_dir_group(df, _t),
-                           batch_format="pandas")
-            out = snapshot(out)
-            killed = out.map_batches(
-                lambda b, _a=anti_col: pa.table({_a: b.filter(
-                    pa.compute.equal(b["kind"], pa.scalar(1, pa.int8())))["src"]}),
-                batch_format="pyarrow")
-            killed = snapshot(killed)
-            surv = out.map_batches(
-                lambda b: (lambda f: pa.table({"src": f["src"], "dst": f["dst"]}))(
-                    b.filter(pa.compute.equal(b["kind"], pa.scalar(0, pa.int8())))),
-                batch_format="pyarrow")
-            if killed.count():
-                edges = cogroup_join(surv, killed, (anti_col,), how="left_anti",
-                                     num_partitions=num_partitions)
-                edges = snapshot(edges)
-            else:
-                edges = snapshot(surv)
-            if edges.count() == 0:
-                return edges
-            # global layer: nodes appearing only on the dead side
-            dead = cogroup_join(
-                distinct(edges.map_batches(
-                    lambda b, _a=anti_col: pa.table({"node": b[_a]}),
-                    batch_format="pyarrow"), "node"),
-                distinct(edges.map_batches(
-                    lambda b, _o=own: pa.table({"node": b[_o]}),
-                    batch_format="pyarrow"), "node"),
-                ("node",), how="left_anti", num_partitions=num_partitions)
-            dead = dead.map_batches(
-                lambda b, _a=anti_col: pa.table({_a: b["node"]}),
-                batch_format="pyarrow")
-            dead = snapshot(dead)
-            if dead.count():
-                edges = snapshot(cogroup_join(edges, dead, (anti_col,), how="left_anti",
-                                              num_partitions=num_partitions))
-        if edges.count() == n_before:
+        n = edges.count()
+        if n == 0 or n == prev_count:
             break
+        prev_count = n
+        local = edges.map_batches(fanout, batch_format="pyarrow") \
+                     .groupby("bucket").map_groups(_trim_round_local,
+                                                   batch_format="pandas")
+        voted = local.map_batches(vote_bucket, batch_format="pyarrow") \
+                     .groupby("vbucket").map_groups(_vote_reduce,
+                                                    batch_format="pandas")
+        edges = snapshot(voted.map_batches(
+            lambda b: pa.table({src: b["src"], dst: b["dst"]}),
+            batch_format="pyarrow"))
     return edges
+
+
+def _dedupe_edges(edges, src: str, dst: str, num_partitions: int):
+    """Exact (src,dst) dedup via hash-bucket + per-bucket np.unique. Needed
+    before trimming: the vote-count survival rule assumes one row per edge."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        s = batch[src].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((s * np.uint64(1099511628211) ^ d) * np.uint64(0x9E3779B97F4A7C15)
+             >> np.uint64(17)).astype(np.int64) % num_partitions
+        return pa.table({"vbucket": pa.array(h, pa.int64()),
+                         src: batch[src], dst: batch[dst]})
+
+    def uniq(df):
+        s = df[src].to_numpy().astype(np.int64)
+        d = df[dst].to_numpy().astype(np.int64)
+        order = np.lexsort((d, s))
+        ss, dd = s[order], d[order]
+        first = np.concatenate([[True], (ss[1:] != ss[:-1]) | (dd[1:] != dd[:-1])])
+        return pa.table({src: pa.array(ss[first]), dst: pa.array(dd[first])})
+
+    return edges.map_batches(bucketize, batch_format="pyarrow") \
+                .groupby("vbucket").map_groups(uniq, batch_format="pandas")
 
 
 def strongly_connected_components(edges_ds, src: str = "src", dst: str = "dst",
                                   *, num_partitions: int = 8,
-                                  max_peel_rounds: int = 8,
+                                  max_peel_rounds: int = 32,
                                   drop_singletons: bool = True):
     """Distributed SCC → Dataset (node, scc_id); scc_id = min node of the cycle
     (the reference's root_nid = min nid convention, -down/main.rs:544-663).
     Singleton components dropped by default (kosaraju.rs:87 parity).
 
-    Pipeline: acyclic trimming (kills chains/trees — the vast majority of a
-    waterway graph) → FW-BW min-label peeling on the cyclic core."""
+    Pipeline: edge dedup → acyclic trimming (kills chains/trees — the vast
+    majority of a waterway graph) → fused FW-BW min-label peeling on the cyclic
+    core. Raises if the peel cap is hit with edges remaining (a partial result
+    would silently leave cycles in "DAG" outputs downstream)."""
     import ray.data
 
     assigned = None  # union of per-round hits (stays distributed)
-    edges = snapshot(edges_ds.select_columns([src, dst]))
+    edges = snapshot(_dedupe_edges(edges_ds.select_columns([src, dst]),
+                                   src, dst, num_partitions))
     edges = _trim_acyclic(edges, src, dst, num_partitions)
 
     for _ in range(max_peel_rounds):
         if edges.count() == 0:
             break
-        verts = distinct(concat_blocks(
-            edges.map_batches(lambda b: pa.table({"node": b[src]}),
-                              batch_format="pyarrow"),
-            edges.map_batches(lambda b: pa.table({"node": b[dst]}),
-                              batch_format="pyarrow")), "node")
-        init = verts.map_batches(
-            lambda b: pa.table({"node": b["node"], "label": b["node"]}),
-            batch_format="pyarrow")
-        init = snapshot(init)
-        fwd = _propagate_min(edges, init, src, dst, num_partitions)
-        bwd = _propagate_min(edges, init, dst, src, num_partitions)
-        both = cogroup_join(fwd.rename_columns(["node", "fwd"]),
-                            bwd.rename_columns(["node", "bwd"]),
-                            ("node",), how="inner", num_partitions=num_partitions)
+        both = _propagate_fwbw(edges, src, dst)
         hit = both.map_batches(
             lambda b: pa.table({"node": b["node"], "scc_id": b["fwd"]}).filter(
                 pa.compute.equal(b["fwd"], b["bwd"])),
@@ -321,7 +410,9 @@ def strongly_connected_components(edges_ds, src: str = "src", dst: str = "dst",
         if n_hit == 0:
             break
         assigned = hit if assigned is None else concat_blocks(assigned, hit)
-        # peel: drop edges whose src or dst is assigned
+        # peel: drop edges whose src or dst is assigned, then re-trim (peeling
+        # an SCC exposes fresh acyclic tendrils that would otherwise cost full
+        # FW-BW rounds)
         a_src = hit.map_batches(lambda b: pa.table({src: b["node"]}),
                                 batch_format="pyarrow")
         a_dst = hit.map_batches(lambda b: pa.table({dst: b["node"]}),
@@ -331,6 +422,13 @@ def strongly_connected_components(edges_ds, src: str = "src", dst: str = "dst",
         edges = cogroup_join(edges, a_dst, (dst,),
                              how="left_anti", num_partitions=num_partitions)
         edges = snapshot(edges)
+        edges = _trim_acyclic(edges, src, dst, num_partitions)
+    else:
+        if edges.count() > 0:
+            raise RuntimeError(
+                f"SCC peel cap ({max_peel_rounds} rounds) hit with "
+                f"{edges.count()} edges unassigned — refusing to return a "
+                "partial result (downstream contraction would keep cycles)")
 
     if assigned is None:
         return ray.data.from_arrow(pa.table({

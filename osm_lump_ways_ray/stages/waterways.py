@@ -37,13 +37,16 @@ from .graph import connected_components
 # ---------------------------------------------------------------------- G11
 
 def contract_cycles(edges_ds, *, src: str = "src", dst: str = "dst",
-                    length_col: str = "length_m", num_partitions: int = 8):
+                    length_col: str = "length_m", num_partitions: int = 8,
+                    scc_labels=None):
     """Replace every SCC member by its cycle's min node (-down/main.rs:677-705)
-    → loop-free DAG. Returns (dag_edges, scc_labels)."""
+    → loop-free DAG. Returns (dag_edges, scc_labels). Pass ``scc_labels`` to
+    reuse an SCC result already computed in the same pipeline (loop features +
+    contraction share one G10 run instead of two)."""
     from ray.data.aggregate import Min
 
-    scc = strongly_connected_components(edges_ds, src, dst,
-                                        num_partitions=num_partitions)
+    scc = scc_labels if scc_labels is not None else strongly_connected_components(
+        edges_ds, src, dst, num_partitions=num_partitions)
     scc = snapshot(scc)
     rep_src = scc.map_batches(
         lambda b: pa.table({src: b["node"], "_rs": b["scc_id"]}),
@@ -74,14 +77,16 @@ def contract_cycles(edges_ds, *, src: str = "src", dst: str = "dst",
 # ---------------------------------------------------------------------- G21
 
 def loop_features(edges_ds, positions_ref, polygons=None, *,
-                  src: str = "src", dst: str = "dst", num_partitions: int = 8):
+                  src: str = "src", dst: str = "dst", num_partitions: int = 8,
+                  scc_labels=None):
     """Per-SCC "loop" feature rows (-down/main.rs:544-663): root_nid = min nid,
     num_nodes, length_m (sum over cycle-internal segments), areas via the PIP
-    geocoder (J5/T1) on the loop's min-node position."""
+    geocoder (J5/T1) on the loop's min-node position. Pass ``scc_labels`` to
+    reuse an SCC result computed once per pipeline (shared with G11)."""
     import ray
 
-    scc = strongly_connected_components(edges_ds, src, dst,
-                                        num_partitions=num_partitions)
+    scc = scc_labels if scc_labels is not None else strongly_connected_components(
+        edges_ds, src, dst, num_partitions=num_partitions)
     scc = snapshot(scc)
     rep_src = scc.map_batches(
         lambda b: pa.table({src: b["node"], "_cs": b["scc_id"]}),

@@ -136,8 +136,11 @@ def test_connected_components_checkpoint_resume(ray_ds_factory, tmp_path):
     got1 = {r["node"]: r["component_id"]
             for r in connected_components(ds, checkpoint=ck1, num_partitions=4).take_all()}
     # simulate a killed+resumed job: fresh manager on same dir must reuse steps
+    # (keys carry an input/parameter fingerprint since r2 — match by pattern)
     ck2 = CheckpointManager(str(tmp_path / "ck"))
-    assert ck2.has("cc/l0/labels") and ck2.has("cc/l0/eq_edges")
+    done = list(ck2._manifest["completed"])
+    assert any(k.startswith("cc-") and k.endswith("/l0/labels") for k in done)
+    assert any(k.startswith("cc-") and k.endswith("/l0/eq_edges") for k in done)
     # poison the recompute path: resume must NOT re-run the per-partition stage
     orig = G._local_cc_group
     G._local_cc_group = None
@@ -149,6 +152,24 @@ def test_connected_components_checkpoint_resume(ray_ds_factory, tmp_path):
     assert got1 == got2 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
     lineage = (tmp_path / "ck" / "lineage.jsonl").read_text().strip().splitlines()
     assert len(lineage) >= 2
+
+
+def test_checkpoint_key_fingerprint_isolates_inputs(ray_ds_factory, tmp_path):
+    """ADVICE r1: one checkpoint dir shared by two different CC inputs must NOT
+    serve the first input's labels to the second."""
+    from osm_lump_ways_ray.state.checkpoint import CheckpointManager
+
+    ds1 = ray_ds_factory(pa.table({"u": np.array([1, 2], dtype=np.int64),
+                                   "v": np.array([2, 3], dtype=np.int64)}))
+    ds2 = ray_ds_factory(pa.table({"u": np.array([7], dtype=np.int64),
+                                   "v": np.array([8], dtype=np.int64)}))
+    ck = CheckpointManager(str(tmp_path / "ck"))
+    got1 = {r["node"]: r["component_id"]
+            for r in connected_components(ds1, checkpoint=ck, num_partitions=4).take_all()}
+    got2 = {r["node"]: r["component_id"]
+            for r in connected_components(ds2, checkpoint=ck, num_partitions=4).take_all()}
+    assert got1 == {1: 1, 2: 1, 3: 1}
+    assert got2 == {7: 7, 8: 7}
 
 
 def test_connected_components_grouped(ray_ds_factory):

@@ -49,6 +49,19 @@ def test_cogroup_left_outer_nulls(mk):
     assert rows == {1: BIG + 5, 2: None}
 
 
+def test_cogroup_left_outer_64bit_mixed_partition(mk):
+    # Regression (ADVICE r1, high): with matched AND unmatched left rows in the
+    # SAME partition group, pandas left-merge NaN-padding upcast right int64 →
+    # float64, losing low bits of ids > 2^53. num_partitions=1 forces cohab.
+    v = (1 << 62) + 12345
+    left = mk(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    right = mk(pa.table({"k": pa.array([1], pa.int64()),
+                         "v": pa.array([v], pa.int64())}))
+    rows = {r["k"]: r["v"] for r in cogroup_join(left, right, ("k",),
+                                                 how="left_outer", num_partitions=1).take_all()}
+    assert rows == {1: v, 2: None}
+
+
 def test_cogroup_multikey(mk):
     left = mk(pa.table({"a": pa.array([1, 1], pa.int64()),
                         "b": pa.array([10, 11], pa.int64()),

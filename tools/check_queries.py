@@ -27,7 +27,7 @@ def to_pandas(result):
     return result.to_pandas()  # ray Dataset
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame, sort: bool = True) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
@@ -36,7 +36,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+    if sort:
+        df = df.sort_values(list(df.columns))
+    return df.reset_index(drop=True)
 
 
 def main():
@@ -68,12 +70,19 @@ def main():
             continue
         t0 = time.monotonic()
         try:
-            got = canon(to_pandas(fn(sf_dir)))
+            raw = to_pandas(fn(sf_dir))
+            got = canon(raw)
+            # driver hashes rows in RETURNED order: verify the engine already
+            # emits canonical (all-columns-ascending, name-priority) order
+            order_ok = canon(raw, sort=False).equals(got)
         except Exception as e:  # noqa: BLE001
             print(f"✗ {name}: RAY ERROR {type(e).__name__}: {e}")
             failures.append(name)
             continue
         wall = time.monotonic() - t0
+        if not order_ok:
+            print(f"! {name}: returned row order is NOT canonical")
+            failures.append(name + ":order")
         if name not in oracles:
             print(f"· {name}: rows-only ({len(got)} rows, {wall:.1f}s)")
             continue
@@ -102,6 +111,9 @@ def main():
                 else:
                     got[c] = got[c].astype("float64")
                     exp[c] = exp[c].astype("float64")
+        # order-sensitive probe: the driver hashes rows in RETURNED order, so
+        # flag (but don't fail) when the engine's returned order deviates from
+        # the canonical all-columns ascending sort it now emits.
         eq = got.equals(exp)
         if not eq:
             diff = (got != exp).any(axis=1)
