@@ -1,7 +1,13 @@
 """Distributed wrappers for the per-component operators (G2-G9) — each runs as
-``groupby((g, component)).map_groups`` over the labeled contracted-edge table,
-with node positions broadcast once via ``ray.put`` (scale path for huge runs:
-join positions onto edge rows instead — documented in stages/components.py).
+``groupby((g, component)).map_groups`` over the labeled contracted-edge table.
+
+Positions (r2 scale path, VERDICT r1 next-step 4): instead of broadcasting an
+O(all-nodes) dict via ``ray.put``, the NEEDED node set per component (edge
+endpoints + inter-chain nodes) is derived with the vectorized offsets idiom,
+deduped, hash-joined against the narrow nodes table, and CO-GROUPED with the
+edge rows into the same ``map_groups`` task (kind-tagged rows). Each task sees
+only its own component's positions — volume proportional to the component, not
+the graph.
 """
 
 from __future__ import annotations
@@ -12,7 +18,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..stages.components import ComponentGraph
-from ..stages.relational import cogroup_join
+from ..stages.relational import bucket_agg, cogroup_join, concat_blocks, snapshot
 
 
 def _labeled_edges(edges_g, labels, num_partitions: int = 8):
@@ -23,12 +29,85 @@ def _labeled_edges(edges_g, labels, num_partitions: int = 8):
                         num_partitions=num_partitions)
 
 
-def _graph_of(df) -> ComponentGraph:
+def _grouped_rows(edges_g, labels, nodes_ds, num_partitions: int = 8):
+    """Kind-tagged union of labeled edge rows (kind 0) and per-component node
+    position rows (kind 1), ready for ``groupby(["g","component_id"])``.
+
+    When ``nodes_ds`` is None only edge rows are emitted (ops that don't need
+    geometry, e.g. G2 compression)."""
+    from .lump import chain_segments
+
+    e = snapshot(_labeled_edges(edges_g, labels, num_partitions))
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "g": batch["g"], "component_id": batch["component_id"],
+            "kind": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+            "u": batch["u"], "v": batch["v"], "inter_nids": batch["inter_nids"],
+            "node": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+            "lat": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+            "lon": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+        })
+
+    if nodes_ds is None:
+        return e.map_batches(edge_rows, batch_format="pyarrow")
+
+    def needed(batch: pa.Table) -> pa.Table:
+        # all chain nodes per edge: segments (a,b) cover u, inters and v
+        a, b, eidx, seg_idx, carried = chain_segments(
+            batch, carry=("g", "component_id"))
+        g = carried["g"].to_numpy(zero_copy_only=False)
+        c = carried["component_id"].to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([a, b])
+        gg = np.concatenate([g, g])
+        cc = np.concatenate([c, c])
+        key = np.stack([gg, cc, nodes], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table({"g": pa.array(uniq[:, 0], pa.int64()),
+                         "component_id": pa.array(uniq[:, 1], pa.int64()),
+                         "node": pa.array(uniq[:, 2], pa.int64())})
+
+    need = e.map_batches(needed, batch_format="pyarrow")
+    need = bucket_agg(need, ["g", "component_id", "node"],
+                      {"_c": (None, "count")},
+                      num_partitions=num_partitions) \
+        .select_columns(["g", "component_id", "node"])
+    pos = nodes_ds.select_columns(["node_id", "lat", "lon"]).rename_columns(
+        ["node", "lat", "lon"])
+    npos = cogroup_join(need, pos, ("node",), how="inner",
+                        num_partitions=num_partitions)
+
+    def pos_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "g": batch["g"], "component_id": batch["component_id"],
+            "kind": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+            "u": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+            "v": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+            "inter_nids": pa.array([[]] * n, pa.list_(pa.int64())),
+            "node": batch["node"], "lat": batch["lat"], "lon": batch["lon"],
+        })
+
+    return concat_blocks(
+        e.map_batches(edge_rows, batch_format="pyarrow"),
+        npos.map_batches(pos_rows, batch_format="pyarrow"))
+
+
+def _split_group(df):
+    """(edges_df sorted, pos dict) from one kind-tagged component group."""
+    edges = df[df["kind"] == 0].sort_values(["u", "v"])
+    posrows = df[df["kind"] == 1]
+    pos = {int(n): (int(la), int(lo))
+           for n, la, lo in zip(posrows["node"], posrows["lat"], posrows["lon"])}
+    return edges, pos
+
+
+def _graph_of(edges_df) -> ComponentGraph:
     # deterministic construction: sorted edge rows → stable adjacency order
-    df = df.sort_values(["u", "v"])
     return ComponentGraph.from_edge_rows(
-        df["u"].to_numpy(), df["v"].to_numpy(),
-        df["inter_nids"].tolist() if "inter_nids" in df else None)
+        edges_df["u"].to_numpy(), edges_df["v"].to_numpy(),
+        edges_df["inter_nids"].tolist() if "inter_nids" in edges_df else None)
 
 
 def component_compress_stats(edges_g, labels, *, num_partitions: int = 8):
@@ -37,7 +116,8 @@ def component_compress_stats(edges_g, labels, *, num_partitions: int = 8):
     def fn(df):
         import pandas as pd
 
-        g = _graph_of(df)
+        edges, _pos = _split_group(df)
+        g = _graph_of(edges)
         before = g.num_vertices()
         g.compress()
         return pd.DataFrame({
@@ -47,30 +127,28 @@ def component_compress_stats(edges_g, labels, *, num_partitions: int = 8):
             "vertices_after": [g.num_vertices()],
         })
 
-    e = _labeled_edges(edges_g, labels, num_partitions)
-    return e.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
+    rows = _grouped_rows(edges_g, labels, None, num_partitions)
+    return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
 
 
-def component_lines(edges_g, labels, pos_ref, *, method: str = "random",
+def component_lines(edges_g, labels, nodes_ds, *, method: str = "random",
                     num_partitions: int = 8):
     """G4/G5 per component → path rows (g, component_id, line_idx, n_nodes,
-    dist_ends_m when positions given — reference M11 sinuosity prop,
-    src/bin/osm-lump-ways/main.rs:789-796)."""
-    import ray
+    dist_ends_m — reference M11 sinuosity prop, main.rs:789-796)."""
 
     def fn(df):
         import pandas as pd
 
         from ..functions.haversine import haversine_m_fp
 
-        pos = ray.get(pos_ref) if pos_ref is not None else None
-        g = _graph_of(df)
+        edges, pos = _split_group(df)
+        g = _graph_of(edges)
         lines = (g.into_lines_random() if method == "random"
                  else g.into_lines_as_crow_flies(pos))
         rows = []
         for i, line in enumerate(lines):
             dist_ends = None
-            if pos is not None and len(line) >= 2:
+            if pos and len(line) >= 2:
                 a, b = pos[line[0]], pos[line[-1]]
                 dist_ends = float(haversine_m_fp(
                     np.array([a[0]]), np.array([a[1]]),
@@ -80,40 +158,38 @@ def component_lines(edges_g, labels, pos_ref, *, method: str = "random",
         return pd.DataFrame(rows, columns=["g", "component_id", "line_idx",
                                            "n_nodes", "dist_ends_m"])
 
-    e = _labeled_edges(edges_g, labels, num_partitions)
-    return e.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
+    rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions)
+    return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
 
 
-def component_frames(edges_g, labels, pos_ref, *, num_partitions: int = 8):
+def component_frames(edges_g, labels, nodes_ds, *, num_partitions: int = 8):
     """G8 per component → frame line rows (g, component_id, frame_idx, n_nodes)."""
-    import ray
 
     def fn(df):
         import pandas as pd
 
-        pos = ray.get(pos_ref)
-        g = _graph_of(df)
+        edges, pos = _split_group(df)
+        g = _graph_of(edges)
         rows = []
         for i, line in enumerate(g.frames(pos)):
             rows.append((int(df["g"].iloc[0]), int(df["component_id"].iloc[0]),
                          i, len(line)))
         return pd.DataFrame(rows, columns=["g", "component_id", "frame_idx", "n_nodes"])
 
-    e = _labeled_edges(edges_g, labels, num_partitions)
-    return e.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
+    rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions)
+    return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
 
 
-def component_betweenness(edges_g, labels, pos_ref, *, max_nodes: int = 2000,
+def component_betweenness(edges_g, labels, nodes_ds, *, max_nodes: int = 2000,
                           seed: int = 42, num_partitions: int = 8):
     """G9 per component → per-edge (g, component_id, u, v, bc_value) with the
     reference's default 2000-node sampling cap (cli_args.rs:244-253)."""
-    import ray
 
     def fn(df):
         import pandas as pd
 
-        pos = ray.get(pos_ref)
-        g = _graph_of(df)
+        edges, pos = _split_group(df)
+        g = _graph_of(edges)
         # reference order (do_betweenness, main.rs:1060-1095): sample FIRST,
         # then spike-removal and compression with the sample as the keep-set
         sample = g.sample_vertexes(min(max_nodes, g.num_vertices()), pos, seed=seed)
@@ -127,5 +203,5 @@ def component_betweenness(edges_g, labels, pos_ref, *, max_nodes: int = 2000,
                  a, b, int(v)) for (a, b), v in sorted(bc.items())]
         return pd.DataFrame(rows, columns=["g", "component_id", "u", "v", "bc_value"])
 
-    e = _labeled_edges(edges_g, labels, num_partitions)
-    return e.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
+    rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions)
+    return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")

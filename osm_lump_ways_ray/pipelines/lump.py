@@ -54,28 +54,52 @@ def extract_and_verify(pages_ds, *, verify: bool = True):
     return pages_ds.map_batches(run, batch_format="pyarrow")
 
 
-def _segment_pairs(batch: pa.Table) -> pa.Table:
-    """Contracted edge rows → per-segment (a, b) rows carrying (g, anchor=u).
+def chain_segments(batch: pa.Table, *, u_col: str = "u", v_col: str = "v",
+                   inter_col: str = "inter_nids", carry: tuple = ()):
+    """Vectorized chain expansion (the offsets idiom from the A1 degree pass):
+    each edge row [u, *inter_nids, v] → per-segment (a, b) arrays plus the
+    source edge index. NO per-row Python loop — list offsets/values come
+    straight from the Arrow ListArray. Returns (a, b, edge_idx, seg_idx, dict
+    of carried columns repeated per segment)."""
+    u = batch[u_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = batch[v_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(u)
+    if inter_col in batch.column_names and n:
+        lst = batch[inter_col].combine_chunks()
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        off = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = lst.values.to_numpy(zero_copy_only=False).astype(np.int64) \
+            if len(lst.values) else np.empty(0, dtype=np.int64)
+        k = off[1:] - off[:-1]
+    else:
+        off = np.zeros(n + 1, dtype=np.int64)
+        vals = np.empty(0, dtype=np.int64)
+        k = np.zeros(n, dtype=np.int64)
+    segs = k + 1
+    eidx = np.repeat(np.arange(n, dtype=np.int64), segs)
+    starts = np.cumsum(segs) - segs
+    seg_idx = np.arange(len(eidx), dtype=np.int64) - starts[eidx]
+    if len(vals):
+        a = np.where(seg_idx == 0, u[eidx],
+                     vals[np.maximum(off[eidx] + seg_idx - 1, 0)])
+        b = np.where(seg_idx == segs[eidx] - 1, v[eidx],
+                     vals[np.minimum(off[eidx] + seg_idx, len(vals) - 1)])
+    else:
+        a, b = u[eidx], v[eidx]
+    carried = {c: batch[c].take(pa.array(eidx)) for c in carry}
+    return a, b, eidx, seg_idx, carried
 
-    Each edge expands to its inter chain: [u, *inter_nids, v] → len-1 segments.
-    Stateless flat-map; the downstream position joins are keyed on node id."""
-    u = batch["u"].to_numpy(zero_copy_only=False)
-    v = batch["v"].to_numpy(zero_copy_only=False)
-    g = batch["g"].to_numpy(zero_copy_only=False)
-    inters = batch["inter_nids"].to_pylist()
-    a_out, b_out, g_out, anchor = [], [], [], []
-    for i in range(len(u)):
-        chain = [int(u[i])] + [int(x) for x in inters[i]] + [int(v[i])]
-        for j in range(len(chain) - 1):
-            a_out.append(chain[j])
-            b_out.append(chain[j + 1])
-            g_out.append(int(g[i]))
-            anchor.append(int(u[i]))
+
+def _segment_pairs(batch: pa.Table) -> pa.Table:
+    """Contracted edge rows → per-segment (a, b) rows carrying (g, anchor=u)."""
+    a, b, eidx, _si, carried = chain_segments(batch, carry=("g",))
+    u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({
-        "a": pa.array(a_out, pa.int64()),
-        "b": pa.array(b_out, pa.int64()),
-        "g": pa.array(g_out, pa.int64()),
-        "anchor": pa.array(anchor, pa.int64()),
+        "a": pa.array(a, pa.int64()),
+        "b": pa.array(b, pa.int64()),
+        "g": carried["g"],
+        "anchor": pa.array(u[eidx], pa.int64()),
     })
 
 
@@ -295,11 +319,16 @@ def lump(pages_ds, *, cell_res: int = 7, num_partitions: int = 32,
     # pre-aggregate per batch (combiner) before the wide groupby: the shuffle
     # then moves one row per (g, component) per batch instead of per segment
     def partial_len(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = batch.select(["g", "component_id", "length_m"]).to_pandas()
-        agg = df.groupby(["g", "component_id"], as_index=False)["length_m"].sum()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        g = batch["g"].to_numpy(zero_copy_only=False)
+        c = batch["component_id"].to_numpy(zero_copy_only=False)
+        m = batch["length_m"].to_numpy(zero_copy_only=False)
+        key = np.stack([g, c], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        return pa.table({"g": pa.array(uniq[:, 0], pa.int64()),
+                         "component_id": pa.array(uniq[:, 1], pa.int64()),
+                         "length_m": pa.array(sums, pa.float64())})
 
     from ..stages.relational import bucket_agg
 

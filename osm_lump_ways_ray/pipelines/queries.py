@@ -1219,25 +1219,18 @@ FROM runs GROUP BY run, dec
 
 
 def q_loop_stats(sf_dir: str):
-    """G21 loop features (decade cycles): root_nid, num_nodes, num_segments."""
-    import ray
-
+    """G21 loop features (decade cycles): root_nid, num_nodes, num_segments.
+    Positions arrive by hash join against the derived nodes table (r2 — the
+    broadcast position dict is gone)."""
     from ..stages.waterways import loop_features
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
     max_doc = int(docs.max("doc_id"))
     edges = D.directed_edges_closed(docs, max_doc_ref=max_doc)
-    # positions: derived arithmetic, collected once (small at correctness scale;
-    # the production path joins positions instead)
-    import duckdb
-
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
-    pos_rows = con.execute(
-        f"SELECT node_id, lat, lon FROM ({D.NODES_SQL}) n").fetchall()
-    con.close()
-    pos = {int(r[0]): (int(r[1]), int(r[2])) for r in pos_rows}
-    out = loop_features(edges, ray.put(pos), num_partitions=8)
+    nodes_ds = _read(sf_dir, "documents", columns=["doc_id"]) \
+        .map_batches(D.nodes_batch, batch_format="pyarrow") \
+        .select_columns(["node_id", "lat", "lon"])
+    out = loop_features(edges, nodes_ds, num_partitions=8)
     return out.select_columns(["root_nid", "num_nodes", "num_segments"])
 
 
@@ -1301,12 +1294,10 @@ def _chain_graph_and_positions(sf_dir: str):
 
     edges_g = edges.map_batches(chain_only, batch_format="pyarrow").materialize()
     labels = connected_components(edges_g, "u", "v", "g", num_partitions=8)
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
-    pos_rows = con.execute(f"SELECT node_id, lat, lon FROM ({D.NODES_SQL}) n").fetchall()
-    con.close()
-    pos = {int(r[0]): (int(r[1]), int(r[2])) for r in pos_rows}
-    return edges_g, labels, pos
+    docs_all = _read(sf_dir, "documents", columns=["doc_id"])
+    nodes_ds = docs_all.map_batches(D.nodes_batch, batch_format="pyarrow") \
+                       .select_columns(["node_id", "lat", "lon"])
+    return edges_g, labels, nodes_ds
 
 
 # gaps-and-islands over the gated chain links: a run of consecutive gated docs
@@ -1329,7 +1320,7 @@ def q_component_compress(sf_dir: str):
     (every degree-2 interior contracts; no parallel-edge undo on a path)."""
     from ..pipelines.group_ops import component_compress_stats
 
-    edges_g, labels, _pos = _chain_graph_and_positions(sf_dir)
+    edges_g, labels, _nodes = _chain_graph_and_positions(sf_dir)
     return component_compress_stats(edges_g, labels, num_partitions=8) \
         .select_columns(["component_id", "vertices_before", "vertices_after"])
 
@@ -1342,12 +1333,10 @@ FROM agg
 
 def q_component_lines(sf_dir: str):
     """G4 per path component: exactly one line spanning the whole path."""
-    import ray
-
     from ..pipelines.group_ops import component_lines
 
-    edges_g, labels, pos = _chain_graph_and_positions(sf_dir)
-    return component_lines(edges_g, labels, ray.put(pos), num_partitions=8) \
+    edges_g, labels, nodes_ds = _chain_graph_and_positions(sf_dir)
+    return component_lines(edges_g, labels, nodes_ds, num_partitions=8) \
         .select_columns(["component_id", "line_idx", "n_nodes"])
 
 
@@ -1359,12 +1348,10 @@ SELECT d1 AS component_id, 0 AS line_idx, ne + 1 AS n_nodes FROM agg
 def q_component_frames(sf_dir: str):
     """G8 per path component: hull → all-pairs paths → union = the sub-path
     spanning the hull nodes → one frame line."""
-    import ray
-
     from ..pipelines.group_ops import component_frames
 
-    edges_g, labels, pos = _chain_graph_and_positions(sf_dir)
-    return component_frames(edges_g, labels, ray.put(pos), num_partitions=8)
+    edges_g, labels, nodes_ds = _chain_graph_and_positions(sf_dir)
+    return component_frames(edges_g, labels, nodes_ds, num_partitions=8)
 
 
 # hull membership recomputed independently in SQL: point p of a component is a
@@ -1415,12 +1402,10 @@ FROM hull GROUP BY comp
 def q_betweenness(sf_dir: str):
     """G9 per path component with full sampling (components ≤ 8 nodes ≤
     max_nodes): bc(edge j of a k-node path) = (j+1)·(k-j-1) unordered pairs."""
-    import ray
-
     from ..pipelines.group_ops import component_betweenness
 
-    edges_g, labels, pos = _chain_graph_and_positions(sf_dir)
-    return component_betweenness(edges_g, labels, ray.put(pos),
+    edges_g, labels, nodes_ds = _chain_graph_and_positions(sf_dir)
+    return component_betweenness(edges_g, labels, nodes_ds,
                                  max_nodes=50, num_partitions=8)
 
 
@@ -1429,6 +1414,236 @@ SELECT 0 AS g, a.d1 AS component_id, r.d AS u, r.d + 1 AS v,
        (r.d - a.d1 + 1) * (a.d2 - r.d + 1) AS bc_value
 FROM agg a JOIN runs r ON r.d BETWEEN a.d1 AND a.d2
 """
+
+
+def q_tag_group_classify(sf_dir: str):
+    """Full G18 (pairwise river classification + stream_level_code + confluence
+    distances) over tagged decade chains. tagid = (doc//4) % 3 gives same-tag
+    RUNS of up to 4 edges; adjacent groups always differ, so every boundary is
+    a confluence whose flow types are (In, Out) → the terminal-distributary
+    rule — levels/codes/distances are then closed-form for the SQL oracle. The
+    branching/tributary/side-channel rules are pytest-covered
+    (tests/test_waterways.py G18 fixtures)."""
+    from ..stages.scc import upstream_flow
+    from ..stages.waterways import tag_groups_full
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ((nch % 7) != 0) & ((d % 10) != 9)
+        dk = d[keep]
+        return pa.table({
+            "src": pa.array(dk + 1, pa.int64()),
+            "dst": pa.array(dk + 2, pa.int64()),
+            "length_m": pa.array((dk % 13 + 1).astype(np.float64), pa.float64()),
+            "tagid": pa.array((dk // 4) % 3, pa.int64()),
+        })
+
+    edges = docs.map_batches(emit, batch_format="pyarrow")
+    flow = upstream_flow(edges, split_equally=True, num_partitions=8,
+                         distributed=False)
+    # re-attach tagid (the flow output carries src/dst/length/upstream only)
+    def retag(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        return batch.append_column("tagid", pa.array((s - 1) // 4 % 3, pa.int64()))
+
+    full = tag_groups_full(flow.map_batches(retag, batch_format="pyarrow"),
+                           num_partitions=8)
+    return full.select_columns([
+        "taggroupid", "tagid", "num_segments", "length_dm", "upstream_dm",
+        "num_sources", "num_sinks", "num_confluences", "n_terminal_dist",
+        "n_parent_rivers", "n_unallocated", "stream_level",
+        "stream_level_code", "n_conf_pairs", "conf_dist_dm"])
+
+
+SQL_TAG_GROUP_CLASSIFY = """
+WITH e AS (
+  SELECT doc_id AS d, doc_id // 10 AS dec, (doc_id // 4) % 3 AS tagid,
+         doc_id % 13 + 1 AS len
+  FROM documents WHERE n_chars % 7 <> 0 AND doc_id % 10 <> 9
+),
+runs0 AS (
+  SELECT *, d - ROW_NUMBER() OVER (PARTITION BY dec ORDER BY d) AS run FROM e
+),
+runs AS (
+  SELECT *, SUM(len) OVER (PARTITION BY dec, run ORDER BY d
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS up
+  FROM runs0
+),
+runagg AS (SELECT run, dec, MIN(d) AS d1, MAX(d) AS d2 FROM runs GROUP BY run, dec),
+grp AS (
+  SELECT r.run, r.dec, r.tagid,
+         r.d - ROW_NUMBER() OVER (PARTITION BY r.run, r.dec, r.tagid ORDER BY r.d) AS tg_run,
+         r.d, r.len, COALESCE(r.up, 0) AS up
+  FROM runs r
+),
+gagg AS (
+  SELECT g.run, g.dec, g.tagid, MIN(g.d) AS g1, MAX(g.d) AS g2,
+         COUNT(*) AS nseg, SUM(g.len) AS glen,
+         MAX(CASE WHEN g.d = m.gmax THEN g.up END) AS gup
+  FROM grp g JOIN (SELECT run, dec, tagid, tg_run, MAX(d) AS gmax
+                   FROM grp GROUP BY run, dec, tagid, tg_run) m
+    ON m.run = g.run AND m.dec = g.dec AND m.tagid = g.tagid AND m.tg_run = g.tg_run
+  GROUP BY g.run, g.dec, g.tagid, g.tg_run
+),
+gfull AS (
+  SELECT ga.*, ra.d1 AS c1, ra.d2 AS c2,
+         (SELECT COUNT(*) FROM gagg g2
+          WHERE g2.run = ga.run AND g2.dec = ga.dec AND g2.g1 > ga.g1) AS lvl
+  FROM gagg ga JOIN runagg ra ON ra.run = ga.run AND ra.dec = ga.dec
+),
+sinks AS (
+  SELECT g1 + 1 AS gid, gup,
+         ROW_NUMBER() OVER (ORDER BY gup DESC, g1 + 1 ASC) AS rk
+  FROM gfull WHERE g2 = c2
+)
+SELECT gf.g1 + 1 AS taggroupid, gf.tagid, gf.nseg AS num_segments,
+       gf.glen * 10 AS length_dm, CAST(gf.gup AS BIGINT) * 10 AS upstream_dm,
+       CASE WHEN gf.g1 = gf.c1 THEN 1 ELSE 0 END AS num_sources,
+       CASE WHEN gf.g2 = gf.c2 THEN 1 ELSE 0 END AS num_sinks,
+       (CASE WHEN gf.g1 > gf.c1 THEN 1 ELSE 0 END
+        + CASE WHEN gf.g2 < gf.c2 THEN 1 ELSE 0 END) AS num_confluences,
+       CASE WHEN gf.g1 > gf.c1 THEN 1 ELSE 0 END AS n_terminal_dist,
+       CASE WHEN gf.g2 < gf.c2 THEN 1 ELSE 0 END AS n_parent_rivers,
+       0 AS n_unallocated,
+       gf.lvl AS stream_level,
+       (SELECT CAST(s.rk AS VARCHAR) FROM sinks s
+        JOIN gfull sg ON sg.g1 + 1 = s.gid
+        WHERE sg.run = gf.run AND sg.dec = gf.dec)
+         || repeat('.1', CAST(gf.lvl AS INT)) AS stream_level_code,
+       CASE WHEN gf.g1 > gf.c1 AND gf.g2 < gf.c2 THEN 1 ELSE 0 END AS n_conf_pairs,
+       CASE WHEN gf.g1 > gf.c1 AND gf.g2 < gf.c2 THEN gf.glen * 10 ELSE 0 END
+         AS conf_dist_dm
+FROM gfull gf
+"""
+
+
+def q_all_wayids(sf_dir: str):
+    """J3 ``all_wayids`` output property (collect_all_wayids,
+    bin/osm-lump-ways/main.rs:46-62): per component, the sorted-dedup
+    ``w{id}`` list of member way ids, ';'-joined. Way analog in the documents
+    derivation: chain edge of doc d IS way ``d`` covering nodes (d, d+1)."""
+    from ..stages.graph import connected_components
+    from ..stages.relational import bucket_agg
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    edges = D.undirected_edges(docs)
+
+    def chain_only(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((v - u) == 1))
+
+    edges = edges.map_batches(chain_only, batch_format="pyarrow").materialize()
+    labels = connected_components(edges, "u", "v", num_partitions=8)
+    lab = labels.select_columns(["node", "component_id"]).rename_columns(
+        ["u", "component_id"])
+    e = hash_join(edges, lab, ("u",), how="inner", num_partitions=8)
+
+    def per_comp(df):
+        import pandas as pd
+
+        wayids = sorted(set(int(x) for x in df["u"]))
+        return pd.DataFrame({
+            "component_id": [int(df["component_id"].iloc[0])],
+            "all_wayids": [";".join(f"w{w}" for w in wayids)],
+            "n_wayids": [len(wayids)],
+        })
+
+    return e.groupby("component_id").map_groups(per_comp, batch_format="pandas")
+
+
+SQL_ALL_WAYIDS = """
+WITH gated AS (
+  SELECT d.doc_id AS d
+  FROM documents d JOIN documents p ON p.doc_id = d.doc_id - 1
+  WHERE d.doc_id % 8 <> 0 AND d.lang = p.lang
+),
+runs AS (SELECT d, d - ROW_NUMBER() OVER (ORDER BY d) AS run FROM gated)
+SELECT MIN(d) AS component_id,
+       string_agg('w' || CAST(d AS VARCHAR), ';' ORDER BY d) AS all_wayids,
+       COUNT(*) AS n_wayids
+FROM runs GROUP BY run
+"""
+
+
+def q_ends_tag_values(sf_dir: str):
+    """J6 ``--ends-tag`` extras (-down/main.rs:935-1010): for each END node
+    (out-degree 0 of the decade chains), collect the tag values of the ways
+    passing through it, ';'-concatenated. Documented divergence: the reference
+    concatenates in nondeterministic par_bridge order and dedups only
+    consecutive repeats; this engine emits DISTINCT values in sorted order."""
+    from ..stages.scc import directed_ends
+    from ..stages.relational import cogroup_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars", "lang"])
+
+    def emit_edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ((nch % 7) != 0) & ((d % 10) != 9)
+        dk = d[keep]
+        return pa.table({"src": pa.array(dk + 1, pa.int64()),
+                         "dst": pa.array(dk + 2, pa.int64())})
+
+    edges = docs.map_batches(emit_edges, batch_format="pyarrow").materialize()
+    ends = directed_ends(edges)
+
+    def emit_covers(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ((nch % 7) != 0) & ((d % 10) != 9)
+        dk = d[keep]
+        lang = batch["lang"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "node": pa.array(np.concatenate([dk + 1, dk + 2]), pa.int64()),
+            "val": pa.array(np.concatenate([lang, lang]), pa.string()),
+        })
+
+    covers = docs.map_batches(emit_covers, batch_format="pyarrow")
+    hits = cogroup_join(covers, ends, ("node",), how="inner", num_partitions=8)
+
+    def per_end(df):
+        import pandas as pd
+
+        vals = sorted(set(df["val"]))
+        return pd.DataFrame({"node": [int(df["node"].iloc[0])],
+                             "tag_vals": [";".join(vals)]})
+
+    return hits.groupby("node").map_groups(per_end, batch_format="pandas")
+
+
+SQL_ENDS_TAG_VALUES = """
+WITH e AS (
+  SELECT doc_id + 1 AS src, doc_id + 2 AS dst, lang
+  FROM documents WHERE n_chars % 7 <> 0 AND doc_id % 10 <> 9
+),
+ends AS (
+  SELECT DISTINCT dst AS node FROM e
+  WHERE dst NOT IN (SELECT src FROM e)
+),
+covers AS (
+  SELECT src AS node, lang AS val FROM e
+  UNION ALL SELECT dst, lang FROM e
+)
+SELECT c.node, string_agg(DISTINCT c.val, ';' ORDER BY c.val) AS tag_vals
+FROM covers c JOIN ends USING (node)
+GROUP BY c.node
+"""
+
+
+QUERIES.update({
+    "tag_group_classify": q_tag_group_classify,
+    "all_wayids": q_all_wayids,
+    "ends_tag_values": q_ends_tag_values,
+})
+ORACLES.update({
+    "tag_group_classify": SQL_TAG_GROUP_CLASSIFY,
+    "all_wayids": SQL_ALL_WAYIDS,
+    "ends_tag_values": SQL_ENDS_TAG_VALUES,
+})
 
 
 QUERIES.update({

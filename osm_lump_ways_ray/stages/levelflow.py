@@ -1,0 +1,408 @@
+"""Level-synchronous DISTRIBUTED flow kernels for giant components (G13/G14).
+
+The reference walks the whole graph single-threaded in topological order
+(upstream accumulation src/bin/osm-lump-ways-down/main.rs:805-910, biggest-end
+:1126-1170). Round 1 of this engine ran each weak component inside one
+``map_groups`` task — fine for many small components, but a planet river
+network is effectively ONE component, which must not land in one task. This
+module runs the same dataflow as bucket-local rounds:
+
+- every edge is shipped to bucket(src) (the authoritative copy — its owner
+  computes the edge's upstream) and, when different, to bucket(dst) (the
+  read-only in-edge view its destination needs);
+- a bucket therefore knows, for every node it owns, the node's complete in- and
+  out-edge sets, and finalizes any owned node whose in-edges are all done —
+  id-local chains cascade inside one round, so rounds ≈ cross-bucket depth,
+  not node depth;
+- per-round output is ONLY the authoritative copies (one row per edge), so no
+  vote/merge step is needed; a ``newly`` counter per bucket drives convergence;
+- state checkpoints every ``checkpoint_every`` rounds (north rule: a killed
+  job resumes mid-algorithm).
+
+Split-rule parity with stages/scc._flow_group (reference quirks kept):
+single-out nodes push ``inflow + length`` downstream and stamp the edge with
+``inflow``; multi-out nodes recompute per-tag inflow as Σ(upstream+length) over
+in-edges, split a tag's inflow over that tag's out count, spread orphan-tag
+inflow equally over ALL outs, and push the stamped value WITHOUT adding the
+out-edge's own length. The push amount therefore depends on the PREDECESSOR's
+out-degree; it travels on the edge row as ``pushed_m`` so no degree lookup is
+needed downstream.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from .relational import snapshot
+
+_SHIFT = 6  # id-range bucket (shared convention with stages/scc.py)
+
+
+def _flow_round_local(df, split_equally: bool):
+    """One bucket, one round: finalize every owned node whose in-edges are done.
+
+    Rows: kind 0 = authoritative edge copy (bucket(src) == this bucket),
+    kind 1 = in-edge view (cross-bucket, bucket(dst) == this bucket).
+    Emits updated kind-0 rows plus a per-row ``newly`` count (newly finalized
+    edges, summed by the driver for convergence)."""
+    kind = df["kind"].to_numpy()
+    src = df["src"].to_numpy()
+    dst = df["dst"].to_numpy()
+    length = df["length_m"].to_numpy()
+    tag = df["tagid"].to_numpy()
+    up = df["upstream_m"].to_numpy().copy()
+    pushed = df["pushed_m"].to_numpy().copy()
+    done = df["done"].to_numpy().copy()
+    bucket = int(df["bucket"].iloc[0])
+    if split_equally:
+        tag = np.full(len(src), -1, dtype=np.int64)
+
+    own_idx = np.where(kind == 0)[0]
+    outs = defaultdict(list)   # owned node -> [edge idx] (kind 0)
+    ins = defaultdict(list)    # owned node -> [edge idx] (kind 0 local or kind 1)
+    for i in own_idx:
+        outs[int(src[i])].append(int(i))
+        if int(dst[i]) >> _SHIFT == bucket:
+            ins[int(dst[i])].append(int(i))
+    for i in np.where(kind == 1)[0]:
+        ins[int(dst[i])].append(int(i))
+
+    # nodes owned here with out-edges and not yet fully finalized
+    pending = {n for n, es in outs.items()
+               if any(done[i] == 0 for i in es)}
+    newly = 0
+    progress = True
+    while progress and pending:
+        progress = False
+        for n in sorted(pending):
+            in_es = ins.get(n, ())
+            if any(done[i] == 0 for i in in_es):
+                continue
+            o = outs[n]
+            if len(o) == 1:
+                curr = float(sum(pushed[i] for i in in_es))
+                ei = o[0]
+                up[ei] = curr
+                pushed[ei] = curr + float(length[ei])
+                done[ei] = 1
+            else:
+                inflow = defaultdict(float)
+                for i in in_es:
+                    inflow[int(tag[i])] += float(up[i]) + float(length[i])
+                outs_per_group = defaultdict(int)
+                for i in o:
+                    outs_per_group[int(tag[i])] += 1
+                outflow = {t: inflow.get(t, 0.0) / c
+                           for t, c in outs_per_group.items()}
+                for t_in, amt in inflow.items():
+                    if t_in not in outs_per_group:
+                        for t_out in outflow:
+                            outflow[t_out] += amt / len(o)
+                for i in o:
+                    up[i] = outflow[int(tag[i])]
+                    pushed[i] = outflow[int(tag[i])]
+                    done[i] = 1
+            newly += len(o)
+            pending.discard(n)
+            progress = True
+
+    keep = own_idx
+    out = pa.table({
+        "src": pa.array(src[keep].astype(np.int64)),
+        "dst": pa.array(dst[keep].astype(np.int64)),
+        "length_m": pa.array(length[keep].astype(np.float64)),
+        "tagid": pa.array(df["tagid"].to_numpy()[keep].astype(np.int64)),
+        "upstream_m": pa.array(up[keep].astype(np.float64)),
+        "pushed_m": pa.array(pushed[keep].astype(np.float64)),
+        "done": pa.array(done[keep].astype(np.int8)),
+    })
+    n_out = len(keep)
+    newly_col = np.zeros(n_out, dtype=np.int64)
+    if n_out:
+        newly_col[0] = newly
+    return out.append_column("newly", pa.array(newly_col))
+
+
+def upstream_flow_distributed(edges_ds, *, split_equally: bool = True,
+                              num_partitions: int = 8, checkpoint=None,
+                              max_rounds: int = 512, checkpoint_every: int = 8):
+    """G13 over a DAG edge Dataset (src, dst, length_m[, tagid]) without any
+    per-component task: bucket-local dataflow rounds (module docstring).
+    Requires unique (src, dst) pairs (G11 contraction dedupes parallel edges).
+    Returns (src, dst, length_m, upstream_m) like the map_groups path."""
+
+    def init(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        t = pa.table({
+            "src": batch["src"], "dst": batch["dst"],
+            "length_m": batch["length_m"].cast(pa.float64()),
+            "tagid": (batch["tagid"].cast(pa.int64()) if "tagid" in batch.column_names
+                      else pa.array(np.full(n, -1, dtype=np.int64))),
+            "upstream_m": pa.array(np.zeros(n, dtype=np.float64)),
+            "pushed_m": pa.array(np.zeros(n, dtype=np.float64)),
+            "done": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+        return t
+
+    state = snapshot(edges_ds.map_batches(init, batch_format="pyarrow"))
+
+    fp_prefix = None
+    start_round = 0
+    if checkpoint is not None and checkpoint.root is not None:
+        import hashlib
+
+        fp = hashlib.md5(
+            f"flow|{split_equally}|{num_partitions}|{state.count()}".encode()
+        ).hexdigest()[:10]
+        fp_prefix = f"flow-{fp}"
+        # resume from the latest checkpointed round
+        for r in range(max_rounds - 1, -1, -1):
+            if checkpoint.has(f"{fp_prefix}/r{r}"):
+                state = checkpoint.load(f"{fp_prefix}/r{r}")
+                start_round = r + 1
+                break
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        bs = s >> _SHIFT
+        bd = d >> _SHIFT
+        cross = bs != bd
+        nc = int(cross.sum())
+        cols = {}
+        for c in ("src", "dst", "length_m", "tagid", "upstream_m",
+                  "pushed_m", "done"):
+            a = batch[c].to_numpy(zero_copy_only=False)
+            cols[c] = pa.array(np.concatenate([a, a[cross]]))
+        cols["bucket"] = pa.array(np.concatenate([bs, bd[cross]]), pa.int64())
+        cols["kind"] = pa.array(np.concatenate(
+            [np.zeros(len(s), dtype=np.int8), np.ones(nc, dtype=np.int8)]))
+        return pa.table(cols)
+
+    for rnd in range(start_round, max_rounds):
+        out = state.map_batches(fanout, batch_format="pyarrow") \
+                   .groupby("bucket").map_groups(
+                       lambda df: _flow_round_local(df, split_equally),
+                       batch_format="pandas")
+        out = snapshot(out)
+        newly = out.sum("newly")
+        state = out.drop_columns(["newly"])
+        if checkpoint is not None and checkpoint.root is not None \
+                and (rnd + 1) % checkpoint_every == 0:
+            state = checkpoint.save(f"{fp_prefix}/r{rnd}", state,
+                                    extra={"round": rnd, "newly": newly})
+        if newly == 0:
+            break
+
+    remaining = state.count() - int(state.sum("done") or 0)
+    if remaining:
+        raise RuntimeError(
+            f"upstream_flow_distributed: {remaining} edges never finalized "
+            f"after {max_rounds} rounds — cycle in input? contract SCCs first (G11)")
+    return state.select_columns(["src", "dst", "length_m", "upstream_m"])
+
+
+# ------------------------------------------------------------------- G14
+
+def _bige_round_local(df):
+    """One bucket, one reverse-dataflow round of biggest-end assignment.
+
+    Rows: kind 0 = successor VIEW (node = the owned predecessor, other = the
+    successor, end/up/done = the successor's state as of last round — produced
+    by a states⋈edges join), kind 2 = owned node state. An owned node assigns
+    itself once ALL its successors are assigned: assignment = the successor
+    assignment maximizing (end_upstream, -end_nid) (deterministic tie-break,
+    stages/waterways.py). Newly assigned OWNED successors update local views in
+    the same round, so id-local chains cascade in one round."""
+    kind = df["kind"].to_numpy()
+    node = df["node"].to_numpy()
+    other = df["other"].to_numpy()
+    end_nid = df["end_nid"].to_numpy()
+    end_up = df["end_up"].to_numpy()
+    done = df["done"].to_numpy()
+
+    # successor views per owned node; assignments of nodes (own or foreign)
+    succs = defaultdict(list)       # owned node -> [successor id]
+    view: dict[int, tuple] = {}     # successor id -> (done, end_up, end_nid)
+    owned: dict[int, list] = {}     # node -> [end_nid, end_up, done]
+    for i in range(len(kind)):
+        if kind[i] == 0:
+            n, m = int(node[i]), int(other[i])
+            succs[n].append(m)
+            if int(done[i]) == 1:
+                view[m] = (float(end_up[i]), int(end_nid[i]))
+        else:
+            owned[int(node[i])] = [int(end_nid[i]), float(end_up[i]),
+                                   int(done[i])]
+    # owned assigned nodes are authoritative views for local successors
+    for n, st in owned.items():
+        if st[2] == 1:
+            view[n] = (st[1], st[0])
+
+    newly = 0
+    progress = True
+    while progress:
+        progress = False
+        for n in sorted(owned):
+            st = owned[n]
+            if st[2] == 1:
+                continue
+            ss = succs.get(n, ())
+            if not ss or any(s not in view for s in ss):
+                continue
+            # views carry (end_upstream-of-the-assigned-END, end_nid), so the
+            # max IS the reference's (end_up[assigned[d]], -assigned[d]) rule
+            # and the winning pair propagates unchanged to predecessors
+            best = max((view[s][0], -view[s][1]) for s in ss)
+            st[0], st[1], st[2] = -best[1], best[0], 1
+            view[n] = (st[1], st[0])
+            newly += 1
+            progress = True
+
+    n_nodes = len(owned)
+    nodes_arr = np.fromiter(owned.keys(), dtype=np.int64, count=n_nodes)
+    ends_arr = np.fromiter((v[0] for v in owned.values()), dtype=np.int64,
+                           count=n_nodes)
+    ups_arr = np.fromiter((v[1] for v in owned.values()), dtype=np.float64,
+                          count=n_nodes)
+    done_arr = np.fromiter((v[2] for v in owned.values()), dtype=np.int8,
+                           count=n_nodes)
+    newly_col = np.zeros(n_nodes, dtype=np.int64)
+    if n_nodes:
+        newly_col[0] = newly
+    return pa.table({
+        "node": pa.array(nodes_arr),
+        "end_nid": pa.array(ends_arr),
+        "end_up": pa.array(ups_arr),
+        "done": pa.array(done_arr),
+        "newly": pa.array(newly_col),
+    })
+
+
+def biggest_end_distributed(flow_edges_ds, *, num_partitions: int = 8,
+                            max_rounds: int = 512):
+    """G14 without per-component tasks: every node is assigned the downstream
+    end with maximal (end_upstream, -end_nid), via reverse dataflow rounds —
+    each round one states⋈edges join (successor views) + one bucketed local
+    cascade. Input: flow-annotated DAG edges (src, dst, length_m, upstream_m).
+    Output: (node, end_nid) for every node (ends map to themselves)."""
+    from .relational import cogroup_join, concat_blocks
+
+    # ---- init: ends = outdeg-0 nodes; end_up(end) = Σ in (upstream + length).
+    # One bucketed pass over both-endpoint edge copies gives complete degree
+    # info per owned id range.
+    def fanout_static(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        bs = s >> _SHIFT
+        bd = d >> _SHIFT
+        cross = bs != bd
+        nc = int(cross.sum())
+        ln = batch["length_m"].to_numpy(zero_copy_only=False)
+        up = batch["upstream_m"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(np.concatenate([bs, bd[cross]]), pa.int64()),
+            "kind": pa.array(np.concatenate([np.zeros(len(s), dtype=np.int8),
+                                             np.ones(nc, dtype=np.int8)])),
+            "node": pa.array(np.concatenate([s, s[cross]]), pa.int64()),
+            "other": pa.array(np.concatenate([d, d[cross]]), pa.int64()),
+            "length_m": pa.array(np.concatenate([ln, ln[cross]]), pa.float64()),
+            "upstream_m": pa.array(np.concatenate([up, up[cross]]), pa.float64()),
+        })
+
+    def init_states(df):
+        kind = df["kind"].to_numpy()
+        node = df["node"].to_numpy()
+        other = df["other"].to_numpy()
+        ln = df["length_m"].to_numpy()
+        up = df["upstream_m"].to_numpy()
+        bucket = int(df["bucket"].iloc[0])
+        outdeg = defaultdict(int)
+        in_sum = defaultdict(float)
+        seen = set()
+        for i in range(len(kind)):
+            s, d = int(node[i]), int(other[i])
+            same = (s >> _SHIFT == bucket) and (d >> _SHIFT == bucket)
+            if kind[i] == 1 and same:
+                continue  # same-bucket edges already counted via kind 0
+            if s >> _SHIFT == bucket:
+                outdeg[s] += 1
+                seen.add(s)
+            if d >> _SHIFT == bucket:
+                in_sum[d] += float(up[i]) + float(ln[i])
+                seen.add(d)
+        nodes = sorted(seen)
+        return pa.table({
+            "node": pa.array(np.array(nodes, dtype=np.int64)),
+            "end_nid": pa.array(np.array(
+                [n if outdeg[n] == 0 else -1 for n in nodes], dtype=np.int64)),
+            "end_up": pa.array(np.array(
+                [in_sum[n] if outdeg[n] == 0 else 0.0 for n in nodes],
+                dtype=np.float64)),
+            "done": pa.array(np.array(
+                [1 if outdeg[n] == 0 else 0 for n in nodes], dtype=np.int8)),
+        })
+
+    static = snapshot(flow_edges_ds.map_batches(fanout_static,
+                                                batch_format="pyarrow"))
+    states = snapshot(static.groupby("bucket").map_groups(
+        init_states, batch_format="pandas"))
+    edges_sd = snapshot(flow_edges_ds.map_batches(
+        lambda b: pa.table({"src": b["src"], "dst": b["dst"]}),
+        batch_format="pyarrow"))
+
+    for rnd in range(max_rounds):
+        # successor views: edges ⋈ states on dst
+        st_d = states.map_batches(
+            lambda b: pa.table({"dst": b["node"], "_e": b["end_nid"],
+                                "_u": b["end_up"], "_d": b["done"]}),
+            batch_format="pyarrow")
+        views = cogroup_join(edges_sd, st_d, ("dst",), how="inner",
+                             num_partitions=num_partitions)
+
+        def tag_views(batch: pa.Table) -> pa.Table:
+            s = batch["src"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "bucket": pa.array(s >> _SHIFT, pa.int64()),
+                "kind": pa.array(np.zeros(len(s), dtype=np.int8)),
+                "node": batch["src"],
+                "other": batch["dst"],
+                "end_nid": batch["_e"],
+                "end_up": batch["_u"],
+                "done": batch["_d"].cast(pa.int8()),
+            })
+
+        def tag_states(batch: pa.Table) -> pa.Table:
+            n = batch["node"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "bucket": pa.array(n >> _SHIFT, pa.int64()),
+                "kind": pa.array(np.full(len(n), 2, dtype=np.int8)),
+                "node": batch["node"],
+                "other": pa.array(np.zeros(len(n), dtype=np.int64)),
+                "end_nid": batch["end_nid"],
+                "end_up": batch["end_up"],
+                "done": batch["done"].cast(pa.int8()),
+            })
+
+        out = concat_blocks(
+            views.map_batches(tag_views, batch_format="pyarrow"),
+            states.map_batches(tag_states, batch_format="pyarrow"),
+        ).groupby("bucket").map_groups(_bige_round_local, batch_format="pandas")
+        out = snapshot(out)
+        newly = out.sum("newly")
+        states = snapshot(out.map_batches(
+            lambda b: pa.table({"node": b["node"], "end_nid": b["end_nid"],
+                                "end_up": b["end_up"], "done": b["done"]}),
+            batch_format="pyarrow"))
+        if newly == 0:
+            break
+    undone = states.count() - int(states.sum("done") or 0)
+    if undone:
+        raise RuntimeError(
+            f"biggest_end_distributed: {undone} nodes unassigned after "
+            f"{max_rounds} rounds — cycle in input?")
+    return states.select_columns(["node", "end_nid"])

@@ -524,15 +524,41 @@ def _flow_group(df, split_equally: bool):
 
 
 def upstream_flow(edges_ds, *, split_equally: bool = True,
-                  num_partitions: int = 8, checkpoint=None):
+                  num_partitions: int = 8, checkpoint=None,
+                  distributed: Optional[bool] = None,
+                  max_group_rows: int = 200_000):
     """G13 over a DAG edge Dataset (src, dst, length_m[, tagid]).
 
-    Weak components are labeled with G1, then each component's walk runs as one
-    ``map_groups`` task — components in parallel, the intra-component order
-    sequential by data dependency (the reference is fully sequential here)."""
-    labels = connected_components(edges_ds, "src", "dst",
-                                  num_partitions=num_partitions,
-                                  checkpoint=checkpoint)
+    Two execution paths with identical semantics:
+
+    - ``map_groups`` (many small components): weak components labeled with G1,
+      each component's walk one task — components in parallel, intra-component
+      order sequential by data dependency (the reference is fully sequential).
+    - ``distributed`` (giant component): level-synchronous bucket-local rounds
+      (stages/levelflow.py) — no task ever holds a whole component. Chosen
+      automatically when the largest weak component exceeds ``max_group_rows``
+      edges (a planet waterway graph is effectively ONE component)."""
+    if distributed is None:
+        from ray.data.aggregate import Count
+
+        labels = connected_components(edges_ds, "src", "dst",
+                                      num_partitions=num_partitions,
+                                      checkpoint=checkpoint)
+        sizes = labels.groupby("component_id").aggregate(Count(alias_name="n"))
+        biggest = sizes.max("n") if sizes.count() else 0
+        distributed = bool(biggest and biggest > max_group_rows)
+    else:
+        labels = None
+    if distributed:
+        from .levelflow import upstream_flow_distributed
+
+        return upstream_flow_distributed(
+            edges_ds, split_equally=split_equally,
+            num_partitions=num_partitions, checkpoint=checkpoint)
+    if labels is None:
+        labels = connected_components(edges_ds, "src", "dst",
+                                      num_partitions=num_partitions,
+                                      checkpoint=checkpoint)
     lab = labels.select_columns(["node", "component_id"]).rename_columns(
         ["src", "component"])
     e = hash_join(edges_ds, lab, ("src",), how="inner",

@@ -76,15 +76,17 @@ def contract_cycles(edges_ds, *, src: str = "src", dst: str = "dst",
 
 # ---------------------------------------------------------------------- G21
 
-def loop_features(edges_ds, positions_ref, polygons=None, *,
+def loop_features(edges_ds, nodes_ds, polygons=None, *,
                   src: str = "src", dst: str = "dst", num_partitions: int = 8,
                   scc_labels=None):
     """Per-SCC "loop" feature rows (-down/main.rs:544-663): root_nid = min nid,
     num_nodes, length_m (sum over cycle-internal segments), areas via the PIP
     geocoder (J5/T1) on the loop's min-node position. Pass ``scc_labels`` to
-    reuse an SCC result computed once per pipeline (shared with G11)."""
-    import ray
+    reuse an SCC result computed once per pipeline (shared with G11).
 
+    ``nodes_ds`` is a (node_id, lat, lon) Dataset; segment positions arrive by
+    HASH JOIN (the J1 pattern from pipelines/lump.py) — the r1 O(nodes)
+    broadcast dict is gone (VERDICT r1 next-step 4)."""
     scc = scc_labels if scc_labels is not None else strongly_connected_components(
         edges_ds, src, dst, num_partitions=num_partitions)
     scc = snapshot(scc)
@@ -106,7 +108,15 @@ def loop_features(edges_ds, positions_ref, polygons=None, *,
         t = batch.filter(keep)
         return pa.table({"scc_id": t["_cs"], src: t[src], dst: t[dst]})
 
-    cyc_edges = e.map_batches(internal, batch_format="pyarrow")
+    cyc_edges = snapshot(e.map_batches(internal, batch_format="pyarrow"))
+    pos_a = nodes_ds.select_columns(["node_id", "lat", "lon"]).rename_columns(
+        [src, "lat_a", "lon_a"])
+    pos_b = nodes_ds.select_columns(["node_id", "lat", "lon"]).rename_columns(
+        [dst, "lat_b", "lon_b"])
+    cyc = snapshot(cogroup_join(cyc_edges, pos_a, (src,), how="inner",
+                                num_partitions=num_partitions))
+    cyc = snapshot(cogroup_join(cyc, pos_b, (dst,), how="inner",
+                                num_partitions=num_partitions))
 
     def per_loop(df):
         import pandas as pd
@@ -114,19 +124,20 @@ def loop_features(edges_ds, positions_ref, polygons=None, *,
         from ..functions.haversine import haversine_m_fp
         from .spatial import Polygon  # noqa: F401 (type only)
 
-        pos = ray.get(positions_ref)
         nodes = sorted(set(df[src]) | set(df[dst]))
-        lats = np.array([pos[n][0] for n in nodes], dtype=np.int64)
-        lons = np.array([pos[n][1] for n in nodes], dtype=np.int64)
-        la1 = np.array([pos[a][0] for a in df[src]], dtype=np.int64)
-        lo1 = np.array([pos[a][1] for a in df[src]], dtype=np.int64)
-        la2 = np.array([pos[b][0] for b in df[dst]], dtype=np.int64)
-        lo2 = np.array([pos[b][1] for b in df[dst]], dtype=np.int64)
-        length = float(np.sum(haversine_m_fp(la1, lo1, la2, lo2)))
+        length = float(np.sum(haversine_m_fp(
+            df["lat_a"].to_numpy(), df["lon_a"].to_numpy(),
+            df["lat_b"].to_numpy(), df["lon_b"].to_numpy())))
         root = int(df["scc_id"].iloc[0])
         area = "unknown_area"
         if polygons:
-            rl, rn = pos[root]
+            # the root node appears in some cycle edge — its joined position
+            # rides along on the rows (no broadcast lookup)
+            m = df[df[src] == root]
+            rl, rn = ((float(m["lat_a"].iloc[0]), float(m["lon_a"].iloc[0]))
+                      if len(m) else
+                      (float(df[df[dst] == root]["lat_b"].iloc[0]),
+                       float(df[df[dst] == root]["lon_b"].iloc[0])))
             for poly in polygons:
                 if poly.contains(np.array([rl / 1e7]), np.array([rn / 1e7]))[0]:
                     area = poly.name
@@ -139,7 +150,7 @@ def loop_features(edges_ds, positions_ref, polygons=None, *,
             "area": [area],
         })
 
-    return cyc_edges.groupby("scc_id").map_groups(per_loop, batch_format="pandas")
+    return cyc.groupby("scc_id").map_groups(per_loop, batch_format="pandas")
 
 
 # ------------------------------------------------------------------- G14/G16
@@ -222,13 +233,15 @@ def _component_walks(df, pos, *, max_dist_m: Optional[float]):
     return assigned, paths
 
 
-def biggest_end_and_grouped_paths(dag_with_flow_ds, positions_ref=None, *,
+def biggest_end_and_grouped_paths(dag_with_flow_ds, *,
                                   max_dist_m: Optional[float] = None,
                                   num_partitions: int = 8):
     """G14 + G16 over the flow-annotated DAG → (node, end_nid) assignment rows
-    and per-end path rows. Weak components run in parallel."""
-    import ray
-
+    and per-end path rows. Weak components run in parallel; distances come from
+    the edge rows' ``length_m`` (no position lookups). For a giant component
+    the G14 half has a level-synchronous path: stages/levelflow.py
+    ``biggest_end_distributed`` (G16's sequential path assembly is inherently
+    per-component, like the reference)."""
     labels = connected_components(dag_with_flow_ds, "src", "dst",
                                   num_partitions=num_partitions)
     lab = labels.select_columns(["node", "component_id"]).rename_columns(
@@ -239,8 +252,7 @@ def biggest_end_and_grouped_paths(dag_with_flow_ds, positions_ref=None, *,
     def fn(df):
         import pandas as pd
 
-        pos = ray.get(positions_ref) if positions_ref is not None else None
-        assigned, paths = _component_walks(df, pos, max_dist_m=max_dist_m)
+        assigned, paths = _component_walks(df, None, max_dist_m=max_dist_m)
         nrows = pd.DataFrame({
             "kind": 0, "node": list(assigned.keys()),
             "end_nid": list(assigned.values()),
@@ -256,48 +268,88 @@ def biggest_end_and_grouped_paths(dag_with_flow_ds, positions_ref=None, *,
 
 # ---------------------------------------------------------------------- G17
 
-def upstream_segments(flow_edges_ds, positions_ref, *, min_upstream_m: float = 0.0,
-                      round_multiples: Tuple[int, ...] = ()):
+def upstream_segments(flow_edges_ds, nodes_ds, *, min_upstream_m: float = 0.0,
+                      round_multiples: Tuple[int, ...] = (),
+                      num_partitions: int = 8):
     """Per-tiny-segment emission (-down/main.rs:1716-1888): each DAG edge
     expands to its inter chain; upstream accumulates along the chain from the
     edge's upstream_m; segments below ``min_upstream_m`` are filtered; optional
-    round-to-multiple props (``from_upstream_m_N``, utils round_mult)."""
-    import ray
+    round-to-multiple props (``from_upstream_m_N``, utils round_mult).
 
+    Scale path (r2): chain expansion is the vectorized offsets idiom
+    (pipelines/lump.chain_segments — no Python row loop), positions arrive via
+    TWO HASH JOINS against the narrow ``nodes_ds`` (node_id, lat, lon) instead
+    of an O(nodes) broadcast dict, and the along-chain accumulation is a
+    segmented cumsum inside an edge-bucketed ``map_groups``."""
     from ..functions.haversine import haversine_m_fp
-    from ..functions.utils import round_mult
+    from ..pipelines.lump import chain_segments
 
-    def emit(batch: pa.Table) -> pa.Table:
-        pos = ray.get(positions_ref)
-        src = batch["src"].to_numpy(zero_copy_only=False)
-        dst = batch["dst"].to_numpy(zero_copy_only=False)
-        ups = batch["upstream_m"].to_numpy(zero_copy_only=False)
-        inters = (batch["inter_nids"].to_pylist()
-                  if "inter_nids" in batch.column_names else [[]] * len(src))
-        cols = defaultdict(list)
-        for i in range(len(src)):
-            chain = [int(src[i])] + [int(x) for x in inters[i]] + [int(dst[i])]
-            up = float(ups[i])
-            for a, b in zip(chain, chain[1:]):
-                seg = float(haversine_m_fp(
-                    np.array([pos[a][0]]), np.array([pos[a][1]]),
-                    np.array([pos[b][0]]), np.array([pos[b][1]]))[0])
-                if up >= min_upstream_m:
-                    cols["a"].append(a)
-                    cols["b"].append(b)
-                    cols["from_upstream_m"].append(up)
-                    cols["to_upstream_m"].append(up + seg)
-                    for m in round_multiples:
-                        cols[f"from_upstream_m_{m}"].append(int(round_mult(up, m)))
-                up += seg
-        if not cols:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64()),
-                             "from_upstream_m": pa.array([], pa.float64()),
-                             "to_upstream_m": pa.array([], pa.float64())})
-        return pa.table({k: pa.array(v) for k, v in cols.items()})
+    def explode(batch: pa.Table) -> pa.Table:
+        a, b, eidx, seg_idx, carried = chain_segments(
+            batch, u_col="src", v_col="dst",
+            carry=("src", "dst", "upstream_m"))
+        return pa.table({
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "seg_idx": pa.array(seg_idx, pa.int64()),
+            "src": carried["src"],
+            "dst": carried["dst"],
+            "edge_up": carried["upstream_m"],
+        })
 
-    return flow_edges_ds.map_batches(emit, batch_format="pyarrow")
+    seg = flow_edges_ds.map_batches(explode, batch_format="pyarrow")
+    pos_a = nodes_ds.select_columns(["node_id", "lat", "lon"]).rename_columns(
+        ["a", "lat_a", "lon_a"])
+    pos_b = nodes_ds.select_columns(["node_id", "lat", "lon"]).rename_columns(
+        ["b", "lat_b", "lon_b"])
+    seg = snapshot(cogroup_join(seg, pos_a, ("a",), how="inner",
+                                num_partitions=num_partitions))
+    seg = snapshot(cogroup_join(seg, pos_b, ("b",), how="inner",
+                                num_partitions=num_partitions))
+
+    def ebucket(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = batch["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((s * np.uint64(1099511628211) ^ d) * np.uint64(0x9E3779B97F4A7C15)
+             >> np.uint64(17)).astype(np.int64) % num_partitions
+        return batch.append_column("ebucket", pa.array(h, pa.int64()))
+
+    def accumulate(df):
+        from ..functions.utils import round_mult
+
+        s = df["src"].to_numpy().astype(np.int64)
+        d = df["dst"].to_numpy().astype(np.int64)
+        si = df["seg_idx"].to_numpy().astype(np.int64)
+        order = np.lexsort((si, d, s))
+        s, d, si = s[order], d[order], si[order]
+        a = df["a"].to_numpy()[order]
+        b = df["b"].to_numpy()[order]
+        eup = df["edge_up"].to_numpy().astype(np.float64)[order]
+        seg_m = haversine_m_fp(
+            df["lat_a"].to_numpy()[order], df["lon_a"].to_numpy()[order],
+            df["lat_b"].to_numpy()[order], df["lon_b"].to_numpy()[order])
+        # segmented EXCLUSIVE cumsum per (src,dst) edge chain
+        new_edge = np.concatenate(
+            [[True], (s[1:] != s[:-1]) | (d[1:] != d[:-1])])
+        cum = np.cumsum(seg_m)
+        run_start = np.maximum.accumulate(np.where(new_edge, np.arange(len(s)), 0))
+        base = cum - seg_m  # inclusive-cum minus own = exclusive cum
+        start_excl = (cum[run_start] - seg_m[run_start])
+        from_up = eup + (base - start_excl)
+        to_up = from_up + seg_m
+        keep = from_up >= min_upstream_m
+        cols = {
+            "a": pa.array(a[keep].astype(np.int64)),
+            "b": pa.array(b[keep].astype(np.int64)),
+            "from_upstream_m": pa.array(from_up[keep]),
+            "to_upstream_m": pa.array(to_up[keep]),
+        }
+        for m in round_multiples:
+            cols[f"from_upstream_m_{m}"] = pa.array(round_mult(from_up[keep], m))
+        return pa.table(cols)
+
+    return seg.map_batches(ebucket, batch_format="pyarrow") \
+              .groupby("ebucket").map_groups(accumulate, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------- G18
@@ -378,6 +430,321 @@ def _tag_group_component(df):
     return pd.DataFrame(out_rows, columns=["taggroupid", "tagid", "num_segments",
                                            "num_sources", "num_sinks",
                                            "stream_level"])
+
+
+def _tag_group_full_component(df):
+    """One weak component: the COMPLETE G18 (tag_group.rs:96-943):
+
+    - flood-fill same-tagid connected edges → groups (taggroupid = min nid of
+      the group's nodes; the reference uses an insertion index — documented
+      stable-id divergence);
+    - per group: length, upstream (Σ upstream_m of END segments — edges whose
+      dst has no same-tag out-edge, tag_group.rs:112-134, 241-247), sources /
+      sinks by GLOBAL degree (tag_group.rs:255-260), confluence nodes
+      (tag_group.rs:262-279);
+    - pairwise river relationship per joining pair via confluence flow types
+      (flow_type :591-608; rules :816-905 including the two fallback
+      heuristics and the last-match-wins pop);
+    - stream levels + dotted stream_level_code (:470-536): sink-groups are
+      roots (level 0) ordered by upstream desc; BFS upstream via confluence
+      in-edges, children ordered by upstream desc. The LOCAL root rank in the
+      code's first element is globalized by the caller;
+    - all-pairs confluence distances (:716-762): per group with ≥2 confluences,
+      within-group downstream Dijkstra between confluences+sources+sinks.
+
+    Deterministic tie-breaks (documented divergences from the reference's
+    unstable sorts): equal-upstream orderings break ascending by group id."""
+    import pandas as pd
+
+    s_arr = df["src"].to_numpy()
+    d_arr = df["dst"].to_numpy()
+    ln_arr = df["length_m"].to_numpy()
+    tag_arr = (df["tagid"].to_numpy() if "tagid" in df.columns
+               else np.full(len(s_arr), -1))
+    up_arr = (df["upstream_m"].to_numpy() if "upstream_m" in df.columns
+              else np.zeros(len(s_arr)))
+    n_e = len(s_arr)
+    rows = [(int(s_arr[i]), int(d_arr[i]), float(ln_arr[i]), int(tag_arr[i]),
+             float(up_arr[i])) for i in range(n_e)]
+
+    out_of = defaultdict(list)  # node -> [edge idx]
+    in_of = defaultdict(list)
+    for i, (s, d, _ln, _t, _u) in enumerate(rows):
+        out_of[s].append(i)
+        in_of[d].append(i)
+
+    # ---- flood fill: same-tag connected edges (shared node, same tagid)
+    gid_of = [-1] * n_e
+    for i in range(n_e):
+        if gid_of[i] != -1:
+            continue
+        tid = rows[i][3]
+        stack = [i]
+        members = []
+        gid_of[i] = -2
+        while stack:
+            e = stack.pop()
+            members.append(e)
+            for nd in (rows[e][0], rows[e][1]):
+                for j in in_of.get(nd, []) + out_of.get(nd, []):
+                    if gid_of[j] == -1 and rows[j][3] == tid:
+                        gid_of[j] = -2
+                        stack.append(j)
+        gid = min(min(rows[e][0], rows[e][1]) for e in members)
+        for e in members:
+            gid_of[e] = gid
+
+    groups: Dict[int, dict] = {}
+    for i, (s, d, ln, t, u) in enumerate(rows):
+        g = groups.setdefault(gid_of[i], {
+            "tagid": rows[i][3], "members": [], "length": 0.0, "upstream": 0.0,
+            "sources": set(), "sinks": set(), "confluences": set(),
+            "unallocated": set(), "tributaries": [], "branching": [],
+            "terminal": [], "side_channels": [], "parent_rivers": [],
+            "parent_channels": [],
+        })
+        g["members"].append(i)
+        g["length"] += ln
+
+    # end segments → group upstream
+    for gid, g in groups.items():
+        for e in g["members"]:
+            d = rows[e][1]
+            if not any(rows[j][3] == g["tagid"] for j in out_of.get(d, ())):
+                g["upstream"] += rows[e][4]
+
+    # sources/sinks (GLOBAL degree) + confluences + joining pairs
+    pair_set = set()
+    for i, (s, d, _ln, _t, _u) in enumerate(rows):
+        gid = gid_of[i]
+        g = groups[gid]
+        if not in_of.get(s):
+            g["sources"].add(s)
+        if not out_of.get(d):
+            g["sinks"].add(d)
+        for j in out_of.get(d, ()):
+            if gid_of[j] != gid:
+                g["confluences"].add(d)
+                g["unallocated"].add(gid_of[j])
+                pair_set.add((min(gid, gid_of[j]), max(gid, gid_of[j])))
+        for j in in_of.get(s, ()):
+            if gid_of[j] != gid:
+                g["confluences"].add(s)
+                g["unallocated"].add(gid_of[j])
+                pair_set.add((min(gid, gid_of[j]), max(gid, gid_of[j])))
+
+    def flow_type(nid: int, gid: int) -> str:
+        has_in = any(gid_of[j] == gid for j in in_of.get(nid, ()))
+        has_out = any(gid_of[j] == gid for j in out_of.get(nid, ()))
+        return {(True, True): "T", (True, False): "I",
+                (False, True): "O", (False, False): "N"}[(has_in, has_out)]
+
+    def _in_or_through(f):
+        return f in ("I", "T")
+
+    def _out_or_through(f):
+        return f in ("O", "T")
+
+    def is_side_channel(a, b, confs):
+        return (len(confs) >= 2 and a["length"] < b["length"]
+                and all((fa == "O" and _in_or_through(fb))
+                        or (fa == "I" and _out_or_through(fb))
+                        for fa, fb in confs)
+                and any(fa == "O" and _in_or_through(fb) for fa, fb in confs)
+                and any(fa == "I" and _out_or_through(fb) for fa, fb in confs))
+
+    for a_id0, b_id0 in sorted(pair_set):
+        a_id, b_id = a_id0, b_id0
+        a, b = groups[a_id], groups[b_id]
+        shared = sorted(a["confluences"] & b["confluences"])
+        confs = [(flow_type(nid, a_id), flow_type(nid, b_id)) for nid in shared]
+        possible = []
+        for _step in (0, 1):
+            if all(c == ("I", "O") for c in confs):
+                possible.append(("terminal", a_id, b_id))
+            if all(c == ("I", "T") for c in confs):
+                possible.append(("trib", a_id, b_id))
+            if all(c == ("O", "T") for c in confs):
+                possible.append(("branching", a_id, b_id))
+            if is_side_channel(a, b, confs):
+                possible.append(("side", a_id, b_id))
+            a, b = b, a
+            a_id, b_id = b_id, a_id
+            confs = [(fb, fa) for fa, fb in confs]
+        if not possible:
+            for _step in (0, 1):
+                if (b["length"] > 0 and a["length"] / b["length"] <= 0.1
+                        and a["tagid"] == -1 and b["tagid"] != -1
+                        and len(a["confluences"]) == len(confs)
+                        and any(fa == "I" for fa, _fb in confs)):
+                    possible.append(("trib", a_id, b_id))
+                if (a["tagid"] != -1 and b["tagid"] != -1
+                        and a["length"] < b["length"] and not a["sinks"]
+                        and all(nid in b["confluences"]
+                                for nid in a["confluences"]
+                                if flow_type(nid, a_id) == "I")):
+                    possible.append(("trib", a_id, b_id))
+                a, b = b, a
+                a_id, b_id = b_id, a_id
+                confs = [(fb, fa) for fa, fb in confs]
+        if not possible:
+            continue  # reference logs "unable to deduce" and leaves unallocated
+        rel, ra, rb = possible[-1]  # pop() = last pushed wins
+        ga, gb = groups[ra], groups[rb]
+        ga["unallocated"].discard(rb)
+        gb["unallocated"].discard(ra)
+        if rel == "side":
+            ga["parent_channels"].append(rb)
+            gb["side_channels"].append(ra)
+        elif rel == "trib":
+            ga["parent_rivers"].append(rb)
+            gb["tributaries"].append(ra)
+        elif rel == "branching":
+            ga["parent_rivers"].append(rb)
+            gb["branching"].append(ra)
+        else:
+            ga["parent_rivers"].append(rb)
+            gb["terminal"].append(ra)
+
+    # ---- stream levels + codes (local root ranks; globalized by caller)
+    roots = sorted((g for g in groups if groups[g]["sinks"]),
+                   key=lambda g: (-groups[g]["upstream"], g))
+    level = {}
+    code = {}
+    root_of = {}
+    from collections import deque
+
+    frontier = deque()
+    for i, g in enumerate(roots):
+        level[g] = 0
+        code[g] = [i + 1]
+        root_of[g] = g
+        frontier.append(g)
+    while frontier:
+        g = frontier.popleft()
+        ups = set()
+        for nid in groups[g]["confluences"]:
+            for j in in_of.get(nid, ()):
+                og = gid_of[j]
+                if og != g and og not in level:
+                    ups.add(og)
+        for idx, og in enumerate(sorted(ups, key=lambda x: (-groups[x]["upstream"], x))):
+            if og in level:
+                continue
+            level[og] = level[g] + 1
+            code[og] = code[g] + [idx + 1]
+            root_of[og] = root_of[g]
+            frontier.append(og)
+
+    # ---- confluence distances (within-group downstream Dijkstra)
+    vup = defaultdict(float)
+    for s, d, ln, _t, u in rows:
+        vup[d] += u + ln
+    conf_stats = {}
+    for gid, g in groups.items():
+        if len(g["confluences"]) < 2:
+            conf_stats[gid] = (0, 0.0)
+            continue
+        nodes = sorted(set(g["confluences"]) | g["sinks"] | g["sources"],
+                       key=lambda n: (-vup[n], n))
+        member_out = defaultdict(list)
+        for e in g["members"]:
+            member_out[rows[e][0]].append((rows[e][1], rows[e][2]))
+        pairs = 0
+        total = 0.0
+        for n1 in nodes:
+            dist = {n1: 0.0}
+            h = [(0.0, n1)]
+            while h:
+                dc, cur = heapq.heappop(h)
+                if dc > dist.get(cur, float("inf")):
+                    continue
+                for nb, ln in member_out.get(cur, ()):
+                    nd = dc + ln
+                    if nd < dist.get(nb, float("inf")):
+                        dist[nb] = nd
+                        heapq.heappush(h, (nd, nb))
+            for n2 in nodes:
+                if n2 != n1 and n2 in dist:
+                    pairs += 1
+                    total += dist[n2]
+        conf_stats[gid] = (pairs, total)
+
+    out = []
+    for gid in sorted(groups):
+        g = groups[gid]
+        cp, cd = conf_stats[gid]
+        out.append({
+            "taggroupid": gid,
+            "tagid": g["tagid"],
+            "num_segments": len(g["members"]),
+            "length_dm": int(np.floor(g["length"] * 10 + 0.5)),
+            "upstream_dm": int(np.floor(g["upstream"] * 10 + 0.5)),
+            "num_sources": len(g["sources"]),
+            "num_sinks": len(g["sinks"]),
+            "num_confluences": len(g["confluences"]),
+            "n_tributaries": len(set(g["tributaries"])),
+            "n_branching_dist": len(set(g["branching"])),
+            "n_terminal_dist": len(set(g["terminal"])),
+            "n_side_channels": len(set(g["side_channels"])),
+            "n_parent_rivers": len(set(g["parent_rivers"])),
+            "n_parent_channels": len(set(g["parent_channels"])),
+            "n_unallocated": len(g["unallocated"]),
+            "stream_level": level.get(gid, -1),
+            "code_suffix": ".".join(str(x) for x in code.get(gid, [])[1:]),
+            "root_gid": root_of.get(gid, -1),
+            "root_upstream_dm": int(np.floor(
+                groups[root_of[gid]]["upstream"] * 10 + 0.5))
+            if gid in root_of else -1,
+            "n_conf_pairs": cp,
+            "conf_dist_dm": int(np.floor(cd * 10 + 0.5)),
+        })
+    return pd.DataFrame(out)
+
+
+def tag_groups_full(dag_flow_edges_ds, *, num_partitions: int = 8):
+    """Complete G18 over a flow-annotated tagid DAG edge table
+    (src, dst, length_m, tagid, upstream_m) → per-taggroup rows including the
+    pairwise river classification, dotted ``stream_level_code`` and confluence
+    distances. Weak components run in parallel; the per-tree root rank (first
+    element of the code) is globalized afterwards by ranking all sink-groups by
+    (upstream desc, gid asc) — one tiny table of sink-group rows."""
+    import ray
+
+    labels = connected_components(dag_flow_edges_ds, "src", "dst",
+                                  num_partitions=num_partitions)
+    lab = labels.select_columns(["node", "component_id"]).rename_columns(
+        ["src", "component"])
+    e = cogroup_join(dag_flow_edges_ds, lab, ("src",), how="inner",
+                     num_partitions=num_partitions)
+    rows = snapshot(e.groupby("component").map_groups(
+        _tag_group_full_component, batch_format="pandas"))
+
+    # globalize root ranks: one row per root (sink) group — a tiny projection
+    roots = rows.map_batches(
+        lambda b: pa.table({"root_gid": b["taggroupid"],
+                            "up": b["root_upstream_dm"]}).filter(
+            pa.compute.equal(b["stream_level"], pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow").take_all()
+    order = sorted(roots, key=lambda r: (-r["up"], r["root_gid"]))
+    rank = {r["root_gid"]: i + 1 for i, r in enumerate(order)}
+    rank_ref = ray.put(rank)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        rk = ray.get(rank_ref)
+        rg = batch["root_gid"].to_numpy(zero_copy_only=False)
+        suffix = batch["code_suffix"].to_pylist()
+        codes = []
+        for g, suf in zip(rg, suffix):
+            if int(g) < 0:
+                codes.append("")
+            else:
+                head = str(rk.get(int(g), 0))
+                codes.append(head + ("." + suf if suf else ""))
+        t = batch.drop_columns(["code_suffix", "root_gid", "root_upstream_dm"])
+        return t.append_column("stream_level_code", pa.array(codes, pa.string()))
+
+    return rows.map_batches(finalize, batch_format="pyarrow")
 
 
 def tag_groups(dag_edges_ds, *, num_partitions: int = 8):

@@ -126,3 +126,108 @@ def test_upstream_flow_distributed(mk):
     out = {(r["src"], r["dst"]): r["upstream_m"]
            for r in upstream_flow(mk(t)).take_all()}
     assert out == {(1, 2): 0.0, (2, 3): 10.0, (10, 11): 0.0, (11, 12): 5.0}
+
+
+# ---------------------------------------------------- level-synchronous G13/G14
+
+def _giant_dag_table(n: int = 2000):
+    """ONE weak component spanning many id-range buckets: a spine chain
+    1→2→…→n with integer lengths plus confluent side-branches s→spine every 50
+    ids (so some nodes are multi-in) and a bifurcation every 401 ids (multi-out,
+    exercising the split rule). Lengths are small integers → float sums exact."""
+    src, dst, ln = [], [], []
+    for i in range(1, n):
+        src.append(i)
+        dst.append(i + 1)
+        ln.append(float(i % 7 + 1))
+    for i in range(50, n, 50):  # side sources feeding the spine
+        src.append(100000 + i)
+        dst.append(i)
+        ln.append(3.0)
+    for i in range(401, n, 401):  # bifurcation: spine node also feeds a stub sink
+        src.append(i)
+        dst.append(200000 + i)
+        ln.append(2.0)
+    return pa.table({"src": pa.array(src, pa.int64()),
+                     "dst": pa.array(dst, pa.int64()),
+                     "length_m": pa.array(ln, pa.float64())})
+
+
+def test_flow_distributed_giant_chain_matches_sequential(mk):
+    """The level-synchronous path must agree with the per-component sequential
+    walk on a single giant component larger than any sensible group block."""
+    from osm_lump_ways_ray.stages.levelflow import upstream_flow_distributed
+
+    t = _giant_dag_table(2000)
+    seq = _flow_group(
+        pd.DataFrame({"src": t["src"].to_numpy(), "dst": t["dst"].to_numpy(),
+                      "length_m": t["length_m"].to_numpy(),
+                      "tagid": np.full(len(t), -1)}),
+        split_equally=True)
+    expect = {(r.src, r.dst): r.upstream_m for r in seq.itertuples()}
+    got = {(r["src"], r["dst"]): r["upstream_m"]
+           for r in upstream_flow_distributed(mk(t), split_equally=True).take_all()}
+    assert got == expect
+
+
+def test_flow_auto_routes_giant_component(mk):
+    """upstream_flow auto-selects the distributed path above max_group_rows."""
+    t = _giant_dag_table(600)
+    out = upstream_flow(mk(t), max_group_rows=100)
+    got = {(r["src"], r["dst"]): r["upstream_m"] for r in out.take_all()}
+    seq = _flow_group(
+        pd.DataFrame({"src": t["src"].to_numpy(), "dst": t["dst"].to_numpy(),
+                      "length_m": t["length_m"].to_numpy(),
+                      "tagid": np.full(len(t), -1)}),
+        split_equally=True)
+    assert got == {(r.src, r.dst): r.upstream_m for r in seq.itertuples()}
+
+
+def test_flow_distributed_follows_tag(mk):
+    """Tagged split rule through the distributed path (same fixture as the
+    sequential orphan-group test, shifted across a bucket boundary)."""
+    from osm_lump_ways_ray.stages.levelflow import upstream_flow_distributed
+
+    base = 1000
+    t = pa.table({
+        "src": pa.array([base + 1, base + 70, base + 64, base + 64], pa.int64()),
+        "dst": pa.array([base + 64, base + 64, base + 128, base + 200], pa.int64()),
+        "length_m": pa.array([10.0, 6.0, 1.0, 1.0], pa.float64()),
+        "tagid": pa.array([1, 9, 1, 1], pa.int64()),
+    })
+    got = {(r["src"], r["dst"]): r["upstream_m"]
+           for r in upstream_flow_distributed(mk(t), split_equally=False).take_all()}
+    assert got[(base + 64, base + 128)] == 8.0
+    assert got[(base + 64, base + 200)] == 8.0
+
+
+def test_flow_distributed_checkpoint_resume(mk, tmp_path):
+    from osm_lump_ways_ray.state.checkpoint import CheckpointManager
+    from osm_lump_ways_ray.stages.levelflow import upstream_flow_distributed
+
+    t = _giant_dag_table(800)
+    ck1 = CheckpointManager(str(tmp_path / "ck"))
+    got1 = {(r["src"], r["dst"]): r["upstream_m"]
+            for r in upstream_flow_distributed(
+                mk(t), checkpoint=ck1, checkpoint_every=2).take_all()}
+    # a resumed run must load the newest round checkpoint and finish identically
+    ck2 = CheckpointManager(str(tmp_path / "ck"))
+    assert any(k.startswith("flow-") for k in ck2._manifest["completed"])
+    got2 = {(r["src"], r["dst"]): r["upstream_m"]
+            for r in upstream_flow_distributed(
+                mk(t), checkpoint=ck2, checkpoint_every=2).take_all()}
+    assert got1 == got2
+
+
+def test_biggest_end_distributed_matches_walk(mk):
+    from osm_lump_ways_ray.stages.levelflow import biggest_end_distributed
+    from osm_lump_ways_ray.stages.waterways import _component_walks
+
+    t = _giant_dag_table(900)
+    flow = upstream_flow(mk(t), distributed=False)
+    flow_tbl = pa.concat_tables(list(flow.iter_batches(batch_format="pyarrow")))
+    df = flow_tbl.to_pandas()
+    assigned, _paths = _component_walks(df, None, max_dist_m=None)
+    got = {r["node"]: r["end_nid"]
+           for r in biggest_end_distributed(mk(flow_tbl)).take_all()}
+    assert got == assigned

@@ -43,12 +43,19 @@ def test_contract_cycles(mk):
     assert labs == {3: 3, 4: 3, 5: 3}
 
 
+def nodes_table(pos):
+    return pa.table({
+        "node_id": pa.array(sorted(pos), pa.int64()),
+        "lat": pa.array([pos[n][0] for n in sorted(pos)], pa.int64()),
+        "lon": pa.array([pos[n][1] for n in sorted(pos)], pa.int64()),
+    })
+
+
 def test_loop_features(mk):
     rows = [(1, 2, 5), (2, 3, 5), (3, 1, 5), (3, 9, 5)]
     pos = {n: (n * 1_000_000, n * 1_000_000) for n in (1, 2, 3, 9)}
-    import ray
-
-    out = loop_features(mk(e_table(rows)), ray.put(pos), num_partitions=4).take_all()
+    out = loop_features(mk(e_table(rows)), mk(nodes_table(pos)),
+                        num_partitions=4).take_all()
     assert len(out) == 1
     f = out[0]
     assert f["root_nid"] == 1 and f["num_nodes"] == 3 and f["num_segments"] == 3
@@ -79,8 +86,6 @@ def test_component_walks_distance_cut():
 
 
 def test_upstream_segments(mk):
-    import ray
-
     t = pa.table({
         "src": pa.array([1], pa.int64()),
         "dst": pa.array([3], pa.int64()),
@@ -88,7 +93,8 @@ def test_upstream_segments(mk):
         "inter_nids": pa.array([[2]], pa.list_(pa.int64())),
     })
     pos = {1: (0, 0), 2: (0, 100_000), 3: (0, 200_000)}
-    segs = upstream_segments(mk(t), ray.put(pos)).take_all()
+    segs = sorted(upstream_segments(mk(t), mk(nodes_table(pos))).take_all(),
+                  key=lambda s: (s["a"], s["b"]))
     assert [(s["a"], s["b"]) for s in segs] == [(1, 2), (2, 3)]
     assert segs[0]["from_upstream_m"] == 100.0
     assert segs[1]["from_upstream_m"] == pytest.approx(
@@ -130,3 +136,105 @@ def test_longest_source_mouth_distributed_topn(mk):
             (10, 11, 500), (11, 12, 500)]      # system B len 1000, mouth 12
     out = longest_source_mouth(mk(e_table(rows)), top_n=1, num_partitions=4).take_all()
     assert len(out) == 1 and out[0]["mouth_nid"] == 12
+
+
+# ------------------------------------------------- full G18 (classification)
+
+def tgdf(rows):  # (src, dst, length, tagid, upstream)
+    return pd.DataFrame(rows, columns=["src", "dst", "length_m", "tagid",
+                                       "upstream_m"])
+
+
+def _row(out, gid):
+    return out[out["taggroupid"] == gid].iloc[0]
+
+
+def test_tag_group_full_tributary_and_levels():
+    from osm_lump_ways_ray.stages.waterways import _tag_group_full_component
+
+    # main river tag1: 1→2→3→4; tributary tag2: 10→2. (I,T) at node 2.
+    out = _tag_group_full_component(tgdf([
+        (1, 2, 10.0, 1, 0.0), (2, 3, 10.0, 1, 20.0), (3, 4, 10.0, 1, 30.0),
+        (10, 2, 10.0, 2, 0.0)]))
+    main, trib = _row(out, 1), _row(out, 2)
+    assert main["n_tributaries"] == 1 and trib["n_parent_rivers"] == 1
+    assert main["stream_level"] == 0 and trib["stream_level"] == 1
+    assert trib["code_suffix"] == "1"
+    assert main["upstream_dm"] == 300  # end segment 3→4 upstream 30 m
+
+
+def test_tag_group_full_terminal_distributary():
+    from osm_lump_ways_ray.stages.waterways import _tag_group_full_component
+
+    # A (tag 1) 1→2 flows INTO B (tag 2) 2→3: at node 2 A=(I), B=(O) → A is
+    # terminal distributary of B per the (In, Out) rule (tag_group.rs:843-845)
+    out = _tag_group_full_component(tgdf([
+        (1, 2, 10.0, 1, 0.0), (2, 3, 10.0, 2, 10.0)]))
+    a, b = _row(out, 1), _row(out, 2)
+    assert b["n_terminal_dist"] == 1 and a["n_parent_rivers"] == 1
+
+
+def test_tag_group_full_branching_distributary():
+    from osm_lump_ways_ray.stages.waterways import _tag_group_full_component
+
+    # main B tag1 1→2→3; branch A tag2 2→9: at node 2 A=(O), B=(T) →
+    # A is branching distributary of B (tag_group.rs:849-851)
+    out = _tag_group_full_component(tgdf([
+        (1, 2, 10.0, 1, 0.0), (2, 3, 10.0, 1, 5.0), (2, 9, 10.0, 2, 5.0)]))
+    a, b = _row(out, 2), _row(out, 1)
+    # gid of branch group = min(2,9) = 2; main = 1
+    assert b["n_branching_dist"] == 1 and a["n_parent_rivers"] == 1
+
+
+def test_tag_group_full_side_channel():
+    from osm_lump_ways_ray.stages.waterways import _tag_group_full_component
+
+    # main B tag1: 1→2→3→4→5; side channel A tag2 leaves at 2, rejoins at 4:
+    # at 2: A=O, B=T; at 4: A=I, B=T → side-channel rule (tag_group.rs:934-943)
+    out = _tag_group_full_component(tgdf([
+        (1, 2, 10.0, 1, 0.0), (2, 3, 10.0, 1, 5.0), (3, 4, 10.0, 1, 15.0),
+        (4, 5, 10.0, 1, 30.0), (2, 4, 5.0, 2, 5.0)]))
+    b = _row(out, 1)
+    assert b["n_side_channels"] == 1
+    # side channel group id = min(2,4) = 2
+    a = _row(out, 2)
+    assert a["n_parent_channels"] == 1
+
+
+def test_tag_group_full_confluence_distances():
+    from osm_lump_ways_ray.stages.waterways import _tag_group_full_component
+
+    # main tag1 chain 1→2→3→4 with two confluences (tribs at 2 and 3):
+    # group nodes for distances = {2,3} (confs) + {1}(source) + {4}(sink);
+    # downstream pairs: 1→2(10), 1→3(20), 1→4(30), 2→3(10), 2→4(20), 3→4(10)
+    out = _tag_group_full_component(tgdf([
+        (1, 2, 10.0, 1, 0.0), (2, 3, 10.0, 1, 30.0), (3, 4, 10.0, 1, 60.0),
+        (10, 2, 20.0, 2, 0.0), (11, 3, 20.0, 3, 0.0)]))
+    main = _row(out, 1)
+    assert main["num_confluences"] == 2
+    assert main["n_conf_pairs"] == 6
+    assert main["conf_dist_dm"] == 1000  # (10+20+30+10+20+10) m → dm
+
+
+def test_tag_groups_full_distributed_code_globalization(mk):
+    from osm_lump_ways_ray.stages.waterways import tag_groups_full
+
+    # two separate chains (components); bigger-upstream root ranks first
+    t = pa.table({
+        "src": pa.array([1, 2, 101, 102], pa.int64()),
+        "dst": pa.array([2, 3, 102, 103], pa.int64()),
+        "length_m": pa.array([10.0, 10.0, 10.0, 10.0], pa.float64()),
+        "tagid": pa.array([1, 2, 5, 5], pa.int64()),
+        "upstream_m": pa.array([0.0, 10.0, 0.0, 10.0], pa.float64()),
+    })
+    rows = {r["taggroupid"]: r for r in tag_groups_full(mk(t), num_partitions=4).take_all()}
+    # chain B (101..103) single group upstream 20 ranks above chain A's sink
+    # group (edges 2→3, upstream 20 vs ... compute: A sink group = tag2 edge
+    # 2→3 end-segment upstream 10 → dm 100; B group end 102→103 upstream 10+10=20? no:
+    # upstream_m of edge 102→103 is 10 → dm 100. tie → lower gid first: gid 1... A's
+    # sink group gid = min(2,3)=2; B's = 101 → rank: tie upstream 100dm, gid 2 < 101
+    a_sink = rows[2]
+    b = rows[101]
+    assert a_sink["stream_level_code"] == "1"
+    assert b["stream_level_code"] == "2"
+    assert rows[1]["stream_level_code"] == "1.1"
