@@ -183,41 +183,38 @@ def finalize_components(components_ds, edges_g, *, num_partitions: int = 8):
 
     Ranks (main.rs:1158-1208): length_desc_rank (0-based), length_desc_rank_perc
     (4 dp), length_asc_rank (= n - desc_rank), length_asc_rank_perc,
-    length_m_fraction_total, length_m_fraction_longest. Rank assignment is a
-    broadcast binary search against the sorted length vector — the vector is one
-    float per COMPONENT (orders of magnitude smaller than the input; documented
-    driver-side reduction)."""
-    import ray
+    length_m_fraction_total, length_m_fraction_longest. Rank assignment is the
+    DISTRIBUTED sort + per-block-offset pass (relational.with_desc_rank) — the
+    round-1 driver-side length vector is gone; the only driver-side values are
+    the three scalars (n, total, longest) and per-BLOCK summaries."""
+    from ..functions.utils import round_half_away
+    from ..stages.relational import distinct as _distinct
+    from ..stages.relational import with_desc_rank
+
+    n = components_ds.count()
+    total = float(components_ds.sum("length_m") or 0.0)
+    longest = float(components_ds.max("length_m") or 0.0)
+
+    ranked = with_desc_rank(components_ds, "length_m",
+                            out_col="length_desc_rank")
+
+    # g → group-value string: a JOIN against the (small) distinct pair table,
+    # not a broadcast dict
     from ray.data.aggregate import Count
 
-    from ..functions.utils import round_half_away
-
-    # g → group-value string map (distinct pairs; small)
-    gmap_rows = edges_g.groupby(["g", "name"]).aggregate(Count(alias_name="_c")) \
-                       .take_all()
-    gmap = {r["g"]: r["name"] for r in gmap_rows}
-    gmap_ref = ray.put(gmap)
-
-    lengths = np.array([r["length_m"] for r in
-                        components_ds.select_columns(["length_m"]).take_all()])
-    order = np.sort(lengths)  # ascending
-    n = len(order)
-    total = float(lengths.sum())
-    longest = float(lengths.max()) if n else 0.0
-    ord_ref = ray.put(order)
+    gmap = edges_g.groupby(["g", "name"]).aggregate(Count(alias_name="_c")) \
+                  .map_batches(lambda b: pa.table({"g": b["g"],
+                                                   "tag_group_0": b["name"]}),
+                               batch_format="pyarrow")
+    ranked = hash_join(ranked, gmap, ("g",), how="inner", num_partitions=8)
 
     def props(batch: pa.Table) -> pa.Table:
-        srt = ray.get(ord_ref)
-        gm = ray.get(gmap_ref)
         length = batch["length_m"].to_numpy(zero_copy_only=False)
         root = batch["component_id"].to_numpy(zero_copy_only=False)
-        # desc rank = number of strictly-greater lengths (ties share the
-        # smallest rank — deterministic, unlike the reference's unstable sort)
-        desc_rank = n - np.searchsorted(srt, length, side="right")
-        gvals = batch["g"].to_numpy(zero_copy_only=False)
+        desc_rank = batch["length_desc_rank"].to_numpy(zero_copy_only=False)
         return pa.table({
             "g": batch["g"],
-            "tag_group_0": pa.array([gm.get(int(x)) for x in gvals], pa.string()),
+            "tag_group_0": batch["tag_group_0"],
             "component_id": batch["component_id"],
             "root_nodeid": batch["component_id"],
             "root_nodeid_120": pa.array(root % 120, pa.int64()),
@@ -234,7 +231,7 @@ def finalize_components(components_ds, edges_g, *, num_partitions: int = 8):
             "length_m_fraction_longest": pa.array(round_half_away(length / longest, 4)),
         })
 
-    return components_ds.map_batches(props, batch_format="pyarrow")
+    return ranked.map_batches(props, batch_format="pyarrow")
 
 
 def write_outputs(result: dict, output_dir: str):

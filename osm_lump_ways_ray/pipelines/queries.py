@@ -867,6 +867,30 @@ SELECT node_id, nearest_anchor FROM (
 """
 
 
+def q_knn_partitioned(sf_dir: str):
+    """Spatial kNN via the cell-NEIGHBORHOOD partitioned path (no anchor
+    broadcast): both sides bucketed by grid cell, anchors replicated into 3×3
+    neighborhoods, boundary-bound confirmation, exact fallback for the residue.
+    Same answer as the broadcast path — the exact SQL oracle applies."""
+    from ..stages.spatial import knn_join_partitioned
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    nodes = docs.map_batches(D.nodes_batch, batch_format="pyarrow") \
+                .select_columns(["node_id", "lat", "lon"]).materialize()
+    anchors = nodes.map_batches(
+        lambda b: (lambda t: pa.table({"anchor_id": t["node_id"],
+                                       "lat": t["lat"], "lon": t["lon"]}))(
+            b.filter(pa.array(
+                ((b["node_id"].to_numpy(zero_copy_only=False) - 1) % 97) == 0))),
+        batch_format="pyarrow")
+    non_anchor = nodes.map_batches(
+        lambda b: b.filter(pa.array(
+            ((b["node_id"].to_numpy(zero_copy_only=False) - 1) % 97) != 0)),
+        batch_format="pyarrow")
+    out = knn_join_partitioned(non_anchor, anchors, res=3, num_partitions=8)
+    return out.select_columns(["node_id", "nearest_anchor"])
+
+
 # ═════════════════════════════════ no-SQL (rows-only) extension queries
 
 def q_minhash_clusters(sf_dir: str):
@@ -1001,6 +1025,7 @@ QUERIES = {
     "tile_assign": q_tile_assign,
     "pip": q_pip,
     "knn_spatial": q_knn_spatial,
+    "knn_partitioned": q_knn_partitioned,
     "minhash_clusters": q_minhash_clusters,
     "simhash": q_simhash,
     "knn_ivf": q_knn_ivf,
@@ -1036,6 +1061,7 @@ ORACLES = {
     "tile_assign": SQL_TILE_ASSIGN,
     "pip": SQL_PIP,
     "knn_spatial": SQL_KNN_SPATIAL,
+    "knn_partitioned": SQL_KNN_SPATIAL,
     "multimodal_stub": SQL_MULTIMODAL_STUB,
     "minhash_clusters": SQL_MINHASH_CLUSTERS,
     "simhash": SQL_SIMHASH,
@@ -1794,24 +1820,28 @@ def q_component_ranks(sf_dir: str):
         ["u", "component_id"])
     e = hash_join(e, lab, ("u",), how="inner", num_partitions=8)
     comp = e.groupby("component_id").aggregate(Sum("len_dm", alias_name="length_dm"))
+    comp = comp.map_batches(
+        lambda b: pa.table({"component_id": b["component_id"],
+                            "length_dm": b["length_dm"].cast(pa.int64())}),
+        batch_format="pyarrow")
 
-    rows = comp.take_all()
-    lengths = np.sort(np.array([r["length_dm"] for r in rows], dtype=np.int64))
-    n = len(lengths)
+    from ..stages.relational import with_desc_rank
+
+    n = comp.count()
+    ranked = with_desc_rank(comp, "length_dm", out_col="length_desc_rank")
 
     def ranks(batch: pa.Table) -> pa.Table:
-        ln = batch["length_dm"].to_numpy(zero_copy_only=False).astype(np.int64)
-        desc = n - np.searchsorted(lengths, ln, side="right")
+        desc = batch["length_desc_rank"].to_numpy(zero_copy_only=False)
         root = batch["component_id"].to_numpy(zero_copy_only=False)
         return pa.table({
             "component_id": batch["component_id"],
             "root_nodeid_120": pa.array(root % 120, pa.int64()),
-            "length_dm": pa.array(ln, pa.int64()),
+            "length_dm": batch["length_dm"],
             "length_desc_rank": pa.array(desc.astype(np.int64)),
             "length_asc_rank": pa.array((n - desc).astype(np.int64)),
         })
 
-    return comp.map_batches(ranks, batch_format="pyarrow")
+    return ranked.map_batches(ranks, batch_format="pyarrow")
 
 
 SQL_COMPONENT_RANKS = (

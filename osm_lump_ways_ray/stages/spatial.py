@@ -95,30 +95,72 @@ class Polygon:
         return inside
 
 
+def polygon_cells(poly: "Polygon", res: int) -> set:
+    """All cells at ``res`` intersecting the polygon's bounding box (the T1
+    prefilter index: a point whose cell is not here cannot be inside)."""
+    lat_lo = int(np.min(poly.lats))
+    lat_hi = int(np.max(poly.lats))
+    lon_lo = int(np.min(poly.lons))
+    lon_hi = int(np.max(poly.lons))
+    n = 1 << res
+    from ..functions.cells import LAT_SPAN, LON_SPAN
+
+    latb_lo = (lat_lo + 900_000_000) * n // LAT_SPAN
+    latb_hi = (lat_hi + 900_000_000) * n // LAT_SPAN
+    lonb_lo = (lon_lo + 1_800_000_000) * n // LON_SPAN
+    lonb_hi = (lon_hi + 1_800_000_000) * n // LON_SPAN
+    cells = set()
+    for lb in range(int(latb_lo), int(latb_hi) + 1):
+        for nb in range(int(lonb_lo), int(lonb_hi) + 1):
+            cells.add((res << 58) | (lb << 29) | nb)
+    return cells
+
+
 class PIPGeocoder:
     """Actor-pool stage (reference T1): polygons loaded ONCE per actor from the
     object store; per batch, each point gets the FIRST containing polygon's name
     (polygons checked in order — mirrors the reference's sorted-area convention,
-    -down/main.rs:573-579) or ``unknown_area``."""
+    -down/main.rs:573-579) or ``unknown_area``.
 
-    def __init__(self, polygons_ref, lat_col: str = "lat", lon_col: str = "lon"):
+    Cell PREFILTER (r2): per-actor __init__ builds the union of all polygons'
+    bbox cell covers at ``prefilter_res``; a point whose cell misses the cover
+    skips every ray-cast (the planet is mostly ocean — this is the dominant
+    skip at scale). Per-polygon covers also gate the per-polygon tests."""
+
+    def __init__(self, polygons_ref, lat_col: str = "lat", lon_col: str = "lon",
+                 prefilter_res: int = 6):
         import ray
 
         self.polys = ray.get(polygons_ref) if not isinstance(polygons_ref, list) else polygons_ref
         self.lat_col = lat_col
         self.lon_col = lon_col
+        self.res = prefilter_res
+        self.poly_cells = [np.fromiter(polygon_cells(p, prefilter_res),
+                                       dtype=np.int64)
+                           for p in self.polys]
+        all_cells = (np.unique(np.concatenate(self.poly_cells))
+                     if self.poly_cells else np.empty(0, dtype=np.int64))
+        self.all_cells = all_cells
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lat = batch[self.lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
         lon = batch[self.lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cells = cell_id_fp(
+            batch[self.lat_col].to_numpy(zero_copy_only=False),
+            batch[self.lon_col].to_numpy(zero_copy_only=False), self.res)
         out = np.full(len(lat), "unknown_area", dtype=object)
-        unassigned = np.ones(len(lat), dtype=bool)
-        for poly in self.polys:
+        unassigned = np.isin(cells, self.all_cells)  # prefilter
+        for poly, pcells in zip(self.polys, self.poly_cells):
             if not unassigned.any():
                 break
-            hit = unassigned & poly.contains(lat, lon)
-            out[hit] = poly.name
-            unassigned &= ~hit
+            cand = unassigned & np.isin(cells, pcells)
+            if not cand.any():
+                continue
+            idx = np.where(cand)[0]
+            hit_local = poly.contains(lat[idx], lon[idx])
+            hit_idx = idx[hit_local]
+            out[hit_idx] = poly.name
+            unassigned[hit_idx] = False
         return batch.append_column("area", pa.array(out, pa.string()))
 
 
@@ -196,3 +238,167 @@ def knn_join_broadcast(ds, anchors: tuple, *, lat_col: str = "lat",
         fn_constructor_kwargs=dict(anchors_ref=ref, lat_col=lat_col, lon_col=lon_col),
         batch_format="pyarrow", concurrency=concurrency,
     )
+
+
+# ---------------------------------------------- partitioned (cell-grid) kNN join
+
+# conservative metres-per-degree lower bounds for the boundary-distance check
+_M_PER_DEG_LAT_MIN = 110_574.0
+
+
+def _knn_local_group(df):
+    """One cell's points × its neighborhood's anchor candidates → per-point
+    local best. Rows: kind 0 = point (node_id, lat, lon), kind 1 = anchor
+    candidate replicated into this cell (anchor_id, lat, lon). Emits per point:
+    (node_id, lat, lon, nearest_anchor, anchor_dist_m) with nearest_anchor = -1
+    when the neighborhood held no anchors."""
+    import pandas as pd
+
+    pts = df[df["kind"] == 0]
+    anc = df[df["kind"] == 1]
+    n = len(pts)
+    if n == 0:
+        return pd.DataFrame(columns=["node_id", "lat", "lon",
+                                     "nearest_anchor", "anchor_dist_m"])
+    lat = pts["lat"].to_numpy().astype(np.float64)
+    lon = pts["lon"].to_numpy().astype(np.float64)
+    out = {"node_id": pts["node_id"].to_numpy().astype(np.int64),
+           "lat": pts["lat"].to_numpy().astype(np.int64),
+           "lon": pts["lon"].to_numpy().astype(np.int64)}
+    if len(anc) == 0:
+        out["nearest_anchor"] = np.full(n, -1, dtype=np.int64)
+        out["anchor_dist_m"] = np.full(n, np.inf)
+        return pd.DataFrame(out)
+    # dedupe replicated anchors, order by id for deterministic ties
+    a = anc.drop_duplicates("node_id").sort_values("node_id")
+    aid = a["node_id"].to_numpy().astype(np.int64)
+    alat = a["lat"].to_numpy().astype(np.float64)
+    alon = a["lon"].to_numpy().astype(np.float64)
+    d = haversine_m_fp(lat[:, None], lon[:, None], alat[None, :], alon[None, :])
+    idx = np.argmin(d, axis=1)  # ties → lowest index = lowest anchor id
+    out["nearest_anchor"] = aid[idx]
+    out["anchor_dist_m"] = d[np.arange(n), idx]
+    return pd.DataFrame(out)
+
+
+def knn_join_partitioned(points_ds, anchors_ds, *, res: int = 4,
+                         lat_col: str = "lat", lon_col: str = "lon",
+                         id_col: str = "node_id", anchor_id_col: str = "anchor_id",
+                         num_partitions: int = 8):
+    """Nearest-anchor join WITHOUT broadcasting the anchor side: both sides are
+    bucketed by grid cell at ``res``; every anchor is replicated into its cell's
+    3×3 neighborhood; each cell task computes local bests (the SIGMOD'21
+    stream-KNN-join partitioning pattern). EXACTNESS: a local best is confirmed
+    only when its distance is ≤ the conservative distance to the 3×3 block's
+    boundary; unconfirmed points (near corners, or in anchor-free
+    neighborhoods) are re-resolved by the exact broadcast pass over the
+    anchors — a small residue in realistic distributions (logged via row
+    counts, no silent truncation). Output schema matches knn_join_broadcast:
+    + nearest_anchor, + anchor_dist_dm."""
+    from ..functions.cells import LAT_SPAN, cell_id_fp as _cid
+    from .relational import concat_blocks, snapshot
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        cells = _cid(batch[lat_col].to_numpy(zero_copy_only=False),
+                     batch[lon_col].to_numpy(zero_copy_only=False), res)
+        n = len(batch)
+        return pa.table({
+            "cell": pa.array(cells, pa.int64()),
+            "kind": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+            "node_id": batch[id_col],
+            "lat": batch[lat_col], "lon": batch[lon_col],
+        })
+
+    def tag_anchors(batch: pa.Table) -> pa.Table:
+        lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        aid = batch[anchor_id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = _cid(lat, lon, res)
+        nmax = np.int64(1) << res
+        latb = (cells >> 29) & ((1 << 29) - 1)
+        lonb = cells & ((1 << 29) - 1)
+        out_cell, out_id, out_lat, out_lon = [], [], [], []
+        for dlat in (-1, 0, 1):
+            for dlon in (-1, 0, 1):
+                lb = latb + dlat
+                nb = (lonb + dlon) % nmax  # lon wraps
+                ok = (lb >= 0) & (lb < nmax)
+                out_cell.append(((np.int64(res) << 58) | (lb[ok] << 29) | nb[ok]))
+                out_id.append(aid[ok])
+                out_lat.append(lat[ok])
+                out_lon.append(lon[ok])
+        cell_a = np.concatenate(out_cell)
+        n = len(cell_a)
+        return pa.table({
+            "cell": pa.array(cell_a, pa.int64()),
+            "kind": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+            "node_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "lat": pa.array(np.concatenate(out_lat), pa.int64()),
+            "lon": pa.array(np.concatenate(out_lon), pa.int64()),
+        })
+
+    tagged = concat_blocks(
+        points_ds.map_batches(tag_points, batch_format="pyarrow"),
+        anchors_ds.map_batches(tag_anchors, batch_format="pyarrow"))
+    local = snapshot(tagged.groupby("cell").map_groups(
+        _knn_local_group, batch_format="pandas"))
+
+    # confirmation: distance to own cell's boundary (conservative lower bound,
+    # in metres) — the 3×3 block guarantees ≥ one full cell of margin
+    cell_deg_lat = 180.0 / (1 << res)
+
+    def split_confirm(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False).astype(np.float64) / 1e7
+        lon = batch["lon"].to_numpy(zero_copy_only=False).astype(np.float64) / 1e7
+        best = batch["anchor_dist_m"].to_numpy(zero_copy_only=False)
+        # position within cell (degrees from each edge of the OWN cell)
+        nmax = float(1 << res)
+        latb = np.floor((lat + 90.0) / 180.0 * nmax)
+        lonb = np.floor((lon + 180.0) / 360.0 * nmax)
+        lat_lo = latb * 180.0 / nmax - 90.0
+        lon_lo = lonb * 360.0 / nmax - 180.0
+        # margin to 3×3 boundary = own-cell edge distance + one full cell
+        dlat_deg = np.minimum(lat - lat_lo, lat_lo + cell_deg_lat - lat) + cell_deg_lat
+        dlon_deg = np.minimum(lon - lon_lo, lon_lo + 2 * cell_deg_lat - lon) + 2 * cell_deg_lat
+        coslat = np.cos(np.radians(np.minimum(np.abs(lat) + 2 * cell_deg_lat, 90.0)))
+        bound_m = np.minimum(dlat_deg * _M_PER_DEG_LAT_MIN,
+                             dlon_deg * _M_PER_DEG_LAT_MIN * np.maximum(coslat, 0.0))
+        confirmed = (batch["nearest_anchor"].to_numpy(zero_copy_only=False) >= 0) \
+            & (best <= bound_m)
+        return batch.append_column("confirmed", pa.array(confirmed))
+
+    checked = snapshot(local.map_batches(split_confirm, batch_format="pyarrow"))
+    import pyarrow.compute as pc
+
+    good = checked.map_batches(
+        lambda b: b.filter(b["confirmed"]), batch_format="pyarrow")
+    residue = checked.map_batches(
+        lambda b: b.filter(pc.invert(b["confirmed"])), batch_format="pyarrow")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        dm = np.floor(batch["anchor_dist_m"].to_numpy(zero_copy_only=False)
+                      * 10 + 0.5).astype(np.int64)
+        return pa.table({
+            "node_id": batch["node_id"],
+            "nearest_anchor": batch["nearest_anchor"],
+            "anchor_dist_dm": pa.array(dm, pa.int64()),
+        })
+
+    good = good.map_batches(finalize, batch_format="pyarrow")
+    n_residue = residue.count()
+    if n_residue == 0:
+        return good
+    # exact fallback for the residue — anchors collected once (small side)
+    rows = anchors_ds.take_all()
+    ids = np.array([r[anchor_id_col] for r in rows], dtype=np.int64)
+    lats = np.array([r[lat_col] for r in rows], dtype=np.int64)
+    lons = np.array([r[lon_col] for r in rows], dtype=np.int64)
+    fixed = knn_join_broadcast(
+        residue.select_columns(["node_id", "lat", "lon"]),
+        (ids, lats, lons), lat_col="lat", lon_col="lon")
+    fixed = fixed.map_batches(
+        lambda b: pa.table({"node_id": b["node_id"],
+                            "nearest_anchor": b["nearest_anchor"],
+                            "anchor_dist_dm": b["anchor_dist_dm"]}),
+        batch_format="pyarrow")
+    return concat_blocks(good, fixed)

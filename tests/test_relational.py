@@ -81,3 +81,20 @@ def test_distinct_and_snapshot_and_concat(mk):
     assert snap.count() == 5
     both = concat_blocks(ds, ds)
     assert both.count() == 10
+
+
+def test_with_desc_rank_cross_block_ties(mk):
+    """Distributed rank must equal count-of-strictly-greater even when a tie
+    run spans multiple sorted blocks."""
+    from osm_lump_ways_ray.stages.relational import with_desc_rank
+    import ray.data
+
+    vals = np.array([5, 5, 5, 5, 3, 3, 9, 1, 5, 3, 7, 7], dtype=np.int64)
+    ids = np.arange(len(vals), dtype=np.int64)
+    # many small blocks to force ties across block boundaries
+    parts = [pa.table({"id": pa.array(ids[i:i + 2]),
+                       "v": pa.array(vals[i:i + 2])}) for i in range(0, len(vals), 2)]
+    ds = ray.data.from_arrow_refs([__import__("ray").put(t) for t in parts])
+    out = {r["id"]: r["rk"] for r in with_desc_rank(ds, "v", out_col="rk").take_all()}
+    expect = {int(i): int((vals > v).sum()) for i, v in zip(ids, vals)}
+    assert out == expect

@@ -64,3 +64,45 @@ def test_assign_tiles_and_salting(mk):
     # cold cells keep exactly one salted key each (cell*salt)
     cold = [r for r in rows if r["lat"] != 450_000_000]
     assert all(r["salted_cell"] % 8 == 0 for r in cold)
+
+
+def test_knn_partitioned_matches_broadcast(mk):
+    """Partitioned cell-neighborhood kNN must equal the exact broadcast answer,
+    including points whose true nearest anchor lies OUTSIDE their 3×3
+    neighborhood (forced by clustering anchors far away at coarse res)."""
+    from osm_lump_ways_ray.stages.spatial import (knn_join_broadcast,
+                                                  knn_join_partitioned)
+
+    rng = np.random.RandomState(7)
+    n = 400
+    lat = rng.randint(-800_000_000, 800_000_000, size=n).astype(np.int64)
+    lon = rng.randint(-1_700_000_000, 1_700_000_000, size=n).astype(np.int64)
+    pts = mk(pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
+                       "lat": pa.array(lat), "lon": pa.array(lon)}))
+    m = 17  # sparse anchors → many anchor-free neighborhoods → residue path
+    alat = rng.randint(-800_000_000, 800_000_000, size=m).astype(np.int64)
+    alon = rng.randint(-1_700_000_000, 1_700_000_000, size=m).astype(np.int64)
+    anchors = mk(pa.table({"anchor_id": pa.array(np.arange(m, dtype=np.int64)),
+                           "lat": pa.array(alat), "lon": pa.array(alon)}))
+    part = {r["node_id"]: (r["nearest_anchor"], r["anchor_dist_dm"])
+            for r in knn_join_partitioned(pts, anchors, res=5,
+                                          num_partitions=4).take_all()}
+    bc = knn_join_broadcast(
+        pts, (np.arange(m, dtype=np.int64), alat, alon))
+    expect = {r["node_id"]: (r["nearest_anchor"], r["anchor_dist_dm"])
+              for r in bc.take_all()}
+    assert part == expect
+
+
+def test_pip_prefilter_same_result(mk):
+    """The cell prefilter must not change PIP answers (pure skip optimization)."""
+    from osm_lump_ways_ray.stages.spatial import PIPGeocoder, Polygon
+
+    poly = Polygon("box", [(0, 0), (0, 100_000_000),
+                           (100_000_000, 100_000_000), (100_000_000, 0)])
+    batch = pa.table({
+        "lat": pa.array([50_000_000, 500_000_000, -400_000_000], pa.int64()),
+        "lon": pa.array([50_000_000, 500_000_000, 1_000_000_000], pa.int64()),
+    })
+    out = PIPGeocoder([poly])(batch)
+    assert out["area"].to_pylist() == ["box", "unknown_area", "unknown_area"]
