@@ -43,15 +43,23 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
                  ignore_reinit_error=True, logging_level="ERROR")
     import ray.data
 
-    ray.data.DataContext.get_current().enable_progress_bars = False
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # 32 MB block target: the 128 MB default made map stages emit few giant
+    # blocks whose plasma writes serialized the 32-way runs (measured: 10M-page
+    # geo materialize 46.8 s @128 MB vs 24.7 s @32 MB, same 32 CPUs)
+    ctx.target_max_block_size = 32 * 1024 * 1024
 
     from osm_lump_ways_ray.pipelines.lump import lump
     from osm_lump_ways_ray.sources.pages import synth_pages_dataset
 
     n_pages = _pages_count(sf_dir)
-    # warm: synthesize once untimed so the timed run measures pipeline compute,
-    # not cold worker start
-    synth_pages_dataset(min(2000, n_pages), seed=42).count()
+    # warm: one untimed MINI end-to-end lump so every worker process exists and
+    # has imported numpy/pandas/pyarrow before the timed run — at 32 CPUs the
+    # cold pool start (32 interpreter spawns + imports) otherwise lands inside
+    # the first timed stages and poisons the scaling comparison
+    lump(synth_pages_dataset(min(20_000, n_pages), seed=42),
+         num_partitions=8, verify_extract=True)
 
     # shuffle partition count scales with DATA (≈128 MB blocks target), not with
     # CPUs: at these row sizes extra hash-join aggregator actors cost far more

@@ -133,6 +133,48 @@ def segment_lengths(edges_g, nodes_ds, *, num_partitions: int = 32):
     return seg.map_batches(add_len, batch_format="pyarrow")
 
 
+def segment_lengths_carried(edges_g):
+    """NO-JOIN lengths: edges carry their full chain positions
+    (``chain_lats``/``chain_lons`` parallel lists from M5 contraction — the
+    InterStore pattern extended to geometry). One stateless map computes all
+    per-segment haversines and pre-sums them per edge → (g, anchor=u, length_m).
+    Replaces two node-id hash joins in the headline pipeline; the join variant
+    (``segment_lengths``) remains the general path when geometry doesn't ride
+    the edges."""
+
+    def lens(batch: pa.Table) -> pa.Table:
+        lat_l = batch["chain_lats"].combine_chunks()
+        lon_l = batch["chain_lons"].combine_chunks()
+        if isinstance(lat_l, pa.ChunkedArray):
+            lat_l = lat_l.combine_chunks()
+            lon_l = lon_l.combine_chunks()
+        off = lat_l.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lats = (lat_l.values.to_numpy(zero_copy_only=False)
+                if len(lat_l.values) else np.empty(0, dtype=np.int64))
+        lons = (lon_l.values.to_numpy(zero_copy_only=False)
+                if len(lon_l.values) else np.empty(0, dtype=np.int64))
+        n = len(batch)
+        # all consecutive pairs within chains: drop the last element of each
+        # chain for A, the first for B — via a keep-mask over the flat values
+        total = len(lats)
+        is_last = np.zeros(total, dtype=bool)
+        is_first = np.zeros(total, dtype=bool)
+        if total:
+            is_last[off[1:] - 1] = True
+            is_first[off[:-1]] = True
+        seg_m = haversine_m_fp(lats[~is_last], lons[~is_last],
+                               lats[~is_first], lons[~is_first])
+        # per-edge sum of its segments (segments per edge = chain len − 1)
+        counts = (off[1:] - off[:-1]) - 1
+        edge_ids = np.repeat(np.arange(n, dtype=np.int64), np.maximum(counts, 0))
+        sums = np.zeros(n, dtype=np.float64)
+        np.add.at(sums, edge_ids, seg_m)
+        return pa.table({"g": batch["g"], "anchor": batch["u"],
+                         "length_m": pa.array(sums, pa.float64())})
+
+    return edges_g.map_batches(lens, batch_format="pyarrow")
+
+
 def tile_stats(labels_ds, nodes_ds, *, num_partitions: int = 32):
     """The H3-analog tile join: component labels ⋈ node cells → per-cell stats.
 
@@ -277,10 +319,14 @@ def lump(pages_ds, *, cell_res: int = 7, num_partitions: int = 32,
 
     pages = extract_and_verify(pages_ds, verify=verify_extract)
     geo = pages.map_batches(lambda b: geocode_batch(b, cell_res), batch_format="pyarrow")
-    # nodes table reused by several joins → materialize once (it is narrow:
-    # 4 int columns; the wide html payload was dropped at extract)
-    nodes_ds = geo.select_columns(["node_id", "lat", "lon", "cell"]).materialize()
-    metrics["nodes"] = nodes_ds.count()
+    # ONE materialization of the narrow geocoded projection feeds BOTH the
+    # nodes table and the ways derivation (round 1 recomputed
+    # synth+extract+geocode twice — the dominant derive-phase cost); text/html
+    # are projected away before anything is pinned in the object store
+    geo = geo.select_columns(
+        ["url", "warc_ts", "lang", "node_id", "lat", "lon", "cell"]).materialize()
+    nodes_ds = geo.select_columns(["node_id", "lat", "lon", "cell"])
+    metrics["nodes"] = geo.count()
 
     ways = derive_ways(geo).materialize()
     metrics["ways"] = ways.count()
@@ -307,8 +353,11 @@ def lump(pages_ds, *, cell_res: int = 7, num_partitions: int = 32,
     # on this pipeline — and each stage's blocks stay in the object store
     from ..stages.relational import snapshot
 
-    seg = snapshot(segment_lengths(edges_g, nodes_ds, num_partitions=num_partitions))
-    # per-edge-anchor → component: join segments to labels on (g, anchor=node)
+    # lengths from the CARRIED chain geometry (segment_lengths_carried): one
+    # stateless map, no position joins; per-edge pre-sums keep the labels join
+    # at edge granularity instead of segment granularity
+    seg = snapshot(segment_lengths_carried(edges_g))
+    # per-edge-anchor → component: join edge sums to labels on (g, anchor=node)
     lab_for_join = labels.rename_columns(["g", "anchor", "component_id"])
     seg = snapshot(hash_join(seg, lab_for_join, ("g", "anchor"), how="inner",
                              num_partitions=num_partitions))

@@ -57,6 +57,25 @@ def _lcg(state: int) -> int:
     return (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
 
 
+_LCG_A = np.uint64(6364136223846793005)
+_LCG_C = np.uint64(1442695040888963407)
+_MAX_WORDS = 200  # nwords = 20 + h % 180 ≤ 199
+
+# k-step LCG composition: state_k = A^k·s0 + C·(A^{k-1}+…+1)  (mod 2^64) —
+# precomputed per k so a whole batch of texts is one (rows × words) matrix op
+_APOW = np.empty(_MAX_WORDS, dtype=np.uint64)
+_CACC = np.empty(_MAX_WORDS, dtype=np.uint64)
+with np.errstate(over="ignore"):
+    _a, _c = np.uint64(1), np.uint64(0)
+    for _k in range(_MAX_WORDS):
+        _a = _a * _LCG_A
+        _c = _c * _LCG_A + _LCG_C
+        _APOW[_k] = _a
+        _CACC[_k] = _c
+del _a, _c, _k
+_WORDS_ARR = np.array(_WORDS)
+
+
 def row_fields(seed: int, i: int) -> dict:
     """All synthesized fields of row ``i`` — the single source of truth."""
     h = hash64(f"{seed}:{i}")
@@ -86,16 +105,36 @@ PAGES_SCHEMA = pa.schema(
 
 
 def synth_pages_batch(batch: pa.Table, seed: int) -> pa.Table:
-    """map_batches body over ``ray.data.range(n)`` (column ``id``) → pages rows."""
-    ids = batch["id"].to_numpy(zero_copy_only=False)
-    rows = [row_fields(seed, int(i)) for i in ids]
+    """map_batches body over ``ray.data.range(n)`` (column ``id``) → pages rows.
+
+    VECTORIZED against ``row_fields`` (tests assert row-for-row identity): the
+    per-word LCG chain is one uint64 matrix op via the precomputed k-step
+    composition; only the md5 per row and one ``" ".join`` per row stay Python.
+    """
+    ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(ids)
+    h = np.fromiter((hash64(f"{seed}:{int(i)}") for i in ids),
+                    dtype=np.uint64, count=n)
+    nwords = (20 + h % np.uint64(180)).astype(np.int64)
+    with np.errstate(over="ignore"):  # uint64 wraparound IS the LCG modulus
+        states = h[:, None] * _APOW[None, :] + _CACC[None, :]
+    widx = ((states >> np.uint64(32)) % np.uint64(64)).astype(np.int64)
+    wmat = _WORDS_ARR[widx]
+    urls = [f"https://site{int(x) % 1000}.example/p/{int(i)}"
+            for x, i in zip(h, ids)]
+    langs = [LANGS[int(x) % len(LANGS)] for x in h]
+    ts = (np.int64(EPOCH_US) + (h % np.uint64(31_536_000)).astype(np.int64)
+          * 1_000_000)
+    texts = [" ".join(wmat[j, :nwords[j]]) for j in range(n)]
+    htmls = [(_HTML_PRE.format(title=f"Page {int(i)}") + t + _HTML_POST).encode("utf-8")
+             for i, t in zip(ids, texts)]
     return pa.Table.from_arrays(
         [
-            pa.array([r["url"] for r in rows], pa.string()),
-            pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
-            pa.array([r["html"] for r in rows], pa.binary()),
-            pa.array([r["text"] for r in rows], pa.string()),
-            pa.array([r["lang"] for r in rows], pa.string()),
+            pa.array(urls, pa.string()),
+            pa.array(ts, pa.timestamp("us")),
+            pa.array(htmls, pa.binary()),
+            pa.array(texts, pa.string()),
+            pa.array(langs, pa.string()),
         ],
         schema=PAGES_SCHEMA,
     )
@@ -106,8 +145,11 @@ def synth_pages_dataset(n: int, seed: int = 42, *, override_num_blocks: int | No
     import ray.data
 
     ds = ray.data.range(n, override_num_blocks=override_num_blocks)
+    # batch_size bounds the per-task LCG/word matrices (~25 MB at 2048): at
+    # 8192 the 32-way run saturated DRAM bandwidth and ANTI-scaled (measured
+    # 6.5 s @32cpu vs 2.6 s with 2048 on the same 10^6 rows)
     return ds.map_batches(
-        lambda b: synth_pages_batch(b, seed), batch_format="pyarrow", batch_size=8192
+        lambda b: synth_pages_batch(b, seed), batch_format="pyarrow", batch_size=2048
     )
 
 
@@ -181,36 +223,32 @@ def link_pages_batch(batch: pa.Table) -> pa.Table:
     idx = doc_index_from_url(urls)
     node_id = batch["node_id"].to_numpy(zero_copy_only=False)
     ts = batch["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-    lang = batch["lang"].to_pylist()
+    lang_arr = batch["lang"]
+    lat = batch["lat"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lon = batch["lon"].to_numpy(zero_copy_only=False).astype(np.int64)
 
     chain = idx // CHAIN_LEN
     pos = idx % CHAIN_LEN
-    rows_way = []
-    rows_seq = []
-    rows_node = []
-    rows_ts = []
-    rows_lang = []
-    for j in range(len(idx)):
-        c, p = int(chain[j]), int(pos[j])
-        rows_way.append(c)
-        rows_seq.append(p + 1)  # slot 0 reserved for the predecessor's boundary node
-        rows_node.append(int(node_id[j]))
-        rows_ts.append(int(ts[j]))
-        rows_lang.append(lang[j])
-        if p == CHAIN_LEN - 1 and (c + 1) % BREAK_EVERY != 0:
-            # this doc's node is also the first node of the next chain
-            rows_way.append(c + 1)
-            rows_seq.append(0)
-            rows_node.append(int(node_id[j]))
-            rows_ts.append(0)
-            rows_lang.append(None)
+    # vectorized: every page emits one membership row; pages at a shared chain
+    # boundary emit a second row for the NEXT chain's slot 0
+    boundary = (pos == CHAIN_LEN - 1) & (((chain + 1) % BREAK_EVERY) != 0)
+    bidx = np.where(boundary)[0]
+    way_key = np.concatenate([chain, chain[bidx] + 1])
+    seq = np.concatenate([pos + 1, np.zeros(len(bidx), dtype=pos.dtype)]).astype(np.int32)
+    nodes = np.concatenate([node_id, node_id[bidx]])
+    ts_out = np.concatenate([ts, np.zeros(len(bidx), dtype=np.int64)])
+    lang_out = pa.concat_arrays([
+        lang_arr.combine_chunks() if isinstance(lang_arr, pa.ChunkedArray) else lang_arr,
+        pa.nulls(len(bidx), pa.string())])
     return pa.table(
         {
-            "way_key": pa.array(rows_way, pa.int64()),
-            "seq": pa.array(rows_seq, pa.int32()),
-            "node_id": pa.array(rows_node, pa.int64()),
-            "ts": pa.array(rows_ts, pa.int64()),
-            "lang": pa.array(rows_lang, pa.string()),
+            "way_key": pa.array(way_key, pa.int64()),
+            "seq": pa.array(seq, pa.int32()),
+            "node_id": pa.array(nodes, pa.int64()),
+            "ts": pa.array(ts_out, pa.int64()),
+            "lang": lang_out,
+            "lat": pa.array(np.concatenate([lat, lat[bidx]]), pa.int64()),
+            "lon": pa.array(np.concatenate([lon, lon[bidx]]), pa.int64()),
         }
     )
 
@@ -230,6 +268,8 @@ def assemble_ways_partition(df):
     nodes = df["node_id"].to_numpy()
     ts = df["ts"].to_numpy()
     langs = df["lang"].to_numpy()
+    lats = df["lat"].to_numpy().astype(np.int64)
+    lons = df["lon"].to_numpy().astype(np.int64)
     starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
     ends = np.r_[starts[1:], len(keys)]
     way_ids, names, out_langs, out_ts = [], [], [], []
@@ -240,16 +280,24 @@ def assemble_ways_partition(df):
         lg = next((l for l in langs[s:e] if isinstance(l, str)), "en")
         out_langs.append(lg)
         out_ts.append(int(ts[s:e].max()))
-    # Arrow list column built from offsets directly — the node values are
-    # already contiguous per way after the sort (no per-way Python lists)
+    # Arrow list columns built from offsets directly — the node values are
+    # already contiguous per way after the sort (no per-way Python lists);
+    # positions travel as parallel list columns with the SAME offsets (the
+    # InterStore/NodeIdPosition pattern: geometry rides the edge rows, so the
+    # headline pipeline computes lengths without a position join)
     offsets = np.empty(len(starts) + 1, dtype=np.int32)
     offsets[:-1] = starts
     offsets[-1] = len(keys)
-    node_ids = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+    off_arr = pa.array(offsets, pa.int32())
+    node_ids = pa.ListArray.from_arrays(off_arr,
                                         pa.array(nodes.astype(np.int64), pa.int64()))
+    lat_list = pa.ListArray.from_arrays(off_arr, pa.array(lats, pa.int64()))
+    lon_list = pa.ListArray.from_arrays(off_arr, pa.array(lons, pa.int64()))
     return pa.table({
         "way_id": pa.array(way_ids, pa.int64()),
         "node_ids": node_ids,
+        "node_lats": lat_list,
+        "node_lons": lon_list,
         "name": pa.array(names, pa.string()),
         "lang": pa.array(out_langs, pa.string()),
         "ts": pa.array(out_ts, pa.int64()),
