@@ -106,3 +106,30 @@ def test_pip_prefilter_same_result(mk):
     })
     out = PIPGeocoder([poly])(batch)
     assert out["area"].to_pylist() == ["box", "unknown_area", "unknown_area"]
+
+
+def test_ivf_persisted_index_matches_bruteforce(mk, tmp_path):
+    """Persisted partition-pruned IVF with nprobe=nlist must equal brute force;
+    resumable build (re-run skips finished lists)."""
+    import ray.data
+    from osm_lump_ways_ray.stages.similarity import (ivf_build_index,
+                                                     knn_bruteforce,
+                                                     knn_ivf_indexed)
+
+    rng = np.random.RandomState(3)
+    n, d = 300, 8
+    emb = rng.randn(n, d).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array([list(map(float, r)) for r in emb],
+                                        pa.list_(pa.float32()))})
+    ds = mk(t)
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(ds, idx, nlist=4)
+    ivf_build_index(ds, idx, nlist=4)  # resume path: all lists skip
+    qids = np.arange(3, dtype=np.int64)
+    qmat = emb[:3].astype(np.float64)
+    got = [(r["query_id"], r["rank"], r["vec_id"])
+           for r in knn_ivf_indexed(idx, (qids, qmat), k=5, nprobe=4).take_all()]
+    expect = [(r["query_id"], r["rank"], r["vec_id"])
+              for r in knn_bruteforce(ds, (qids, qmat), k=5).take_all()]
+    assert sorted(got) == sorted(expect)
