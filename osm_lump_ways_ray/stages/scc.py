@@ -284,9 +284,20 @@ def _trim_round_local(df):
                         work.append(m)
 
     keep = np.where(alive)[0]
+    killed_col = np.zeros(len(keep), dtype=np.int64)
+    if len(keep) and dead_nodes:
+        killed_col[0] = len(dead_nodes)
+    elif dead_nodes:
+        # all copies died — still report the kill via a sentinel row the vote
+        # reduce drops (need=0 never matches a count)
+        return pa.table({"src": pa.array([0], pa.int64()),
+                         "dst": pa.array([0], pa.int64()),
+                         "need": pa.array([0], pa.int8()),
+                         "killed": pa.array([len(dead_nodes)], pa.int64())})
     return pa.table({"src": pa.array(src_a[keep].astype(np.int64)),
                      "dst": pa.array(dst_a[keep].astype(np.int64)),
-                     "need": pa.array(need_a[keep].astype(np.int8))})
+                     "need": pa.array(need_a[keep].astype(np.int8)),
+                     "killed": pa.array(killed_col)})
 
 
 def _vote_reduce(df):
@@ -336,15 +347,16 @@ def _trim_acyclic(edges, src: str, dst: str, num_partitions: int,
              >> np.uint64(17)).astype(np.int64) % num_partitions
         return batch.append_column("vbucket", pa.array(h, pa.int64()))
 
-    prev_count = None
     for _ in range(max_rounds):
-        n = edges.count()
-        if n == 0 or n == prev_count:
+        if edges.count() == 0:
             break
-        prev_count = n
-        local = edges.map_batches(fanout, batch_format="pyarrow") \
-                     .groupby("bucket").map_groups(_trim_round_local,
-                                                   batch_format="pandas")
+        local = snapshot(edges.map_batches(fanout, batch_format="pyarrow")
+                         .groupby("bucket").map_groups(_trim_round_local,
+                                                       batch_format="pandas"))
+        # convergence from the stage's own output (no extra count/compare pass;
+        # the final stable round also skips its vote-reduce shuffle entirely)
+        if int(local.sum("killed") or 0) == 0:
+            break
         voted = local.map_batches(vote_bucket, batch_format="pyarrow") \
                      .groupby("vbucket").map_groups(_vote_reduce,
                                                     batch_format="pandas")
