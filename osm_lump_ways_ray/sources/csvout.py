@@ -80,3 +80,43 @@ def write_openmetrics(path: str, metric: str, labeled_values, *,
             lab = ",".join(f'{k}="{v}"' for k, v in labels.items())
             f.write(f"{metric}{{{lab}}} {value}\n")
         f.write("# EOF\n")
+
+
+def write_ends_csv(path: str, ends_rows, *, ends_tag_keys=(),
+                   only_tagged: bool = False, min_length_m=None,
+                   only_largest_n=None, latest_timestamp: int = 0,
+                   latest_timestamp_iso: str = "") -> int:
+    """S6 FULL column set + filters (ends_csv.rs:14-108): header
+    ``timestamp, iso_datetime, upstream_m, upstream_m_rank, nid, lat, lng,
+    *ends_tag_keys``; rows filtered to upstream > 1 m (reference :76),
+    optionally tagged-only / min-length / largest-N, sorted by upstream desc
+    with 1-based rank; upstream rounded to 1 dp, coordinates to 7 dp.
+
+    ``ends_rows``: iterable of dicts with nid, upstream_m, lat, lon (degrees)
+    and optional ``tags`` list aligned with ``ends_tag_keys``. Appends to an
+    existing file after a header check; returns rows written."""
+    from ..functions.utils import round_half_away
+
+    rows = [r for r in ends_rows if r["upstream_m"] > 1.0]
+    if only_tagged:
+        rows = [r for r in rows
+                if any(t is not None for t in r.get("tags", []))]
+    if min_length_m is not None:
+        rows = [r for r in rows if r["upstream_m"] >= min_length_m]
+    rows.sort(key=lambda r: (-r["upstream_m"], r["nid"]))
+    if only_largest_n is not None:
+        rows = rows[:only_largest_n]
+    header = ["timestamp", "iso_datetime", "upstream_m", "upstream_m_rank",
+              "nid", "lat", "lng"] + list(ends_tag_keys)
+    out = []
+    for rank, r in enumerate(rows):
+        rec = [latest_timestamp, latest_timestamp_iso,
+               float(round_half_away(r["upstream_m"], 1)), rank + 1,
+               r["nid"],
+               float(round_half_away(r["lat"], 7)),
+               float(round_half_away(r["lon"], 7))]
+        tags = r.get("tags", [None] * len(ends_tag_keys))
+        rec.extend("" if t is None else t for t in tags)
+        out.append(rec)
+    append_stats_csv(path, header, out)
+    return len(out)

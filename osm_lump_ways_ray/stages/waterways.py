@@ -212,11 +212,16 @@ def _component_walks(df, pos, *, max_dist_m: Optional[float]):
             continue
         if outdeg[n] != 0:
             continue
-        # walk upstream from this end
+        # walk upstream from this end; the first hop's edge ENTERS the end
+        # (→ to_upstream_m = its upstream + its length, -down/main.rs:1651-1660)
+        # and the last hop's edge is the path's most-upstream segment
+        # (→ from_upstream_m); avg = midpoint (main.rs:1668-1673)
         line = [n]
         used.add(n)
         dist = 0.0
         cur = n
+        to_up = None
+        from_up = None
         while True:
             cands = [(up, s, ln) for s, ln, up in ins[cur]
                      if s not in used and assigned.get(s) == assigned[n]]
@@ -225,11 +230,14 @@ def _component_walks(df, pos, *, max_dist_m: Optional[float]):
             up, s, ln = max(cands)
             if max_dist_m is not None and dist + ln > max_dist_m:
                 break
+            if to_up is None:
+                to_up = up + ln
+            from_up = up
             line.append(s)
             used.add(s)
             dist += ln
             cur = s
-        paths.append((assigned[n], len(line), dist))
+        paths.append((assigned[n], len(line), dist, from_up, to_up))
     return assigned, paths
 
 
@@ -257,10 +265,17 @@ def biggest_end_and_grouped_paths(dag_with_flow_ds, *,
             "kind": 0, "node": list(assigned.keys()),
             "end_nid": list(assigned.values()),
             "n_nodes": 0, "dist_m": 0.0,
+            "from_upstream_m": np.nan, "to_upstream_m": np.nan,
+            "avg_upstream_m": np.nan,
         })
         prows = pd.DataFrame(
-            [(1, -1, e, n, d) for e, n, d in paths],
-            columns=["kind", "node", "end_nid", "n_nodes", "dist_m"])
+            [(1, -1, e, n, d,
+              f if f is not None else np.nan,
+              t if t is not None else np.nan,
+              (f + t) / 2.0 if f is not None and t is not None else np.nan)
+             for e, n, d, f, t in paths],
+            columns=["kind", "node", "end_nid", "n_nodes", "dist_m",
+                     "from_upstream_m", "to_upstream_m", "avg_upstream_m"])
         return pd.concat([nrows, prows], ignore_index=True)
 
     return e.groupby("component").map_groups(fn, batch_format="pandas")

@@ -48,3 +48,31 @@ def test_through_path():
     })
     out = _through_path_component(df)
     assert out.iloc[0]["through_path_m"] == 60.0
+
+
+def test_write_ends_csv_full_columns(tmp_path):
+    """Reference ends-CSV parity (ends_csv.rs:14-108): column set, >1m filter,
+    upstream-desc rank, largest-N truncation, append with header check."""
+    from osm_lump_ways_ray.sources.csvout import write_ends_csv
+
+    p = str(tmp_path / "ends.csv")
+    rows = [
+        {"nid": 1, "upstream_m": 500.26, "lat": 1.5, "lon": 2.5, "tags": ["Rhine"]},
+        {"nid": 2, "upstream_m": 900.0, "lat": 3.0, "lon": 4.0, "tags": [None]},
+        {"nid": 3, "upstream_m": 0.5, "lat": 0.0, "lon": 0.0, "tags": [None]},  # ≤1m
+        {"nid": 4, "upstream_m": 700.0, "lat": 5.0, "lon": 6.0, "tags": ["Elbe"]},
+    ]
+    n = write_ends_csv(p, rows, ends_tag_keys=["name"], only_largest_n=2,
+                       latest_timestamp=123, latest_timestamp_iso="2026-01-01T00:00:00Z")
+    assert n == 2
+    lines = open(p).read().strip().splitlines()
+    assert lines[0] == "timestamp,iso_datetime,upstream_m,upstream_m_rank,nid,lat,lng,name"
+    assert lines[1].startswith("123,2026-01-01T00:00:00Z,900.0,1,2,")
+    assert lines[2].startswith("123,2026-01-01T00:00:00Z,700.0,2,4,") and lines[2].endswith("Elbe")
+    # second run appends (time-series semantics) after a header check
+    write_ends_csv(p, rows[:1], ends_tag_keys=["name"], latest_timestamp=124)
+    assert len(open(p).read().strip().splitlines()) == 4
+    # only_tagged filter
+    p2 = str(tmp_path / "ends2.csv")
+    n2 = write_ends_csv(p2, rows, ends_tag_keys=["name"], only_tagged=True)
+    assert n2 == 2  # Rhine + Elbe

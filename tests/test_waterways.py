@@ -74,14 +74,20 @@ def test_component_walks_biggest_end():
     assert assigned[3] == 3 and assigned[4] == 4
     assert assigned[2] == 3 and assigned[1] == 3
     # paths: end 3 walks up through 2,1; end 4 gets only itself
-    by_end = {e: n for e, n, _d in paths}
+    by_end = {e: n for e, n, _d, _f, _t in paths}
     assert by_end[3] == 3 and by_end[4] == 1
+    # G16 props (main.rs:1651-1673): first hop into end 3 is edge (2,3):
+    # to_upstream = 5 + 100 = 105; the most-upstream hop is edge (1,2):
+    # from_upstream = 0
+    props = {e: (f, t) for e, _n, _d, f, t in paths}
+    assert props[3] == (0.0, 105.0)
+    assert props[4] == (None, None)  # single-node path
 
 
 def test_component_walks_distance_cut():
     df = flow_df([(1, 2, 10.0, 0.0), (2, 3, 10.0, 10.0)])
     _a, paths = _component_walks(df, None, max_dist_m=15.0)
-    (end, n, dist) = paths[0]
+    (end, n, dist, _f, _t) = paths[0]
     assert end == 3 and n == 2  # second hop would exceed 15 m
 
 
