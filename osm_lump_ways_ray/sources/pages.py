@@ -182,15 +182,24 @@ def extract_batch(batch: pa.Table) -> pa.Table:
 # ------------------------------------------------------------------ geocode stage
 def geocode_batch(batch: pa.Table, cell_res: int = 7) -> pa.Table:
     """url → (node_id, lat, lon, cell). Deterministic md5 geocoding; lat/lon are
-    i32 fixed-point degrees×1e7 (src/nodeid_position.rs:97-101 convention)."""
+    i32 fixed-point degrees×1e7 (src/nodeid_position.rs:97-101 convention).
+
+    ONE md5 per row (r2): node_id from digest bytes 0-7 (same value as before),
+    lat/lon from bytes 8-11 / 12-15 — the round-1 version hashed three times
+    per row, tripling the geocode stage's only real cost."""
+    import hashlib
+
     urls = batch["url"].to_pylist()
     node_id = np.empty(len(urls), dtype=np.int64)
     lat = np.empty(len(urls), dtype=np.int64)
     lon = np.empty(len(urls), dtype=np.int64)
+    i63 = (1 << 63) - 1
     for j, u in enumerate(urls):
-        node_id[j] = hash64(u)
-        lat[j] = hash64("lat:" + u) % 1_800_000_001 - 900_000_000
-        lon[j] = hash64("lon:" + u) % 3_600_000_001 - 1_800_000_000
+        d = hashlib.md5(u.encode("utf-8")).digest()
+        h = int.from_bytes(d[:8], "big") & i63
+        node_id[j] = h if h > 0 else 1
+        lat[j] = int.from_bytes(d[8:12], "big") % 1_800_000_001 - 900_000_000
+        lon[j] = (int.from_bytes(d[12:16], "big") * 977) % 3_600_000_001 - 1_800_000_000
     cells = cell_id_fp(lat, lon, cell_res)
     return (
         batch.append_column("node_id", pa.array(node_id, pa.int64()))
