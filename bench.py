@@ -61,10 +61,12 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
     lump(synth_pages_dataset(min(20_000, n_pages), seed=42),
          num_partitions=8, verify_extract=True)
 
-    # shuffle partition count scales with DATA (≈128 MB blocks target), not with
-    # CPUs: at these row sizes extra hash-join aggregator actors cost far more
-    # than they parallelize (measured 125s @64 parts vs 28s @16 parts, sf0.1)
-    num_partitions = max(8, min(32, n_pages // 50_000))
+    # shuffle partition count scales with DATA, not with CPUs (the r1 measured
+    # pitfall was hash-JOIN aggregator actors at high partition counts — gone
+    # since all joins are cogroup-based). Cap raised to 128 in r2: CC at 10M
+    # pages / 32 CPUs measured 36.4 s @32 parts → 19.3 s @128 (smaller tasks
+    # interleave the object-store traffic instead of 32 giant synchronized ones)
+    num_partitions = max(8, min(128, n_pages // 50_000))
     t0 = time.monotonic()
     res = lump(synth_pages_dataset(n_pages, seed=42), num_partitions=num_partitions,
                verify_extract=True)
