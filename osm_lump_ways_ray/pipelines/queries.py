@@ -118,7 +118,7 @@ SQL_LUMP_LENGTHS = (
       AS len_dm
     FROM e
   )
-SELECT c.component_id, SUM(elen.len_dm) AS length_dm
+SELECT c.component_id, CAST(SUM(elen.len_dm) AS BIGINT) AS length_dm
 FROM elen JOIN comp c ON c.node = elen.u
 GROUP BY c.component_id"""
 )
@@ -156,8 +156,9 @@ WITH m AS (
   FROM documents
 )
 SELECT node AS node_id,
-       LEAST(SUM(CASE WHEN pos = 0 THEN 1 ELSE 2 END
-                 + CASE WHEN pos = last_pos THEN 1 ELSE 0 END), 255) AS weight
+       CAST(LEAST(SUM(CASE WHEN pos = 0 THEN 1 ELSE 2 END
+                 + CASE WHEN pos = last_pos THEN 1 ELSE 0 END), 255)
+            AS BIGINT) AS weight
 FROM m GROUP BY node
 """
 
@@ -270,8 +271,9 @@ runs AS (
   FROM e
 )
 SELECT src, dst,
-       COALESCE(SUM(len) OVER (PARTITION BY dec, run ORDER BY d
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS upstream_m_int
+       CAST(COALESCE(SUM(len) OVER (PARTITION BY dec, run ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS upstream_m_int
 FROM runs
 """
 
@@ -666,7 +668,8 @@ def q_token_stats(sf_dir: str):
         Sum("ws_tokens", alias_name="total_tokens"), Count(alias_name="n_docs"))
 
 
-SQL_TOKEN_STATS = ("SELECT lang, SUM(len(string_split(text, ' '))) AS total_tokens, "
+SQL_TOKEN_STATS = ("SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)"
+                   " AS total_tokens, "
                    "COUNT(*) AS n_docs FROM documents GROUP BY lang")
 
 
@@ -698,7 +701,8 @@ WITH perdoc AS (
          // len(string_split(text, ' ')) AS stop_ppm
   FROM documents
 )
-SELECT lang, SUM(stop_ppm) // COUNT(*) AS mean_stop_ppm FROM perdoc GROUP BY lang
+SELECT lang, CAST(SUM(stop_ppm) // COUNT(*) AS BIGINT) AS mean_stop_ppm
+FROM perdoc GROUP BY lang
 """
 
 
@@ -1239,7 +1243,7 @@ def q_longest_source_mouth(sf_dir: str):
 
 SQL_LONGEST_SOURCE_MOUTH = _CHAIN_RUNS_SQL + """
 SELECT MAX(dst) AS mouth_nid, MIN(src) AS source_nid,
-       SUM(len) AS length_int, COUNT(*) + 1 AS path_nodes
+       CAST(SUM(len) AS BIGINT) AS length_int, COUNT(*) + 1 AS path_nodes
 FROM runs GROUP BY run, dec
 """
 
@@ -1526,7 +1530,8 @@ sinks AS (
   FROM gfull WHERE g2 = c2
 )
 SELECT gf.g1 + 1 AS taggroupid, gf.tagid, gf.nseg AS num_segments,
-       gf.glen * 10 AS length_dm, CAST(gf.gup AS BIGINT) * 10 AS upstream_dm,
+       CAST(gf.glen * 10 AS BIGINT) AS length_dm,
+       CAST(gf.gup AS BIGINT) * 10 AS upstream_dm,
        CASE WHEN gf.g1 = gf.c1 THEN 1 ELSE 0 END AS num_sources,
        CASE WHEN gf.g2 = gf.c2 THEN 1 ELSE 0 END AS num_sinks,
        (CASE WHEN gf.g1 > gf.c1 THEN 1 ELSE 0 END
@@ -1540,8 +1545,8 @@ SELECT gf.g1 + 1 AS taggroupid, gf.tagid, gf.nseg AS num_segments,
         WHERE sg.run = gf.run AND sg.dec = gf.dec)
          || repeat('.1', CAST(gf.lvl AS INT)) AS stream_level_code,
        CASE WHEN gf.g1 > gf.c1 AND gf.g2 < gf.c2 THEN 1 ELSE 0 END AS n_conf_pairs,
-       CASE WHEN gf.g1 > gf.c1 AND gf.g2 < gf.c2 THEN gf.glen * 10 ELSE 0 END
-         AS conf_dist_dm
+       CAST(CASE WHEN gf.g1 > gf.c1 AND gf.g2 < gf.c2 THEN gf.glen * 10
+            ELSE 0 END AS BIGINT) AS conf_dist_dm
 FROM gfull gf
 """
 
@@ -1855,7 +1860,7 @@ SQL_COMPONENT_RANKS = (
     FROM e
   ),
   complen AS (
-    SELECT c.component_id, SUM(elen.len_dm) AS length_dm
+    SELECT c.component_id, CAST(SUM(elen.len_dm) AS BIGINT) AS length_dm
     FROM elen JOIN comp c ON c.node = elen.u
     GROUP BY c.component_id
   )
