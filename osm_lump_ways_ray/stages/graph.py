@@ -454,14 +454,18 @@ def connected_components(
     # Fingerprint the invocation into the checkpoint key (ADVICE r1): a fixed
     # "cc/l{level}" key silently served ANOTHER input's labels when one
     # checkpoint dir was shared across runs or across two CC calls in one
-    # pipeline. Cheap content proxy = row count (one metadata-only pass on the
-    # materialized input) mixed with the parameter tuple; computed only when
-    # checkpointing is enabled.
+    # pipeline. ADVICE r2 hardened the proxy: row count alone let two edge sets
+    # of equal size share state, so an order-insensitive endpoint digest is
+    # mixed in (one streaming pass; computed only when checkpointing is on).
     if ckpt.root is not None:
         import hashlib as _hl
 
+        from ..state.checkpoint import content_digest
+
         edges_ds = edges_ds.materialize()
-        fp_src = f"{src}|{dst}|{group_col}|{num_partitions}|{edges_ds.count()}"
+        digest = content_digest(edges_ds, (src, dst))
+        fp_src = (f"{src}|{dst}|{group_col}|{num_partitions}|"
+                  f"{edges_ds.count()}|{digest}")
         fp = _hl.md5(fp_src.encode()).hexdigest()[:10]
         key_prefix = f"cc-{fp}"
     else:

@@ -155,9 +155,12 @@ def upstream_flow_distributed(edges_ds, *, split_equally: bool = True,
     if checkpoint is not None and checkpoint.root is not None:
         import hashlib
 
+        from ..state.checkpoint import content_digest
+
+        digest = content_digest(state, ("src", "dst"))
         fp = hashlib.md5(
-            f"flow|{split_equally}|{num_partitions}|{state.count()}".encode()
-        ).hexdigest()[:10]
+            f"flow|{split_equally}|{num_partitions}|{state.count()}|{digest}"
+            .encode()).hexdigest()[:10]
         fp_prefix = f"flow-{fp}"
         # resume from the latest checkpointed round
         for r in range(max_rounds - 1, -1, -1):

@@ -228,6 +228,14 @@ def _propagate_fwbw(edges_ds, src: str, dst: str, max_rounds: int = 64):
         labels = snapshot(labels)
         if labels.sum("changed") == 0 and rnd > 0:
             break
+    else:
+        # Mirror the peel-cap guard: an unconverged fwd/bwd fixpoint can split
+        # one SCC into several (members still carrying fwd==bwd==self), which
+        # would silently leave real cycles in the "DAG" downstream.
+        if labels.sum("changed") != 0:
+            raise RuntimeError(
+                f"_propagate_fwbw did not converge in {max_rounds} rounds; "
+                "raise max_rounds (graph diameter exceeds round budget)")
     # keep only OWNED rows (external candidates are round-internal transport;
     # at fixpoint they provably improve nothing — Σchanged == 0)
     return labels.map_batches(

@@ -133,3 +133,45 @@ def test_ivf_persisted_index_matches_bruteforce(mk, tmp_path):
     expect = [(r["query_id"], r["rank"], r["vec_id"])
               for r in knn_bruteforce(ds, (qids, qmat), k=5).take_all()]
     assert sorted(got) == sorted(expect)
+
+
+def test_ivf_build_crash_safe_and_kmeans(mk, tmp_path):
+    """A build interrupted mid-write (leftover .tmp-lists, no _SUCCESS) must
+    rebuild cleanly with no duplicated vectors (r2 ADVICE), and the k-means
+    centroids must cover every vector exactly once across lists."""
+    import os
+
+    import ray.data
+    from osm_lump_ways_ray.stages.similarity import (ivf_build_index,
+                                                     kmeans_centroids,
+                                                     knn_bruteforce,
+                                                     knn_ivf_indexed)
+
+    rng = np.random.RandomState(7)
+    n, d = 200, 6
+    emb = rng.randn(n, d).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array([list(map(float, r)) for r in emb],
+                                        pa.list_(pa.float32()))})
+    ds = mk(t)
+
+    cent = kmeans_centroids(ds, 4, iters=3)
+    assert cent.shape == (4, d)
+    np.testing.assert_allclose(np.linalg.norm(cent, axis=1), 1.0, rtol=1e-9)
+
+    idx = str(tmp_path / "ivf")
+    # simulate a crash: stage dir exists from a killed run, no _SUCCESS
+    os.makedirs(os.path.join(idx, ".tmp-lists", "ivf_list=0"), exist_ok=True)
+    ivf_build_index(ds, idx, nlist=4)
+    ids = sorted(r["vec_id"] for r in ray.data.read_parquet(
+        os.path.join(idx, "lists")).take_all())
+    assert ids == list(range(n))  # each vector in exactly one list
+    # finished index: rebuild is a no-op (skip path)
+    ivf_build_index(ds, idx, nlist=4)
+    qids = np.arange(2, dtype=np.int64)
+    qmat = emb[:2].astype(np.float64)
+    got = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in
+                 knn_ivf_indexed(idx, (qids, qmat), k=4, nprobe=4).take_all())
+    expect = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in
+                    knn_bruteforce(ds, (qids, qmat), k=4).take_all())
+    assert got == expect
