@@ -972,6 +972,58 @@ FROM score GROUP BY doc_id
 """
 
 
+def q_simhash_clusters(sf_dir: str):
+    """SimHash hamming-band near-dup clusters (dedup.py
+    simhash_hamming_clusters): 4 bands over the 63 stored bits guarantee
+    EXACT candidate recall for hamming≤3 (pigeonhole), so the oracle can
+    enumerate hamming≤3 pairs directly and recompute the components."""
+    from ..stages.dedup import simhash_hamming_clusters
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_hamming_clusters(docs, max_hamming=3) \
+        .select_columns(["node", "component_id"])
+
+
+# sig CTEs identical to SQL_SIMHASH; pairs = hamming≤3 (the engine's band
+# prefilter is provably lossless at k=3 with 4 bands, so the oracle skips it);
+# clusters = recursive CC as in the minhash oracle
+SQL_SIMHASH_CLUSTERS = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+wh AS (SELECT doc_id, md5(word) AS h FROM w),
+bits AS (
+  SELECT wh.doc_id, b.b AS bit,
+         ((strpos('0123456789abcdef', substr(wh.h, 16 - (b.b // 4), 1)) - 1)
+             >> (b.b % 4)) & 1 AS v
+  FROM wh, (SELECT unnest(generate_series(1, 63)) AS b) b
+),
+score AS (
+  SELECT doc_id, bit, CASE WHEN SUM(v) * 2 - COUNT(*) > 0 THEN 1 ELSE 0 END AS s
+  FROM bits GROUP BY doc_id, bit
+),
+sig AS (
+  SELECT doc_id AS doc,
+         CAST(SUM(CASE WHEN s = 1 THEN CAST(1 AS BIGINT) << (bit - 1)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM score GROUP BY doc_id
+),
+e AS (
+  SELECT a.doc AS u, b.doc AS v
+  FROM sig a JOIN sig b ON b.doc > a.doc
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+und AS (SELECT u AS s, v AS t FROM e UNION SELECT v, u FROM e),
+verts AS (SELECT DISTINCT s AS node FROM und),
+reach(node, lbl) AS (
+  SELECT node, node FROM verts
+  UNION
+  SELECT und.t, reach.lbl FROM reach JOIN und ON und.s = reach.node
+)
+SELECT node, MIN(lbl) AS component_id FROM reach GROUP BY node
+"""
+
+
 def q_knn_ivf(sf_dir: str):
     """IVF-bucketed ANN with nprobe = nlist (exhaustive probing): exercises the
     full coarse-quantize → shard → probe → rank machinery while the result is
@@ -1032,6 +1084,7 @@ QUERIES = {
     "knn_partitioned": q_knn_partitioned,
     "minhash_clusters": q_minhash_clusters,
     "simhash": q_simhash,
+    "simhash_clusters": q_simhash_clusters,
     "knn_ivf": q_knn_ivf,
     "multimodal_stub": q_multimodal_stub,
 }
@@ -1069,6 +1122,7 @@ ORACLES = {
     "multimodal_stub": SQL_MULTIMODAL_STUB,
     "minhash_clusters": SQL_MINHASH_CLUSTERS,
     "simhash": SQL_SIMHASH,
+    "simhash_clusters": SQL_SIMHASH_CLUSTERS,
     "knn_ivf": SQL_KNN_COSINE,  # nprobe=nlist → provably the exact top-k
 }
 
