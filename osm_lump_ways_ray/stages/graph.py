@@ -134,6 +134,16 @@ def pillar_node_array(ways_ds, node_ids_col: str = "node_ids") -> np.ndarray:
     return np.sort(np.concatenate(parts))
 
 
+def pillar_nodes_ds(ways_ds, node_ids_col: str = "node_ids", deg_ds=None):
+    """Pillar node ids (weight != 2) as a DATASET — the scale-path counterpart
+    of ``pillar_node_array`` (never collected to the driver)."""
+    deg = deg_ds if deg_ds is not None else node_degree_weights(ways_ds,
+                                                                node_ids_col)
+    return deg.map_batches(
+        lambda b: b.filter(pc.not_equal(b["weight"], pa.scalar(2, pa.int64()))),
+        batch_format="pyarrow").select_columns(["node_id"])
+
+
 # ----------------------------------------------------------------- M5 contraction
 
 def _dedupe_mask(arr: np.ndarray) -> np.ndarray:
@@ -165,7 +175,14 @@ class ContractWays:
                  way_id_col: str = "way_id", carry_cols: Sequence[str] = ()):
         import ray
 
-        self.pillars = ray.get(pillar_ref) if not isinstance(pillar_ref, np.ndarray) else pillar_ref
+        if pillar_ref is None:
+            # join-based variant: pillar positions arrive per row in a
+            # ``pillar_seqs`` column (see contract_ways_joined) — no broadcast
+            self.pillars = None
+        else:
+            self.pillars = (ray.get(pillar_ref)
+                            if not isinstance(pillar_ref, np.ndarray)
+                            else pillar_ref)
         self.node_ids_col = node_ids_col
         self.way_id_col = way_id_col
         self.carry_cols = list(carry_cols)
@@ -180,6 +197,9 @@ class ContractWays:
         offsets, values = _list_offsets_values(batch[self.node_ids_col])
         way_ids = batch[self.way_id_col].to_numpy(zero_copy_only=False)
         carry_vals = {c: batch[c].to_pylist() for c in self.carry_cols}
+        seq_lists = (batch["pillar_seqs"].to_pylist()
+                     if self.pillars is None and
+                     "pillar_seqs" in batch.column_names else None)
         # optional carried geometry (node_lats/node_lons parallel lists): edges
         # then carry their chain positions and the lengths stage needs no join
         has_pos = "node_lats" in batch.column_names
@@ -222,7 +242,14 @@ class ContractWays:
             if n == 2:
                 emit(0, 1)
             else:
-                pillar_mask = self._is_pillar(nodes)
+                if self.pillars is not None:
+                    pillar_mask = self._is_pillar(nodes)
+                else:
+                    mask_raw = np.zeros(hi - lo, dtype=bool)
+                    sl = seq_lists[row_i] if seq_lists is not None else None
+                    if sl is not None and len(sl):
+                        mask_raw[np.asarray(sl, dtype=np.int64)] = True
+                    pillar_mask = mask_raw[keep]
                 pos = 0
                 while n - pos >= 2:
                     # next pillar strictly after pos; the way's last node always
@@ -299,6 +326,65 @@ def contract_ways(ways_ds, pillar_ref, *, carry_cols: Sequence[str] = (),
         return worker(batch)
 
     return ways_ds.map_batches(run, batch_format="pyarrow", batch_size=4096)
+
+
+def contract_ways_joined(ways_ds, *, node_ids_col: str = "node_ids",
+                         way_id_col: str = "way_id",
+                         carry_cols: Sequence[str] = (),
+                         num_partitions: int = 16, pillars_ds=None):
+    """M5 contraction WITHOUT the pillar broadcast — the documented scale path
+    (pillar_node_array docstring; reference semantics main.rs:352-378): at
+    planet scale ~5% of nodes are pillars, and a driver/worker-heap int64
+    array of them outgrows any single heap at 10^12 rows.
+
+    Shape: explode ways to (way_id, seq, node_id) id-only rows → inner
+    hash-join against the pillar node set → regroup the HIT positions per way
+    (≈5% of exploded rows) → left-outer join the per-way ``pillar_seqs`` list
+    back onto the ways table → the same per-way contraction body, reading
+    flags from the row instead of a broadcast array. Cost: two id-only
+    shuffles plus one way_id-keyed shuffle of the ways table, each with
+    bounded per-task memory. Emits identical edges to ``contract_ways``
+    (pytest parity: tests/test_graph.py)."""
+    from .relational import cogroup_join
+
+    if pillars_ds is None:
+        pillars_ds = pillar_nodes_ds(ways_ds, node_ids_col)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        offsets, values = _list_offsets_values(batch[node_ids_col])
+        way_ids = batch[way_id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        counts = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        seq = np.arange(len(values), dtype=np.int64) \
+            - np.repeat(offsets[:-1], counts)
+        return pa.table({
+            way_id_col: pa.array(np.repeat(way_ids, counts), pa.int64()),
+            "seq": pa.array(seq, pa.int64()),
+            "node_id": pa.array(values, pa.int64()),
+        })
+
+    ex = ways_ds.map_batches(explode, batch_format="pyarrow")
+    hits = cogroup_join(ex, pillars_ds, ("node_id",), how="inner",
+                        num_partitions=num_partitions)
+
+    def collect(t: pa.Table) -> pa.Table:
+        # plain list<int64> output (NOT a numpy cell in pandas — Ray would
+        # wrap it in its tensor extension type, which breaks downstream joins)
+        s = np.sort(t["seq"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            way_id_col: pa.array([t[way_id_col][0].as_py()], pa.int64()),
+            "pillar_seqs": pa.array([s.tolist()], pa.list_(pa.int64())),
+        })
+
+    seqs = hits.groupby(way_id_col).map_groups(collect, batch_format="pyarrow")
+    ways2 = cogroup_join(ways_ds, seqs, (way_id_col,), how="left_outer",
+                         num_partitions=num_partitions)
+
+    def run(batch: pa.Table) -> pa.Table:
+        return ContractWays(None, node_ids_col=node_ids_col,
+                            way_id_col=way_id_col, carry_cols=carry_cols)(batch)
+
+    return ways2.map_batches(run, batch_format="pyarrow", batch_size=4096)
 
 
 # ------------------------------------------------------------------------- G1 CC

@@ -183,3 +183,27 @@ def test_connected_components_grouped(ray_ds_factory):
            for r in connected_components(ray_ds_factory(t), "u", "v", "g",
                                          num_partitions=4).take_all()}
     assert got == {(1, 1): 1, (1, 5): 1, (1, 2): 1, (2, 7): 5, (2, 5): 5}
+
+
+def test_contract_ways_joined_parity(ray_ds_factory):
+    """Join-based contraction (no pillar broadcast) must emit exactly the
+    edges of the broadcast path — chains, shared pillars, braids, dups."""
+    import ray
+    from osm_lump_ways_ray.stages.graph import (contract_ways,
+                                                contract_ways_joined,
+                                                pillar_node_array)
+
+    chains = [[1, 2, 3, 4, 5], [5, 6, 7], [3, 8, 9], [10, 11],
+              [12, 12, 13, 14], [20, 21, 22, 23, 24, 25, 20],
+              [30, 31, 32, 33, 34, 35, 36, 37, 30]]
+    t = ways_table(chains)
+    ds = ray_ds_factory(t).materialize()
+    pillars = pillar_node_array(ds)
+    a = contract_ways(ds, ray.put(pillars)).take_all()
+    b = contract_ways_joined(ds, num_partitions=4).take_all()
+
+    def key(rows):
+        return sorted((r["way_id"], r["u"], r["v"], tuple(r["inter_nids"]))
+                      for r in rows)
+
+    assert key(a) == key(b)

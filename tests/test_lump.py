@@ -145,3 +145,21 @@ def test_finalize_components_props_and_ranks(lump_result, tmp_path):
     m1 = os.path.getmtime(os.path.join(out, "components", "_SUCCESS"))
     write_outputs(lump_result, out)
     assert os.path.getmtime(os.path.join(out, "components", "_SUCCESS")) == m1
+
+
+def test_lump_joined_pillars_parity(ray_session, tmp_path_factory, lump_result):
+    """broadcast_pillars=False (join-based contraction, the scale path) must
+    produce identical components to the broadcast default."""
+    from osm_lump_ways_ray.pipelines.lump import lump
+
+    ds = P.synth_pages_dataset(N_PAGES, seed=42, override_num_blocks=4)
+    res = lump(ds, num_partitions=8, broadcast_pillars=False)
+
+    def comp_key(r):
+        # length rounded to mm: segment-sum ORDER differs between the two
+        # contraction paths, so the float total can differ in the last ulp
+        return sorted((row["g"], row["component_id"],
+                       round(row["length_m"], 3), row["num_nodes"])
+                      for row in r["components"].take_all())
+
+    assert comp_key(res) == comp_key(lump_result)
