@@ -327,6 +327,44 @@ def with_desc_rank(ds, col: str, out_col: str = "length_desc_rank"):
     return ray.data.from_arrow_refs(out_refs)
 
 
+def with_ordinal_rank(ds, keys, descending, out_col: str = "rank"):
+    """Distributed UNIQUE 1-based rank in ``sort(keys, descending)`` order:
+    global sort (range-partitioned ordered blocks) → per-block row counts →
+    per-block annotate with ``offset + 1..n``. Only block COUNTS touch the
+    driver. Use when ties must not share a rank (deterministic composite-key
+    order), vs ``with_desc_rank``'s A5 tie-sharing semantics."""
+    import numpy as np
+    import pyarrow as pa  # noqa: F401
+    import ray
+    import ray.data
+
+    mat = ds.sort(keys, descending=descending).materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def _count(t):
+        return len(t)
+
+    counts = ray.get([_count.remote(r) for r in refs])
+    offsets = np.cumsum([0] + counts)[:-1]
+
+    @ray.remote
+    def _annotate(t, offset):
+        import pandas as pd
+        import pyarrow as pa
+
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        import numpy as np
+
+        return t.append_column(
+            out_col, pa.array(offset + np.arange(1, t.num_rows + 1,
+                                                 dtype=np.int64)))
+
+    return ray.data.from_arrow_refs(
+        [_annotate.remote(r, int(off)) for r, off in zip(refs, offsets)])
+
+
 def broadcast_join(left, right_table, on: str, *, select=None):
     """Small-side join: ship an Arrow table/dict once via ray.put, merge per batch
     with pandas — no shuffle. ``right_table`` is a pyarrow Table."""

@@ -48,7 +48,14 @@ def salt_hot_cells(ds, *, cell_col: str = "cell", threshold: int = 100_000,
     from ray.data.aggregate import Count
 
     counts = ds.groupby(cell_col).aggregate(Count(alias_name="n"))
-    hot = {r[cell_col] for r in counts.take_all() if r["n"] > threshold}
+    # only the HOT rows ever reach the driver (filter-then-collect, r2 verdict
+    # #4): the collected set is bounded by the number of over-threshold cells
+    # — small by definition — not by the cell-space size
+    hot_rows = counts.map_batches(
+        lambda b: b.filter(pa.compute.greater(b["n"],
+                                              pa.scalar(threshold, pa.int64()))),
+        batch_format="pyarrow").take_all()
+    hot = np.array(sorted(r[cell_col] for r in hot_rows), dtype=np.int64)
     import ray
 
     hot_ref = ray.put(hot)
@@ -58,7 +65,7 @@ def salt_hot_cells(ds, *, cell_col: str = "cell", threshold: int = 100_000,
         cells = batch[cell_col].to_numpy(zero_copy_only=False)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         salted = cells.astype(np.int64) * salt
-        mask = np.isin(cells, list(h)) if h else np.zeros(len(cells), dtype=bool)
+        mask = np.isin(cells, h) if len(h) else np.zeros(len(cells), dtype=bool)
         salted = np.where(mask, salted + (ids % salt), salted)
         return batch.append_column("salted_cell", pa.array(salted, pa.int64()))
 
@@ -291,89 +298,101 @@ def knn_join_partitioned(points_ds, anchors_ds, *, res: int = 4,
     stream-KNN-join partitioning pattern). EXACTNESS: a local best is confirmed
     only when its distance is ≤ the conservative distance to the 3×3 block's
     boundary; unconfirmed points (near corners, or in anchor-free
-    neighborhoods) are re-resolved by the exact broadcast pass over the
-    anchors — a small residue in realistic distributions (logged via row
-    counts, no silent truncation). Output schema matches knn_join_broadcast:
-    + nearest_anchor, + anchor_dist_dm."""
-    from ..functions.cells import LAT_SPAN, cell_id_fp as _cid
-    from .relational import concat_blocks, snapshot
+    neighborhoods) are re-resolved by WIDENING the neighborhood — the same
+    pass re-runs at a coarser resolution (res−2 per round, each cell 4× the
+    span) over the residue points only, down to res 0 where the single global
+    bucket is unconditionally exact. No driver collection of either side at
+    any size (r2 verdict #4 replaced the old ``anchors_ds.take_all()``
+    fallback); each extra round rescans the anchors once, and the residue is
+    empty after round one in realistic distributions (logged, no silent
+    truncation). Output schema matches knn_join_broadcast: + nearest_anchor,
+    + anchor_dist_dm."""
+    import logging
 
-    def tag_points(batch: pa.Table) -> pa.Table:
-        cells = _cid(batch[lat_col].to_numpy(zero_copy_only=False),
-                     batch[lon_col].to_numpy(zero_copy_only=False), res)
-        n = len(batch)
-        return pa.table({
-            "cell": pa.array(cells, pa.int64()),
-            "kind": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
-            "node_id": batch[id_col],
-            "lat": batch[lat_col], "lon": batch[lon_col],
-        })
-
-    def tag_anchors(batch: pa.Table) -> pa.Table:
-        lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        aid = batch[anchor_id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        cells = _cid(lat, lon, res)
-        nmax = np.int64(1) << res
-        latb = (cells >> 29) & ((1 << 29) - 1)
-        lonb = cells & ((1 << 29) - 1)
-        out_cell, out_id, out_lat, out_lon = [], [], [], []
-        for dlat in (-1, 0, 1):
-            for dlon in (-1, 0, 1):
-                lb = latb + dlat
-                nb = (lonb + dlon) % nmax  # lon wraps
-                ok = (lb >= 0) & (lb < nmax)
-                out_cell.append(((np.int64(res) << 58) | (lb[ok] << 29) | nb[ok]))
-                out_id.append(aid[ok])
-                out_lat.append(lat[ok])
-                out_lon.append(lon[ok])
-        cell_a = np.concatenate(out_cell)
-        n = len(cell_a)
-        return pa.table({
-            "cell": pa.array(cell_a, pa.int64()),
-            "kind": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
-            "node_id": pa.array(np.concatenate(out_id), pa.int64()),
-            "lat": pa.array(np.concatenate(out_lat), pa.int64()),
-            "lon": pa.array(np.concatenate(out_lon), pa.int64()),
-        })
-
-    tagged = concat_blocks(
-        points_ds.map_batches(tag_points, batch_format="pyarrow"),
-        anchors_ds.map_batches(tag_anchors, batch_format="pyarrow"))
-    local = snapshot(tagged.groupby("cell").map_groups(
-        _knn_local_group, batch_format="pandas"))
-
-    # confirmation: distance to own cell's boundary (conservative lower bound,
-    # in metres) — the 3×3 block guarantees ≥ one full cell of margin
-    cell_deg_lat = 180.0 / (1 << res)
-
-    def split_confirm(batch: pa.Table) -> pa.Table:
-        lat = batch["lat"].to_numpy(zero_copy_only=False).astype(np.float64) / 1e7
-        lon = batch["lon"].to_numpy(zero_copy_only=False).astype(np.float64) / 1e7
-        best = batch["anchor_dist_m"].to_numpy(zero_copy_only=False)
-        # position within cell (degrees from each edge of the OWN cell)
-        nmax = float(1 << res)
-        latb = np.floor((lat + 90.0) / 180.0 * nmax)
-        lonb = np.floor((lon + 180.0) / 360.0 * nmax)
-        lat_lo = latb * 180.0 / nmax - 90.0
-        lon_lo = lonb * 360.0 / nmax - 180.0
-        # margin to 3×3 boundary = own-cell edge distance + one full cell
-        dlat_deg = np.minimum(lat - lat_lo, lat_lo + cell_deg_lat - lat) + cell_deg_lat
-        dlon_deg = np.minimum(lon - lon_lo, lon_lo + 2 * cell_deg_lat - lon) + 2 * cell_deg_lat
-        coslat = np.cos(np.radians(np.minimum(np.abs(lat) + 2 * cell_deg_lat, 90.0)))
-        bound_m = np.minimum(dlat_deg * _M_PER_DEG_LAT_MIN,
-                             dlon_deg * _M_PER_DEG_LAT_MIN * np.maximum(coslat, 0.0))
-        confirmed = (batch["nearest_anchor"].to_numpy(zero_copy_only=False) >= 0) \
-            & (best <= bound_m)
-        return batch.append_column("confirmed", pa.array(confirmed))
-
-    checked = snapshot(local.map_batches(split_confirm, batch_format="pyarrow"))
     import pyarrow.compute as pc
 
-    good = checked.map_batches(
-        lambda b: b.filter(b["confirmed"]), batch_format="pyarrow")
-    residue = checked.map_batches(
-        lambda b: b.filter(pc.invert(b["confirmed"])), batch_format="pyarrow")
+    from ..functions.cells import cell_id_fp as _cid
+    from .relational import concat_blocks, snapshot
+
+    def tag_points(r):
+        def fn(batch: pa.Table) -> pa.Table:
+            cells = _cid(batch["lat"].to_numpy(zero_copy_only=False),
+                         batch["lon"].to_numpy(zero_copy_only=False), r)
+            n = len(batch)
+            return pa.table({
+                "cell": pa.array(cells, pa.int64()),
+                "kind": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+                "node_id": batch["node_id"],
+                "lat": batch["lat"], "lon": batch["lon"],
+            })
+
+        return fn
+
+    def tag_anchors(r):
+        def fn(batch: pa.Table) -> pa.Table:
+            lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            aid = batch[anchor_id_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            cells = _cid(lat, lon, r)
+            nmax = np.int64(1) << r
+            latb = (cells >> 29) & ((1 << 29) - 1)
+            lonb = cells & ((1 << 29) - 1)
+            out_cell, out_id, out_lat, out_lon = [], [], [], []
+            for dlat in (-1, 0, 1):
+                for dlon in (-1, 0, 1):
+                    lb = latb + dlat
+                    nb = (lonb + dlon) % nmax  # lon wraps
+                    ok = (lb >= 0) & (lb < nmax)
+                    out_cell.append((np.int64(r) << 58) | (lb[ok] << 29) | nb[ok])
+                    out_id.append(aid[ok])
+                    out_lat.append(lat[ok])
+                    out_lon.append(lon[ok])
+            cell_a = np.concatenate(out_cell)
+            n = len(cell_a)
+            return pa.table({
+                "cell": pa.array(cell_a, pa.int64()),
+                "kind": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+                "node_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "lat": pa.array(np.concatenate(out_lat), pa.int64()),
+                "lon": pa.array(np.concatenate(out_lon), pa.int64()),
+            })
+
+        return fn
+
+    def split_confirm(r):
+        # confirmation: distance to own cell's boundary (conservative lower
+        # bound, metres) — the 3×3 block guarantees ≥ one full cell of margin.
+        # At r == 0 the bucket holds every anchor → unconditionally exact.
+        cell_deg_lat = 180.0 / (1 << r)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            found = batch["nearest_anchor"].to_numpy(zero_copy_only=False) >= 0
+            if r == 0:
+                return batch.append_column("confirmed", pa.array(found))
+            lat = batch["lat"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64) / 1e7
+            lon = batch["lon"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64) / 1e7
+            best = batch["anchor_dist_m"].to_numpy(zero_copy_only=False)
+            nmax = float(1 << r)
+            latb = np.floor((lat + 90.0) / 180.0 * nmax)
+            lonb = np.floor((lon + 180.0) / 360.0 * nmax)
+            lat_lo = latb * 180.0 / nmax - 90.0
+            lon_lo = lonb * 360.0 / nmax - 180.0
+            dlat_deg = np.minimum(lat - lat_lo,
+                                  lat_lo + cell_deg_lat - lat) + cell_deg_lat
+            dlon_deg = np.minimum(lon - lon_lo, lon_lo + 2 * cell_deg_lat
+                                  - lon) + 2 * cell_deg_lat
+            coslat = np.cos(np.radians(np.minimum(
+                np.abs(lat) + 2 * cell_deg_lat, 90.0)))
+            bound_m = np.minimum(
+                dlat_deg * _M_PER_DEG_LAT_MIN,
+                dlon_deg * _M_PER_DEG_LAT_MIN * np.maximum(coslat, 0.0))
+            return batch.append_column("confirmed",
+                                       pa.array(found & (best <= bound_m)))
+
+        return fn
 
     def finalize(batch: pa.Table) -> pa.Table:
         dm = np.floor(batch["anchor_dist_m"].to_numpy(zero_copy_only=False)
@@ -384,21 +403,37 @@ def knn_join_partitioned(points_ds, anchors_ds, *, res: int = 4,
             "anchor_dist_dm": pa.array(dm, pa.int64()),
         })
 
-    good = good.map_batches(finalize, batch_format="pyarrow")
-    n_residue = residue.count()
-    if n_residue == 0:
-        return good
-    # exact fallback for the residue — anchors collected once (small side)
-    rows = anchors_ds.take_all()
-    ids = np.array([r[anchor_id_col] for r in rows], dtype=np.int64)
-    lats = np.array([r[lat_col] for r in rows], dtype=np.int64)
-    lons = np.array([r[lon_col] for r in rows], dtype=np.int64)
-    fixed = knn_join_broadcast(
-        residue.select_columns(["node_id", "lat", "lon"]),
-        (ids, lats, lons), lat_col="lat", lon_col="lon")
-    fixed = fixed.map_batches(
-        lambda b: pa.table({"node_id": b["node_id"],
-                            "nearest_anchor": b["nearest_anchor"],
-                            "anchor_dist_dm": b["anchor_dist_dm"]}),
-        batch_format="pyarrow")
-    return concat_blocks(good, fixed)
+    pts = points_ds.map_batches(
+        lambda b: pa.table({"node_id": b[id_col], "lat": b[lat_col],
+                            "lon": b[lon_col]}), batch_format="pyarrow")
+    parts = []
+    r = res
+    while True:
+        tagged = concat_blocks(
+            pts.map_batches(tag_points(r), batch_format="pyarrow"),
+            anchors_ds.map_batches(tag_anchors(r), batch_format="pyarrow"))
+        checked = snapshot(
+            tagged.groupby("cell").map_groups(_knn_local_group,
+                                              batch_format="pandas")
+            .map_batches(split_confirm(r), batch_format="pyarrow"))
+        parts.append(checked.map_batches(
+            lambda b: b.filter(b["confirmed"]), batch_format="pyarrow")
+            .map_batches(finalize, batch_format="pyarrow"))
+        residue = checked.map_batches(
+            lambda b: b.filter(pc.invert(b["confirmed"])),
+            batch_format="pyarrow")
+        n_residue = residue.count()
+        if n_residue == 0:
+            break
+        if r == 0:  # only possible with an EMPTY anchor table
+            logging.getLogger(__name__).warning(
+                "knn_join_partitioned: %d points have no anchor (empty "
+                "anchor set) — emitted without a match is impossible, "
+                "dropping them like the broadcast path would", n_residue)
+            break
+        logging.getLogger(__name__).info(
+            "knn_join_partitioned: %d unconfirmed at res %d — widening to "
+            "res %d", n_residue, r, max(r - 2, 0))
+        pts = residue.select_columns(["node_id", "lat", "lon"])
+        r = max(r - 2, 0)
+    return concat_blocks(*parts) if len(parts) > 1 else parts[0]

@@ -231,3 +231,24 @@ def test_biggest_end_distributed_matches_walk(mk):
     got = {r["node"]: r["end_nid"]
            for r in biggest_end_distributed(mk(flow_tbl)).take_all()}
     assert got == assigned
+
+
+def test_biggest_end_grouped_paths_auto_routes(mk):
+    """biggest_end_and_grouped_paths must auto-route the G14 half to the
+    level-synchronous kernel above max_group_rows, with assignment rows
+    identical to the per-component walk path."""
+    from osm_lump_ways_ray.stages.waterways import biggest_end_and_grouped_paths
+
+    t = _giant_dag_table(600)
+    flow = upstream_flow(mk(t), distributed=False)
+    flow_tbl = pa.concat_tables(list(flow.iter_batches(batch_format="pyarrow")))
+
+    seq = biggest_end_and_grouped_paths(mk(flow_tbl)).take_all()
+    dist = biggest_end_and_grouped_paths(mk(flow_tbl),
+                                         max_group_rows=50).take_all()
+    a_seq = {r["node"]: r["end_nid"] for r in seq if r["kind"] == 0}
+    a_dist = {r["node"]: r["end_nid"] for r in dist if r["kind"] == 0}
+    assert a_dist == a_seq
+    # the giant component is over-cap → its path rows are skipped by contract
+    assert sum(1 for r in dist if r["kind"] == 1) <= \
+        sum(1 for r in seq if r["kind"] == 1)
