@@ -369,7 +369,15 @@ def lump(pages_ds, *, cell_res: int = 7, num_partitions: int = 32,
                                      num_partitions=num_partitions,
                                      pillars_ds=pillars_ds)
         metrics["pillars"] = int(n_pillars) if n_pillars is not None else -1
-    edges_g = intern_group_ids(edges, group_tag).materialize()
+    edges_full = intern_group_ids(edges, group_tag)  # lazy — full columns (API)
+    # materialize ONLY the headline columns: way_id and inter_nids are dead
+    # weight for CC + lengths (the chains already carry the interior geometry)
+    # — at 10M pages they are ~1/3 of the edge table's bytes (r2 scaling
+    # verdict). res["edges"] stays the full lazy view (one cheap map re-run
+    # over the materialized ways when the facade needs it).
+    edges_g = edges_full.select_columns(
+        ["u", "v", "g", "chain_lats", "chain_lons", group_tag, "lang"]) \
+        .materialize()
     metrics["edges"] = edges_g.count()
     metrics["t_contract_s"] = round(time.monotonic() - t1, 3)
 
@@ -431,4 +439,4 @@ def lump(pages_ds, *, cell_res: int = 7, num_partitions: int = 32,
     ckpt.record(step="lump/metrics", **{k: v for k, v in metrics.items()})
 
     return {"components": components, "labels": labels, "tiles": tiles,
-            "nodes": nodes_ds, "edges": edges_g, "metrics": metrics}
+            "nodes": nodes_ds, "edges": edges_full, "metrics": metrics}

@@ -1163,6 +1163,36 @@ runs AS (
 """
 
 
+def q_down_composed(sf_dir: str):
+    """The COMPOSED -down run (pipelines/waterways_down.waterways_down —
+    main.rs:146-1269 single-program semantics): one SCC feeds contraction,
+    one flow pass feeds ends/paths; this query returns the composed run's
+    ``ends`` table (end_nid, end upstream as exact int) over the decade-chain
+    DAG. The cycle-contraction branch of the same composition is pytest-
+    covered (tests/test_waterways.py composed-vs-stages parity)."""
+    from .waterways_down import waterways_down
+
+    edges = _decade_chain_edges(sf_dir, with_len=True)
+    res = waterways_down(edges, num_partitions=8)
+
+    def project(batch: pa.Table) -> pa.Table:
+        up = batch["end_upstream_m"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "end_nid": batch["end_nid"].cast(pa.int64()),
+            "end_upstream_int": pa.array(
+                np.floor(up + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    return res["ends"].map_batches(project, batch_format="pyarrow")
+
+
+SQL_DOWN_COMPOSED = _CHAIN_RUNS_SQL + """
+SELECT MAX(dst) AS end_nid, CAST(SUM(len) AS BIGINT) AS end_upstream_int
+FROM runs GROUP BY run, dec
+"""
+
+
 def q_cycle_contraction(sf_dir: str):
     """G11: contract decade cycles → DAG edges (cycle decades vanish)."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
@@ -1733,6 +1763,7 @@ ORACLES.update({
 
 QUERIES.update({
     "cycle_contraction": q_cycle_contraction,
+    "down_composed": q_down_composed,
     "biggest_end": q_biggest_end,
     "grouped_paths": q_grouped_paths,
     "tag_groups": q_tag_groups,
@@ -1746,6 +1777,7 @@ QUERIES.update({
 
 ORACLES.update({
     "cycle_contraction": SQL_CYCLE_CONTRACTION,
+    "down_composed": SQL_DOWN_COMPOSED,
     "biggest_end": SQL_BIGGEST_END,
     "grouped_paths": SQL_GROUPED_PATHS,
     "tag_groups": SQL_TAG_GROUPS,

@@ -277,8 +277,11 @@ def assemble_ways_partition(df):
     nodes = df["node_id"].to_numpy()
     ts = df["ts"].to_numpy()
     langs = df["lang"].to_numpy()
-    lats = df["lat"].to_numpy().astype(np.int64)
-    lons = df["lon"].to_numpy().astype(np.int64)
+    # i32 fixed-point (the reference's own storage width,
+    # src/nodeid_position.rs:97-101): geometry lists dominate the ways/edges
+    # tables' bytes — int32 halves the shuffle + object-store traffic
+    lats = df["lat"].to_numpy().astype(np.int32)
+    lons = df["lon"].to_numpy().astype(np.int32)
     starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
     ends = np.r_[starts[1:], len(keys)]
     way_ids, names, out_langs, out_ts = [], [], [], []
@@ -300,8 +303,8 @@ def assemble_ways_partition(df):
     off_arr = pa.array(offsets, pa.int32())
     node_ids = pa.ListArray.from_arrays(off_arr,
                                         pa.array(nodes.astype(np.int64), pa.int64()))
-    lat_list = pa.ListArray.from_arrays(off_arr, pa.array(lats, pa.int64()))
-    lon_list = pa.ListArray.from_arrays(off_arr, pa.array(lons, pa.int64()))
+    lat_list = pa.ListArray.from_arrays(off_arr, pa.array(lats, pa.int32()))
+    lon_list = pa.ListArray.from_arrays(off_arr, pa.array(lons, pa.int32()))
     return pa.table({
         "way_id": pa.array(way_ids, pa.int64()),
         "node_ids": node_ids,

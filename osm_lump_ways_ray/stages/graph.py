@@ -273,18 +273,22 @@ class ContractWays:
             "inter_nids": pa.array(out_inter, pa.list_(pa.int64())),
         }
         if has_pos:
+            # int32 values: e7 fixed-point lat/lon fits (±1.8e9 < 2^31−1) and
+            # the chain lists dominate the edge table's bytes — halving them
+            # halves the headline pipeline's shuffle + object-store traffic
+            # (r2 scaling verdict)
             if out_lat:
-                flat_lat = np.concatenate(out_lat)
-                flat_lon = np.concatenate(out_lon)
+                flat_lat = np.concatenate(out_lat).astype(np.int32)
+                flat_lon = np.concatenate(out_lon).astype(np.int32)
                 lens = np.array([len(x) for x in out_lat], dtype=np.int64)
                 off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
                 cols["chain_lats"] = pa.ListArray.from_arrays(
-                    pa.array(off, pa.int32()), pa.array(flat_lat, pa.int64()))
+                    pa.array(off, pa.int32()), pa.array(flat_lat, pa.int32()))
                 cols["chain_lons"] = pa.ListArray.from_arrays(
-                    pa.array(off, pa.int32()), pa.array(flat_lon, pa.int64()))
+                    pa.array(off, pa.int32()), pa.array(flat_lon, pa.int32()))
             else:
-                cols["chain_lats"] = pa.array([], pa.list_(pa.int64()))
-                cols["chain_lons"] = pa.array([], pa.list_(pa.int64()))
+                cols["chain_lats"] = pa.array([], pa.list_(pa.int32()))
+                cols["chain_lons"] = pa.array([], pa.list_(pa.int32()))
         for c in self.carry_cols:
             cols[c] = pa.array(out_carry[c])
         return pa.table(cols)
@@ -664,7 +668,11 @@ def intern_group_ids(ds, value_col: str, out_col: str = "g"):
     from ..functions.hashing import hash64_array
 
     def add(batch: pa.Table) -> pa.Table:
-        vals = batch[value_col].to_pylist()
-        return batch.append_column(out_col, pa.array(hash64_array(vals), pa.int64()))
+        # group values repeat heavily — md5 only the UNIQUE values and gather
+        # (r2 verdict #5: the per-row to_pylist+hash loop was a hot spot)
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        hashed = np.asarray(hash64_array(list(uniq)), dtype=np.int64)
+        return batch.append_column(out_col, pa.array(hashed[inv], pa.int64()))
 
     return ds.map_batches(add, batch_format="pyarrow")

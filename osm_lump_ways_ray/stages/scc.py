@@ -581,7 +581,10 @@ def upstream_flow(edges_ds, *, split_equally: bool = True,
                                       checkpoint=checkpoint)
     lab = labels.select_columns(["node", "component_id"]).rename_columns(
         ["src", "component"])
-    e = hash_join(edges_ds, lab, ("src",), how="inner",
-                  num_partitions=num_partitions)
+    # cogroup_join, not the native Dataset.join: in a COMPOSED run (several
+    # sequential joins per session) Ray 2.49's hash-join aggregator hits the
+    # "multiple matches for key field" finalize bug cogroup_join exists for
+    e = cogroup_join(edges_ds, lab, ("src",), how="inner",
+                     num_partitions=num_partitions)
     return e.groupby("component").map_groups(
         lambda df: _flow_group(df, split_equally), batch_format="pandas")

@@ -49,6 +49,11 @@ def contract_cycles(edges_ds, *, src: str = "src", dst: str = "dst",
     scc = scc_labels if scc_labels is not None else strongly_connected_components(
         edges_ds, src, dst, num_partitions=num_partitions)
     scc = snapshot(scc)
+    if scc.count() == 0:  # already acyclic — nothing to relabel (an empty
+        # labels dataset has no schema, which the join layer can't pad)
+        dag = edges_ds.groupby([src, dst]).aggregate(
+            Min(length_col, alias_name=length_col))
+        return snapshot(dag), scc
     rep_src = scc.map_batches(
         lambda b: pa.table({src: b["node"], "_rs": b["scc_id"]}),
         batch_format="pyarrow")

@@ -244,3 +244,60 @@ def test_tag_groups_full_distributed_code_globalization(mk):
     assert a_sink["stream_level_code"] == "1"
     assert b["stream_level_code"] == "2"
     assert rows[1]["stream_level_code"] == "1.1"
+
+
+def test_waterways_down_composed_with_cycles(mk):
+    """The composed -down run must equal the individually-called stages on a
+    graph WITH cycles (one shared SCC → contraction → flow)."""
+    import pyarrow as pa
+
+    from osm_lump_ways_ray.pipelines.waterways_down import waterways_down
+    from osm_lump_ways_ray.stages.scc import upstream_flow
+    from osm_lump_ways_ray.stages.waterways import contract_cycles
+
+    # cycle 1→2→3→1 feeding chain 3→10→11; separate chain 20→21→22
+    t = pa.table({
+        "src": pa.array([1, 2, 3, 3, 10, 20, 21], pa.int64()),
+        "dst": pa.array([2, 3, 1, 10, 11, 21, 22], pa.int64()),
+        "length_m": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0], pa.float64()),
+    })
+    res = waterways_down(mk(t), num_partitions=4)
+    dag, _ = contract_cycles(mk(t), num_partitions=4)
+    flow = upstream_flow(dag, num_partitions=4)
+    composed = {(r["src"], r["dst"]): r["upstream_m"]
+                for r in res["flow_edges"].take_all()}
+    staged = {(r["src"], r["dst"]): r["upstream_m"]
+              for r in flow.take_all()}
+    assert composed == staged
+    ends = {r["end_nid"]: r["end_upstream_m"] for r in res["ends"].take_all()}
+    assert set(ends) == {11, 22}
+    assert ends[22] == 13.0  # 6 + 7
+    assigned = {r["node"]: r["end_nid"]
+                for r in res["assignments_paths"].take_all() if r["kind"] == 0}
+    assert assigned[1] == 11  # cycle contracted to node 1, flows to end 11
+
+
+def test_pipeline_facade_writes_multilinestring(ray_session, tmp_path):
+    """SURVEY §2.10 Pipeline facade: filter + only-longest-n + MultiLineString
+    file output over the flagship lump."""
+    import json
+
+    from osm_lump_ways_ray.pipelines.waterways_down import Output, Pipeline
+    from osm_lump_ways_ray.sources import pages as P
+
+    ds = P.synth_pages_dataset(240, seed=42, override_num_blocks=4)
+    out = tmp_path / "groups.geojsons"
+    pipe = Pipeline(group_by="name", only_longest_n=3,
+                    outputs=[Output(path=str(out), geometry="multilinestring",
+                                    props=["name", "length_m"])],
+                    num_partitions=8)
+    res = pipe.run(ds)
+    assert res["written"][0]["n_features"] == 3
+    lines = out.read_bytes().split(b"\n")[:-1]
+    assert len(lines) == 3
+    feats = [json.loads(ln[1:]) for ln in lines]  # strip RS
+    assert all(f["geometry"]["type"] == "MultiLineString" for f in feats)
+    assert all(set(f["properties"]) == {"name", "length_m"} for f in feats)
+    # only-longest-3: lengths descending
+    lens = [f["properties"]["length_m"] for f in feats]
+    assert sorted(lens, reverse=True) == lens or len(set(lens)) < 3
