@@ -398,12 +398,38 @@ def contract_ways_joined(ways_ds, *, node_ids_col: str = "node_ids",
 # component minimum within its group), so ``component_id`` keeps the reference's
 # root_nodeid = min-nid convention (src/way_group.rs:17-24).
 
+def _min_label_fixpoint(uniq: np.ndarray, ia: np.ndarray,
+                        ib: np.ndarray) -> np.ndarray:
+    """Min-label propagation with POINTER JUMPING (ADVICE r2: plain one-hop
+    rounds degrade to O(diameter × edges) when a hash partition lands a long
+    id-consecutive chain run in one group). Labels are DENSE indices into
+    ``uniq`` — rows are (g, node) sorted lexicographically, so index order is
+    node-id order within a group, and edges never cross groups — which keeps
+    the invariant parent[i] ≤ i and makes ``parent[parent]`` a valid
+    compression. Hook (edge scatters) + full compression per round =
+    O(log diameter) rounds. Returns NODE-ID labels (the component min)."""
+    parent = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        new = parent.copy()
+        np.minimum.at(new, ia, parent[ib])
+        np.minimum.at(new, ib, parent[ia])
+        while True:  # exponential chain collapse
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, parent):
+            break
+        parent = new
+    return uniq[parent, 1]
+
+
 def _local_cc_group(batch: pa.Table) -> pa.Table:
     """map_groups body: one edge partition → (g, node, label) rows, label = min
     node id in the LOCAL component. Vectorized min-label propagation (r2 — the
-    per-edge Python union-find loop was the partition stage's hot path);
-    rounds ≈ local fragment diameter, small because hash partitioning chops
-    chains into short runs."""
+    per-edge Python union-find loop was the partition stage's hot path) with
+    pointer jumping (r3 ADVICE: O(log diameter) rounds even when a long chain
+    run lands in one partition)."""
     g = batch["g"].to_numpy(zero_copy_only=False).astype(np.int64)
     u = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
     v = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -415,14 +441,7 @@ def _local_cc_group(batch: pa.Table) -> pa.Table:
     uniq, inv = np.unique(keys, axis=0, return_inverse=True)
     n_e = len(g)
     ia, ib = inv[:n_e], inv[n_e:]
-    lbl = uniq[:, 1].copy()
-    while True:
-        new = lbl.copy()
-        np.minimum.at(new, ia, lbl[ib])
-        np.minimum.at(new, ib, lbl[ia])
-        if np.array_equal(new, lbl):
-            break
-        lbl = new
+    lbl = _min_label_fixpoint(uniq, ia, ib)
     return pa.table({"g": pa.array(uniq[:, 0]), "node": pa.array(uniq[:, 1]),
                      "label": pa.array(lbl)})
 
@@ -481,14 +500,7 @@ def _driver_union_find(table: pa.Table) -> dict:
     uniq, inv = np.unique(keys, axis=0, return_inverse=True)
     n_e = len(g)
     ia, ib = inv[:n_e], inv[n_e:]
-    lbl = uniq[:, 1].copy()
-    while True:
-        new = lbl.copy()
-        np.minimum.at(new, ia, lbl[ib])
-        np.minimum.at(new, ib, lbl[ia])
-        if np.array_equal(new, lbl):
-            break
-        lbl = new
+    lbl = _min_label_fixpoint(uniq, ia, ib)
     return {(int(uniq[i, 0]), int(uniq[i, 1])): int(lbl[i])
             for i in range(len(uniq))}
 

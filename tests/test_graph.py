@@ -207,3 +207,24 @@ def test_contract_ways_joined_parity(ray_ds_factory):
                       for r in rows)
 
     assert key(a) == key(b)
+
+
+def test_local_cc_pointer_jumping_long_chain():
+    """ADVICE r3: a long id-consecutive chain in ONE partition must converge in
+    O(log d) rounds, not O(d) — and still give the min-node label."""
+    import time
+
+    from osm_lump_ways_ray.stages.graph import _local_cc_group
+
+    n = 50_000
+    t = pa.table({
+        "g": pa.array(np.zeros(n - 1, dtype=np.int64)),
+        "a": pa.array(np.arange(1, n, dtype=np.int64)),
+        "b": pa.array(np.arange(2, n + 1, dtype=np.int64)),
+    })
+    t0 = time.monotonic()
+    out = _local_cc_group(t)
+    wall = time.monotonic() - t0
+    assert set(out["label"].to_pylist()) == {1}
+    assert len(out) == n
+    assert wall < 5.0  # one-hop rounds would need 50k passes over the edges
