@@ -342,11 +342,18 @@ def lump(pages_ds, *, cell_res: int = 7, num_partitions: int = 32,
     # above it — ~5% of nodes at planet scale, too big for any single heap —
     # the join-based contraction keeps the pillar set distributed.
     if broadcast_pillars is None:
-        from ..stages.graph import pillar_nodes_ds
+        if metrics["nodes"] <= _PILLAR_BROADCAST_MAX:
+            # pillars ⊆ nodes, so the node count (already computed) proves the
+            # broadcast fits — no extra pillar-count pass at small scale
+            pillars_ds = None
+            n_pillars = None
+            use_broadcast = True
+        else:
+            from ..stages.graph import pillar_nodes_ds
 
-        pillars_ds = pillar_nodes_ds(ways).materialize()
-        n_pillars = pillars_ds.count()
-        use_broadcast = n_pillars <= _PILLAR_BROADCAST_MAX
+            pillars_ds = pillar_nodes_ds(ways).materialize()
+            n_pillars = pillars_ds.count()
+            use_broadcast = n_pillars <= _PILLAR_BROADCAST_MAX
     else:
         pillars_ds = None
         n_pillars = None
