@@ -2015,6 +2015,219 @@ ORACLES.update({
 })
 
 
+# ═══════════════════ round-3: oracle coverage for formerly unit-only ops
+
+
+def q_upstream_segments(sf_dir: str):
+    """G17 per-segment emission (+ M8 round_mult prop) over the decade-chain
+    flow DAG: each edge is its own single segment (no inter chain), upstream
+    accumulates from the edge's flow value, min_upstream filter at 5 m,
+    ``from_upstream_m_50`` exercises utils.round_mult."""
+    from ..stages.scc import upstream_flow
+    from ..stages.waterways import upstream_segments
+
+    edges = _decade_chain_edges(sf_dir, with_len=True)
+    flow = upstream_flow(edges, split_equally=True, num_partitions=8)
+
+    def add_inters(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "inter_nids", pa.array([[]] * len(batch), pa.list_(pa.int64())))
+
+    nodes = _read(sf_dir, "documents", columns=["doc_id"]) \
+        .map_batches(D.nodes_batch, batch_format="pyarrow") \
+        .select_columns(["node_id", "lat", "lon"])
+    segs = upstream_segments(flow.map_batches(add_inters,
+                                              batch_format="pyarrow"),
+                             nodes, min_upstream_m=5.0, round_multiples=(50,),
+                             num_partitions=8)
+
+    def project(batch: pa.Table) -> pa.Table:
+        fu = batch["from_upstream_m"].to_numpy(zero_copy_only=False)
+        tu = batch["to_upstream_m"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": batch["a"].cast(pa.int64()),
+            "b": batch["b"].cast(pa.int64()),
+            "from_upstream_int": pa.array(
+                np.floor(fu + 0.5).astype(np.int64), pa.int64()),
+            "to_upstream_dm": pa.array(
+                np.floor(tu * 10 + 0.5).astype(np.int64), pa.int64()),
+            "from_upstream_m_50": batch["from_upstream_m_50"].cast(pa.int64()),
+        })
+
+    return segs.map_batches(project, batch_format="pyarrow")
+
+
+SQL_UPSTREAM_SEGMENTS = _CHAIN_RUNS_SQL + f""",
+segs AS (
+  SELECT src AS a, dst AS b,
+    CAST(COALESCE(SUM(len) OVER (PARTITION BY dec, run ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS from_upstream_int
+  FROM runs
+)
+SELECT a, b, from_upstream_int,
+  CAST(FLOOR((from_upstream_int +
+    {_hav_sql(NODE_LATLON_SQL["lat"]("a"), NODE_LATLON_SQL["lon"]("a"),
+              NODE_LATLON_SQL["lat"]("b"), NODE_LATLON_SQL["lon"]("b"))}
+  )*10 + 0.5) AS BIGINT) AS to_upstream_dm,
+  CAST(FLOOR(from_upstream_int/50.0 + 0.5) AS BIGINT)*50 AS from_upstream_m_50
+FROM segs WHERE from_upstream_int >= 5
+"""
+
+
+def q_through_path(sf_dir: str):
+    """G20 longest source→sink shortest-path per weak component — on decade
+    chains: the whole chain (component label = min node = run start)."""
+    from ..stages.waterways import through_path_length
+
+    edges = _decade_chain_edges(sf_dir, with_len=True)
+    out = through_path_length(edges, num_partitions=8)
+
+    def project(batch: pa.Table) -> pa.Table:
+        m = batch["through_path_m"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "component": batch["component"].cast(pa.int64()),
+            "through_int": pa.array(np.floor(m + 0.5).astype(np.int64),
+                                    pa.int64()),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_THROUGH_PATH = _CHAIN_RUNS_SQL + """
+SELECT MIN(src) AS component, CAST(SUM(len) AS BIGINT) AS through_int
+FROM runs GROUP BY run, dec
+"""
+
+
+def q_semi_join_anti(sf_dir: str):
+    """J2 needed-nid semi-join (left_anti flavor, main.rs:405-420 complement):
+    derived nodes that NO chain edge touches — a distributed anti-join of the
+    nodes table against both endpoint projections."""
+    from ..stages.relational import cogroup_join, concat_blocks, distinct
+
+    nodes = _read(sf_dir, "documents", columns=["doc_id"]) \
+        .map_batches(D.nodes_batch, batch_format="pyarrow") \
+        .select_columns(["node_id"])
+    edges = _decade_chain_edges(sf_dir)
+    eps = concat_blocks(
+        edges.map_batches(lambda b: pa.table({"node_id": b["src"]}),
+                          batch_format="pyarrow"),
+        edges.map_batches(lambda b: pa.table({"node_id": b["dst"]}),
+                          batch_format="pyarrow"))
+    out = cogroup_join(nodes, distinct(eps, "node_id"), ("node_id",),
+                       how="left_anti", num_partitions=8)
+    return out.select_columns(["node_id"])
+
+
+SQL_SEMI_JOIN_ANTI = """
+WITH e AS (
+  SELECT doc_id + 1 AS src, doc_id + 2 AS dst
+  FROM documents WHERE n_chars % 7 <> 0 AND doc_id % 10 <> 9
+),
+used AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e)
+SELECT d.doc_id + 1 AS node_id FROM documents d
+WHERE d.doc_id + 1 NOT IN (SELECT node_id FROM used)
+"""
+
+
+def q_dup_scrub(sf_dir: str):
+    """M6 consecutive-duplicate scrub inside M5 contraction: 5-doc ways whose
+    node ids pair-duplicate ((d - d%2) + 1) must contract as if deduped.
+    Pillar set EMPTY (isolates the scrub from degree weighting): exactly one
+    edge per way, u = min node, v = max node, inters = remaining distinct."""
+    import pandas as pd
+    import ray
+
+    from ..stages.graph import contract_ways
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_members(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"way": pa.array(d // 5, pa.int64()),
+                         "node": pa.array((d - d % 2) + 1, pa.int64())})
+
+    def to_way(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values("node")
+        return pd.DataFrame({
+            "way_id": [int(df["way"].iloc[0]) + 1],
+            "node_ids": [df["node"].to_numpy(dtype=np.int64)],
+        })
+
+    ways = docs.map_batches(to_members, batch_format="pyarrow") \
+               .groupby("way").map_groups(to_way, batch_format="pandas") \
+               .materialize()
+    edges = contract_ways(ways, ray.put(np.array([], dtype=np.int64)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        n_inter = pc.list_value_length(batch["inter_nids"]).cast(pa.int64())
+        return pa.table({"way_id": batch["way_id"], "u": batch["u"],
+                         "v": batch["v"], "n_inter": n_inter})
+
+    return edges.map_batches(project, batch_format="pyarrow")
+
+
+SQL_DUP_SCRUB = """
+SELECT doc_id // 5 + 1 AS way_id,
+       MIN((doc_id - doc_id % 2) + 1) AS u,
+       MAX((doc_id - doc_id % 2) + 1) AS v,
+       COUNT(DISTINCT (doc_id - doc_id % 2) + 1) - 2 AS n_inter
+FROM documents
+GROUP BY doc_id // 5
+HAVING COUNT(DISTINCT (doc_id - doc_id % 2) + 1) >= 2
+"""
+
+
+def q_crow_lines(sf_dir: str):
+    """G5 into_lines_as_crow_flies + M11 dist-ends prop: on path components
+    both line methods emit the single spanning path; dist_ends is the
+    haversine between the two run endpoints (integer dm)."""
+    from ..pipelines.group_ops import component_lines
+
+    edges_g, labels, nodes_ds = _chain_graph_and_positions(sf_dir)
+    out = component_lines(edges_g, labels, nodes_ds, method="crow",
+                          num_partitions=8)
+
+    def project(batch: pa.Table) -> pa.Table:
+        de = batch["dist_ends_m"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "component_id": batch["component_id"].cast(pa.int64()),
+            "line_idx": batch["line_idx"].cast(pa.int64()),
+            "n_nodes": batch["n_nodes"].cast(pa.int64()),
+            "dist_ends_dm": pa.array(
+                np.floor(de * 10 + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_CROW_LINES = _CHAIN_RUNS_UND_SQL + f"""
+SELECT d1 AS component_id, CAST(0 AS BIGINT) AS line_idx,
+       ne + 1 AS n_nodes,
+       {_dm(_hav_sql(NODE_LATLON_SQL["lat"]("d1"), NODE_LATLON_SQL["lon"]("d1"),
+                     NODE_LATLON_SQL["lat"]("d2 + 1"),
+                     NODE_LATLON_SQL["lon"]("d2 + 1")))} AS dist_ends_dm
+FROM agg
+"""
+
+
+QUERIES.update({
+    "upstream_segments": q_upstream_segments,
+    "through_path": q_through_path,
+    "semi_join_anti": q_semi_join_anti,
+    "dup_scrub": q_dup_scrub,
+    "crow_lines": q_crow_lines,
+})
+ORACLES.update({
+    "upstream_segments": SQL_UPSTREAM_SEGMENTS,
+    "through_path": SQL_THROUGH_PATH,
+    "semi_join_anti": SQL_SEMI_JOIN_ANTI,
+    "dup_scrub": SQL_DUP_SCRUB,
+    "crow_lines": SQL_CROW_LINES,
+})
+
+
 # ═══════════════════════════════════════════ deterministic output ordering
 #
 # The driver's hash compare is ROW-ORDER-sensitive while Ray's streaming
