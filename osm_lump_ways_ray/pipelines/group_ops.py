@@ -205,3 +205,39 @@ def component_betweenness(edges_g, labels, nodes_ds, *, max_nodes: int = 2000,
 
     rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions)
     return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
+
+
+def component_dijkstra(edges_g, labels, *, len_mod: int = 13, chord_mod: int = 29,
+                       num_partitions: int = 8):
+    """G6 per component → single-source shortest-path distances from the MIN
+    vertex to every vertex (g, component_id, node, dist_cm).
+
+    Edge weight (cm) = ``min(u,v) % len_mod + 1`` — deterministic from the ids
+    so a SQL oracle can recompute it. To exercise real relaxation (not just a
+    path walk) a CHORD edge (min_vertex ↔ max_vertex, weight
+    ``min_vertex % chord_mod + 3``) is added whenever the component has ≥ 3
+    vertices; Dijkstra (dij.rs:24-54 semantics) must then pick per node the
+    cheaper of the forward walk and the chord + backward walk.
+    """
+
+    def fn(df):
+        import pandas as pd
+
+        edges, _pos = _split_group(df)
+        g = _graph_of(edges)
+        verts = sorted(g.adj)
+        src, dst = verts[0], verts[-1]
+        elen = {}
+        for a, b in g.edges():
+            elen[(a, b)] = a % len_mod + 1
+        if len(verts) >= 3 and (src, dst) not in elen:
+            g.add_edge(src, dst, [])
+            elen[(src, dst)] = src % chord_mod + 3
+        dists = g.dijkstra(src, elen)
+        rows = [(int(df["g"].iloc[0]), int(df["component_id"].iloc[0]),
+                 int(n), int(d)) for n, (_p, d) in sorted(dists.items())
+                if d != float("inf")]
+        return pd.DataFrame(rows, columns=["g", "component_id", "node", "dist_cm"])
+
+    rows = _grouped_rows(edges_g, labels, None, num_partitions)
+    return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")

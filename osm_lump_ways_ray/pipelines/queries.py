@@ -2228,6 +2228,161 @@ ORACLES.update({
 })
 
 
+# ═════════════════════════ r3 batch 2: M2 boolean DSL, K8 debug filters,
+#                           T4 inter-store content, G6 Dijkstra
+def q_tagfilter_boolean(sf_dir: str):
+    """M2 parser precedence: ``∨`` splits before ``∧`` (src/tagfilter.rs:111-120)
+    and ``≠`` has unset-or-different semantics — one DSL string exercising
+    Or(And(KinV, KneV), KV)."""
+    return _tagfilter_query(sf_dir, "lang∈en,de∧source≠src0∨lang=zh")
+
+
+SQL_TAGFILTER_BOOLEAN = """
+SELECT source, COUNT(*) AS n FROM documents
+WHERE (lang IN ('en','de') AND source <> 'src0') OR lang = 'zh'
+GROUP BY source
+"""
+
+
+def q_debug_wayids(sf_dir: str):
+    """K8 debug filters over derived 5-doc ways: the ``¬w3`` OSMObj exclusion
+    (tagfilter.rs:102-108) composed with the ``--only-these-way-groups-divmod
+    3,7`` keep-rule (bin/osm-lump-ways/main.rs:523-536) → (way_id, n_nodes)."""
+    from ray.data.aggregate import Count
+
+    from ..functions.tagfilter import ColumnTagView, parse_tag_filter
+
+    tf = parse_tag_filter("¬w3")
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_ways(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"way_id": pa.array(d // 5 + 1, pa.int64())})
+
+    ways = docs.map_batches(to_ways, batch_format="pyarrow") \
+               .groupby("way_id").aggregate(Count(alias_name="n_nodes"))
+
+    def debug_filter(batch: pa.Table) -> pa.Table:
+        wid = batch["way_id"].to_numpy(zero_copy_only=False)
+        keep = (wid % 7) == 3  # divmod keep-rule
+        view = ColumnTagView({}, n=len(batch), ids=wid, obj_type="w")
+        keep &= tf.mask(view)
+        return batch.filter(pa.array(keep))
+
+    return ways.map_batches(debug_filter, batch_format="pyarrow")
+
+
+SQL_DEBUG_WAYIDS = """
+SELECT doc_id // 5 + 1 AS way_id, COUNT(*) AS n_nodes
+FROM documents
+GROUP BY doc_id // 5
+HAVING ((doc_id // 5 + 1) % 7) = 3 AND (doc_id // 5 + 1) <> 3
+"""
+
+
+def q_inter_store(sf_dir: str):
+    """T4 InterStore content check: per contracted way, the COUNT and SUM of
+    the interior node ids carried in the ``inter_nids`` list column (the Arrow
+    re-expression of src/inter_store.rs compressed chains)."""
+    import ray
+
+    from ..stages.graph import contract_ways, pillar_node_array
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_members(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"way": pa.array(d // 5, pa.int64()),
+                         "node": pa.array(d + 1, pa.int64())})
+
+    def to_way(df):
+        import pandas as pd
+
+        df = df.sort_values("node")
+        return pd.DataFrame({
+            "way_id": [int(df["way"].iloc[0]) + 1],
+            "node_ids": [df["node"].to_numpy(dtype=np.int64)],
+        })
+
+    ways = docs.map_batches(to_members, batch_format="pyarrow") \
+               .groupby("way").map_groups(to_way, batch_format="pandas") \
+               .materialize()
+    edges = contract_ways(ways, ray.put(pillar_node_array(ways)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        il = batch["inter_nids"].combine_chunks()
+        flat = il.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = il.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(flat)])
+        return pa.table({
+            "way_id": batch["way_id"],
+            "n_inter": pa.array(np.diff(offs), pa.int64()),
+            "inter_sum": pa.array(csum[offs[1:]] - csum[offs[:-1]], pa.int64()),
+        })
+
+    return edges.map_batches(project, batch_format="pyarrow")
+
+
+SQL_INTER_STORE = """
+SELECT doc_id // 5 + 1 AS way_id,
+       CAST(COUNT(*) - 2 AS BIGINT) AS n_inter,
+       CAST(SUM(doc_id + 1) - MIN(doc_id + 1) - MAX(doc_id + 1) AS BIGINT)
+         AS inter_sum
+FROM documents
+GROUP BY doc_id // 5
+HAVING COUNT(*) >= 2
+"""
+
+
+def q_dijkstra(sf_dir: str):
+    """G6 over chord-augmented path components: per node, the shortest
+    distance from the component's min vertex (forward walk vs chord+backward
+    walk — real relaxation, see ``component_dijkstra``)."""
+    from ..pipelines.group_ops import component_dijkstra
+
+    edges_g, labels, _nodes = _chain_graph_and_positions(sf_dir)
+    return component_dijkstra(edges_g, labels, num_partitions=8) \
+        .select_columns(["component_id", "node", "dist_cm"])
+
+
+# prefix(n) = Σ_{k=d1+1..n} ((k-1) % 13 + 1)  (edge (k-1,k) weighted by its
+# smaller endpoint); chord (d1, d2+1) of weight d1 % 29 + 3 exists when the
+# component has ≥ 3 vertices (ne ≥ 2): dist = min(prefix, chord + total-prefix)
+SQL_DIJKSTRA = _CHAIN_RUNS_UND_SQL + """,
+  compnodes AS (
+    SELECT d1, d2, ne, UNNEST(generate_series(d1, d2 + 1)) AS node FROM agg
+  ),
+  pref AS (
+    SELECT d1, d2, ne, node,
+           SUM(CASE WHEN node > d1 THEN (node - 1) % 13 + 1 ELSE 0 END)
+             OVER (PARTITION BY d1 ORDER BY node) AS prefix
+    FROM compnodes
+  ),
+  tot AS (
+    SELECT *, MAX(prefix) OVER (PARTITION BY d1) AS total FROM pref
+  )
+SELECT d1 AS component_id, node,
+       CAST(CASE WHEN ne >= 2
+                 THEN LEAST(prefix, (d1 % 29 + 3) + (total - prefix))
+                 ELSE prefix END AS BIGINT) AS dist_cm
+FROM tot
+"""
+
+
+QUERIES.update({
+    "tagfilter_boolean": q_tagfilter_boolean,
+    "debug_wayids": q_debug_wayids,
+    "inter_store": q_inter_store,
+    "dijkstra": q_dijkstra,
+})
+ORACLES.update({
+    "tagfilter_boolean": SQL_TAGFILTER_BOOLEAN,
+    "debug_wayids": SQL_DEBUG_WAYIDS,
+    "inter_store": SQL_INTER_STORE,
+    "dijkstra": SQL_DIJKSTRA,
+})
+
+
 # ═══════════════════════════════════════════ deterministic output ordering
 #
 # The driver's hash compare is ROW-ORDER-sensitive while Ray's streaming
