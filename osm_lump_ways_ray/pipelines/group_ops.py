@@ -241,3 +241,86 @@ def component_dijkstra(edges_g, labels, *, len_mod: int = 13, chord_mod: int = 2
 
     rows = _grouped_rows(edges_g, labels, None, num_partitions)
     return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
+
+
+def component_astar(edges_g, labels, nodes_ds, *, num_partitions: int = 8):
+    """G7 per component → A* path (haversine heuristic, dij.rs:84-202) from
+    the MIN vertex to the MIDDLE vertex → (g, component_id, seq, node).
+
+    Targeting the middle vertex exercises early termination: on a path
+    component only the first half of the chain is emitted."""
+
+    def fn(df):
+        import pandas as pd
+
+        edges, pos = _split_group(df)
+        g = _graph_of(edges)
+        verts = sorted(g.adj)
+        src, dst = verts[0], verts[len(verts) // 2]
+        path = g.astar_path(src, dst, pos) or []
+        return pd.DataFrame({
+            "g": np.full(len(path), int(df["g"].iloc[0]), dtype=np.int64),
+            "component_id": np.full(len(path), int(df["component_id"].iloc[0]),
+                                    dtype=np.int64),
+            "seq": np.arange(len(path), dtype=np.int64),
+            "node": np.asarray(path, dtype=np.int64),
+        })
+
+    rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions)
+    return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
+
+
+def component_spikes(edges_g, labels, *, pin_mod: int = 5,
+                     num_partitions: int = 8):
+    """G3 per component → the edges surviving iterative spike removal
+    (undirected_graph.rs:718-754) with ``never_remove = node % pin_mod == 0``
+    (the reference pins waterway sinks the same way, -down/main.rs G3 use).
+    On a path component the result is the sub-path between the first and last
+    pinned vertices (empty when fewer than two pinned vertices remain joined).
+    """
+
+    def fn(df):
+        import pandas as pd
+
+        edges, _pos = _split_group(df)
+        g = _graph_of(edges)
+        g.remove_spikes(never_remove=lambda n: n % pin_mod == 0)
+        kept = sorted(g.edges())
+        return pd.DataFrame({
+            "g": np.full(len(kept), int(df["g"].iloc[0]), dtype=np.int64),
+            "component_id": np.full(len(kept), int(df["component_id"].iloc[0]),
+                                    dtype=np.int64),
+            "u": np.asarray([a for a, _ in kept], dtype=np.int64),
+            "v": np.asarray([b for _, b in kept], dtype=np.int64),
+        })
+
+    rows = _grouped_rows(edges_g, labels, None, num_partitions)
+    return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
+
+
+def component_hull_dedup(edges_g, labels, nodes_ds, *, grid: int = 1_000_000,
+                         num_partitions: int = 8):
+    """D4 per component → hull-input position dedup stats after snapping
+    positions to a ``grid`` lattice (forces duplicates so the dedup path is
+    actually exercised): (g, component_id, n_vertices, n_unique_pos,
+    winner_sum) where winner_sum = Σ of the first-node-wins representatives
+    (way_group.rs:94-98; adjacency insertion order is ascending on a sorted
+    edge list, so the winner per position is its MIN node id)."""
+
+    def fn(df):
+        import pandas as pd
+
+        edges, pos = _split_group(df)
+        g = _graph_of(edges)
+        snapped = {n: (la // grid, lo // grid) for n, (la, lo) in pos.items()}
+        pts = g.dedup_hull_points(snapped)
+        return pd.DataFrame({
+            "g": [int(df["g"].iloc[0])],
+            "component_id": [int(df["component_id"].iloc[0])],
+            "n_vertices": [g.num_vertices()],
+            "n_unique_pos": [len(pts)],
+            "winner_sum": [int(sum(pts.values()))],
+        })
+
+    rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions)
+    return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")

@@ -2383,6 +2383,223 @@ ORACLES.update({
 })
 
 
+# ═════════════════════════ r3 batch 3: G7 A*, G3 spikes, D4 hull dedup,
+#                           M10 edge keys, S4/S5 writer round-trips
+def q_astar(sf_dir: str):
+    """G7 per path component: A* (haversine heuristic) from the MIN to the
+    MIDDLE vertex — early termination means only the first half of the chain
+    is emitted (dij.rs:84-202)."""
+    from ..pipelines.group_ops import component_astar
+
+    edges_g, labels, nodes_ds = _chain_graph_and_positions(sf_dir)
+    return component_astar(edges_g, labels, nodes_ds, num_partitions=8) \
+        .select_columns(["component_id", "seq", "node"])
+
+
+# verts = d1..d2+1 (ne+1 of them); middle index (ne+1)//2 → node d1+(ne+1)//2
+SQL_ASTAR = _CHAIN_RUNS_UND_SQL + """
+SELECT d1 AS component_id, CAST(n - d1 AS BIGINT) AS seq, CAST(n AS BIGINT) AS node
+FROM (SELECT d1, UNNEST(generate_series(d1, d1 + (ne + 1) // 2)) AS n FROM agg)
+"""
+
+
+def q_spike_removal(sf_dir: str):
+    """G3 per path component: edges surviving iterative degree-1 spike removal
+    with vertices ≡ 0 (mod 3) pinned (undirected_graph.rs:718-754) — the
+    sub-path between the first and last pinned vertices."""
+    from ..pipelines.group_ops import component_spikes
+
+    edges_g, labels, _nodes = _chain_graph_and_positions(sf_dir)
+    return component_spikes(edges_g, labels, pin_mod=3, num_partitions=8) \
+        .select_columns(["component_id", "u", "v"])
+
+
+SQL_SPIKE_REMOVAL = _CHAIN_RUNS_UND_SQL + """,
+  pins AS (
+    SELECT d1, ((d1 + 2) // 3) * 3 AS lo, ((d2 + 1) // 3) * 3 AS hi FROM agg
+  )
+SELECT d1 AS component_id, CAST(u AS BIGINT) AS u, CAST(u + 1 AS BIGINT) AS v
+FROM (SELECT d1, UNNEST(generate_series(lo, hi - 1)) AS u
+      FROM pins WHERE lo < hi)
+"""
+
+
+_HULL_GRID = 500_000_000  # 50° cells — coarse enough to force duplicates
+
+
+def q_hull_dedup(sf_dir: str):
+    """D4 hull-input position dedup (way_group.rs:94-98) after snapping to a
+    coarse lattice: (n_vertices, n_unique_pos, winner_sum) per component,
+    winner = first node in adjacency order = MIN node per snapped cell."""
+    from ..pipelines.group_ops import component_hull_dedup
+
+    edges_g, labels, nodes_ds = _chain_graph_and_positions(sf_dir)
+    return component_hull_dedup(edges_g, labels, nodes_ds, grid=_HULL_GRID,
+                                num_partitions=8) \
+        .select_columns(["component_id", "n_vertices", "n_unique_pos",
+                         "winner_sum"])
+
+
+SQL_HULL_DEDUP = _CHAIN_RUNS_UND_SQL + f""",
+  compnodes AS (
+    SELECT d1, ne, UNNEST(generate_series(d1, d2 + 1)) AS node FROM agg
+  ),
+  pts AS (
+    SELECT d1, ne, node,
+      CAST(FLOOR((((node - 1) * {D.LAT_MULT}) % {D.LAT_MOD} - {D.LAT_OFF})
+                 / {_HULL_GRID}.0) AS BIGINT) AS gx,
+      CAST(FLOOR((((node - 1) * {D.LON_MULT}) % {D.LON_MOD} - {D.LON_OFF})
+                 / {_HULL_GRID}.0) AS BIGINT) AS gy
+    FROM compnodes
+  ),
+  uniqpos AS (
+    SELECT d1, ANY_VALUE(ne) AS ne, gx, gy, MIN(node) AS winner
+    FROM pts GROUP BY d1, gx, gy
+  )
+SELECT d1 AS component_id, CAST(ANY_VALUE(ne) + 1 AS BIGINT) AS n_vertices,
+       CAST(COUNT(*) AS BIGINT) AS n_unique_pos,
+       CAST(SUM(winner) AS BIGINT) AS winner_sum
+FROM uniqpos GROUP BY d1
+"""
+
+
+def q_min_max_keys(sf_dir: str):
+    """M10 canonical undirected edge key (src/utils.rs:1-3) over a
+    mixed-orientation derived pair stream → (mn, mx, n)."""
+    from ray.data.aggregate import Count
+
+    from ..functions.utils import min_max
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_keys(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mn, mx = min_max(d % 1000, (d * 37) % 1000)
+        return pa.table({"mn": pa.array(mn, pa.int64()),
+                         "mx": pa.array(mx, pa.int64())})
+
+    return docs.map_batches(to_keys, batch_format="pyarrow") \
+               .groupby(["mn", "mx"]).aggregate(Count(alias_name="n"))
+
+
+SQL_MIN_MAX_KEYS = """
+SELECT LEAST(doc_id % 1000, (doc_id * 37) % 1000) AS mn,
+       GREATEST(doc_id % 1000, (doc_id * 37) % 1000) AS mx,
+       COUNT(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+def _chain_line_rows(sf_dir: str):
+    """Per path component: one LineString row (component_id, n_nodes, sum_node,
+    lats, lons) — feature input for the S4/S5 writer round-trips."""
+    from ..pipelines.group_ops import _grouped_rows
+
+    edges_g, labels, nodes_ds = _chain_graph_and_positions(sf_dir)
+    rows = _grouped_rows(edges_g, labels, nodes_ds, 8)
+
+    def fn(df):
+        import pandas as pd
+
+        posrows = df[df["kind"] == 1].sort_values("node")
+        nodes = posrows["node"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "component_id": [int(df["component_id"].iloc[0])],
+            "n_nodes": [int(len(nodes))],
+            "sum_node": [int(nodes.sum())],
+            "lats": [posrows["lat"].to_numpy(dtype=np.int64)],
+            "lons": [posrows["lon"].to_numpy(dtype=np.int64)],
+        })
+
+    return rows.groupby(["g", "component_id"]).map_groups(
+        fn, batch_format="pandas")
+
+
+def q_geojson_roundtrip(sf_dir: str):
+    """S4 writer round-trip: chain components → LineString features →
+    FeatureCollection ``.geojson`` on disk (fileio.rs:127-144 framing) →
+    parsed back → (component_id, n_nodes, sum_node, n_points). Integer props
+    survive JSON exactly; coordinate fidelity is byte-parity unit-tested."""
+    import json as _json
+    import tempfile
+
+    import pandas as pd
+
+    from ..sources.geojson import write_features_single
+
+    lines = _chain_line_rows(sf_dir)
+    path = tempfile.mktemp(suffix=".geojson", dir="/tmp")
+    info = write_features_single(
+        lines, path, props_cols=["component_id", "n_nodes", "sum_node"],
+        geometry="linestring")
+    with open(info["path"], "rb") as f:
+        fc = _json.load(f)
+    assert fc["type"] == "FeatureCollection"
+    out = [(feat["properties"]["component_id"], feat["properties"]["n_nodes"],
+            feat["properties"]["sum_node"],
+            len(feat["geometry"]["coordinates"]))
+           for feat in fc["features"]]
+    import os
+
+    os.unlink(info["path"])
+    return pd.DataFrame(out, columns=["component_id", "n_nodes", "sum_node",
+                                      "n_points"])
+
+
+SQL_GEOJSON_ROUNDTRIP = _CHAIN_RUNS_UND_SQL + """
+SELECT d1 AS component_id, CAST(ne + 1 AS BIGINT) AS n_nodes,
+       CAST(((d1 + d2 + 1) * (ne + 1)) // 2 AS BIGINT) AS sum_node,
+       CAST(ne + 1 AS BIGINT) AS n_points
+FROM agg
+"""
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """S5 writer round-trip: same features → feature CSV with WKT geometry
+    (fileio.rs:216-264) on disk → parsed back → (component_id, n_nodes,
+    n_points) with n_points counted from the WKT LINESTRING."""
+    import tempfile
+
+    import pandas as pd
+
+    from ..sources.csvout import write_feature_csv
+
+    lines = _chain_line_rows(sf_dir)
+    path = tempfile.mktemp(suffix=".csv", dir="/tmp")
+    write_feature_csv(lines, path, props_cols=["component_id", "n_nodes"])
+    df = pd.read_csv(path)
+    import os
+
+    os.unlink(path)
+    df["n_points"] = df["geom"].str.count(",") + 1
+    return df[["component_id", "n_nodes", "n_points"]]
+
+
+SQL_CSV_ROUNDTRIP = _CHAIN_RUNS_UND_SQL + """
+SELECT d1 AS component_id, CAST(ne + 1 AS BIGINT) AS n_nodes,
+       CAST(ne + 1 AS BIGINT) AS n_points
+FROM agg
+"""
+
+
+QUERIES.update({
+    "astar": q_astar,
+    "spike_removal": q_spike_removal,
+    "hull_dedup": q_hull_dedup,
+    "min_max_keys": q_min_max_keys,
+    "geojson_roundtrip": q_geojson_roundtrip,
+    "csv_roundtrip": q_csv_roundtrip,
+})
+ORACLES.update({
+    "astar": SQL_ASTAR,
+    "spike_removal": SQL_SPIKE_REMOVAL,
+    "hull_dedup": SQL_HULL_DEDUP,
+    "min_max_keys": SQL_MIN_MAX_KEYS,
+    "geojson_roundtrip": SQL_GEOJSON_ROUNDTRIP,
+    "csv_roundtrip": SQL_CSV_ROUNDTRIP,
+})
+
+
 # ═══════════════════════════════════════════ deterministic output ordering
 #
 # The driver's hash compare is ROW-ORDER-sensitive while Ray's streaming

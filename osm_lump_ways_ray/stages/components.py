@@ -289,12 +289,19 @@ class ComponentGraph:
                         frames_graph.add_edge(a, b)
         return frames_graph.into_lines_random()
 
+    def dedup_hull_points(self, pos) -> dict:
+        """D4 position dedup before the hull (way_group.rs:94-98 dedup step):
+        {position: first node with that position} in adjacency insertion
+        order — qhull input must be duplicate-free."""
+        pts: dict = {}
+        for n in self.adj:
+            pts.setdefault(pos[n], n)  # position dedup: first node wins
+        return pts
+
     def _convex_hull_nodes(self, pos) -> List[int]:
         """Andrew monotone chain over vertex positions (dedup'd), mapped back to
         node ids (quick_hull analog in way_group.rs:94-121)."""
-        pts = {}
-        for n in self.adj:
-            pts.setdefault(pos[n], n)  # position dedup: first node wins
+        pts = self.dedup_hull_points(pos)
         coords = sorted(pts.keys())
         if len(coords) <= 2:
             return sorted(pts.values())
