@@ -2600,6 +2600,111 @@ ORACLES.update({
 })
 
 
+# ═════════════════════════ r3 batch 4: S6 ends-CSV and S7 OpenMetrics
+#                           writer round-trips
+def q_ends_csv_roundtrip(sf_dir: str):
+    """S6 writer round-trip (ends_csv.rs:14-108): river-system mouths from the
+    chain DAG → full ends CSV (timestamp, iso, upstream rounded 1 dp,
+    1-based rank by upstream desc, 7-dp coordinates, `upstream > 1 m` filter)
+    → parsed back → (nid, upstream_m, upstream_m_rank). Coordinate columns are
+    written but compared in unit tests only (float-formatting parity)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from ..sources.csvout import write_ends_csv
+    from ..stages.waterways import longest_source_mouth
+
+    edges = _decade_chain_edges(sf_dir, with_len=True)
+    out = longest_source_mouth(edges, num_partitions=8) \
+        .select_columns(["mouth_nid", "river_system_length_m"]).to_pandas()
+
+    nid = out["mouth_nid"].to_numpy(dtype=np.int64)
+    d = nid - 1
+    lat_deg = ((d * D.LAT_MULT) % D.LAT_MOD - D.LAT_OFF) / 1e7
+    lon_deg = ((d * D.LON_MULT) % D.LON_MOD - D.LON_OFF) / 1e7
+    rows = [{"nid": int(n), "upstream_m": float(m), "lat": la, "lon": lo}
+            for n, m, la, lo in zip(
+                nid, out["river_system_length_m"], lat_deg, lon_deg)]
+
+    path = tempfile.mktemp(suffix=".csv", dir="/tmp")
+    write_ends_csv(path, rows, latest_timestamp=1234567890,
+                   latest_timestamp_iso="2009-02-13T23:31:30Z")
+    df = pd.read_csv(path)
+    os.unlink(path)
+    assert (df["timestamp"] == 1234567890).all()
+    return df[["nid", "upstream_m", "upstream_m_rank"]]
+
+
+# upstream = Σ len per run (integer-valued, exact at 1 dp); `> 1 m` filter and
+# rank-by-upstream-desc (nid tiebreak) mirror ends_csv.rs:76, :94-101.
+SQL_ENDS_CSV_ROUNDTRIP = _CHAIN_RUNS_SQL + """
+, mouths AS (
+  SELECT MAX(dst) AS nid, CAST(SUM(len) AS DOUBLE) AS upstream_m
+  FROM runs GROUP BY run, dec
+)
+SELECT nid, upstream_m,
+       ROW_NUMBER() OVER (ORDER BY upstream_m DESC, nid) AS upstream_m_rank
+FROM mouths WHERE upstream_m > 1.0
+"""
+
+
+def q_openmetrics_roundtrip(sf_dir: str):
+    """S7 writer round-trip (openmetrics.rs:8-44): decade-loop features →
+    one gauge per loop root (``loops_num_nodes{root="…"} N``) → exposition
+    text parsed back → (root_nid, num_nodes)."""
+    import os
+    import re
+    import tempfile
+
+    import pandas as pd
+
+    from ..sources.csvout import write_openmetrics
+    from ..stages.waterways import loop_features
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    max_doc = int(docs.max("doc_id"))
+    edges = D.directed_edges_closed(docs, max_doc_ref=max_doc)
+    nodes_ds = _read(sf_dir, "documents", columns=["doc_id"]) \
+        .map_batches(D.nodes_batch, batch_format="pyarrow") \
+        .select_columns(["node_id", "lat", "lon"])
+    loops = loop_features(edges, nodes_ds, num_partitions=8) \
+        .select_columns(["root_nid", "num_nodes"]).to_pandas()
+
+    path = tempfile.mktemp(suffix=".om", dir="/tmp")
+    write_openmetrics(
+        path, "loops_num_nodes",
+        [({"root": int(r.root_nid)}, int(r.num_nodes))
+         for r in loops.itertuples()],
+        help_text="nodes per loop feature")
+    with open(path) as f:
+        text = f.read()
+    os.unlink(path)
+    assert text.endswith("# EOF\n") and "# TYPE loops_num_nodes gauge" in text
+    pat = re.compile(r'^loops_num_nodes\{root="(\d+)"\} (\d+)$', re.M)
+    out = [(int(m.group(1)), int(m.group(2))) for m in pat.finditer(text)]
+    return pd.DataFrame(out, columns=["root_nid", "num_nodes"])
+
+
+SQL_OPENMETRICS_ROUNDTRIP = """
+SELECT (doc_id // 10) * 10 + 1 AS root_nid, COUNT(*) AS num_nodes
+FROM documents
+GROUP BY doc_id // 10
+HAVING COUNT(*) = 10 AND SUM(CASE WHEN n_chars % 7 = 0 THEN 1 ELSE 0 END) = 0
+"""
+
+
+QUERIES.update({
+    "ends_csv_roundtrip": q_ends_csv_roundtrip,
+    "openmetrics_roundtrip": q_openmetrics_roundtrip,
+})
+ORACLES.update({
+    "ends_csv_roundtrip": SQL_ENDS_CSV_ROUNDTRIP,
+    "openmetrics_roundtrip": SQL_OPENMETRICS_ROUNDTRIP,
+})
+
+
 # ═══════════════════════════════════════════ deterministic output ordering
 #
 # The driver's hash compare is ROW-ORDER-sensitive while Ray's streaming
