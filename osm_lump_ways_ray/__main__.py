@@ -1,0 +1,190 @@
+"""CLI entry points mirroring the reference's two binaries
+(bin/osm-lump-ways/cli_args.rs:21-254 and bin/osm-lump-ways-down/cli_args.rs):
+
+    python -m osm_lump_ways_ray lump -i pages.parquet -o groups.geojson \
+        -f "name" -g name --min-length-m 100 --only-longest-n 50
+    python -m osm_lump_ways_ray down -i edges.parquet --nodes nodes.parquet \
+        --tag-groups --out-dir /tmp/down_out --openmetrics /tmp/loops.om
+
+``lump`` runs the flagship pipeline over a Common-Crawl-style pages Parquet
+table (url, warc_ts, html, text, lang — BASELINE.json input_hint shape; or
+``--synth N`` for the deterministic seeded table) through the
+``Pipeline`` facade; ``down`` runs the composed waterways pipeline
+(SCC → loops → contraction → flow → ends → paths → tag groups sharing
+intermediates, -down/main.rs:146-1269) over a directed-edge Parquet table.
+
+The CLI owns its Ray session when none exists yet (init + shutdown); the
+library itself never initializes Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    """Init Ray iff nobody else has (the CLI then owns the session and shuts
+    it down; under an outer session — e.g. the pytest fixture — it must not)."""
+    import ray
+
+    owned = not ray.is_initialized()
+    if owned:
+        kwargs = dict(address="local", include_dashboard=False,
+                      logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray, owned
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--num-partitions", type=int, default=32)
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="Ray session size (default: all cores)")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="resumable per-round state root (state/checkpoint.py)")
+
+
+def cmd_lump(args) -> int:
+    ray, owned = _ray_session(args.num_cpus)
+    from .pipelines.waterways_down import Output, Pipeline
+    from .sources.pages import synth_pages_dataset
+
+    if args.synth:
+        pages = synth_pages_dataset(args.synth, seed=args.seed)
+    else:
+        import ray.data
+
+        pages = ray.data.read_parquet(args.input)
+
+    geometry = "linestring" if args.save_as_linestrings else "multilinestring"
+    outputs = []
+    for path in args.output or ():
+        if args.split_files_by_group and "%s" not in path:
+            print(f"error: --split-files-by-group needs %s in {path!r}",
+                  file=sys.stderr)
+            return 2
+        outputs.append(Output(path=path, geometry=geometry,
+                              props=("component_id", "length_m", "num_nodes"),
+                              split_by=(args.tag_group_by
+                                        if args.split_files_by_group else None)))
+
+    pipe = Pipeline(filter=args.tag_filter, group_by=args.tag_group_by,
+                    min_length_m=args.min_length_m,
+                    max_length_m=args.max_length_m,
+                    only_longest_n=args.only_longest_n, outputs=tuple(outputs),
+                    num_partitions=args.num_partitions,
+                    checkpoint_dir=args.checkpoint_dir)
+    res = pipe.run(pages)
+    n = res["components"].count()
+    print(json.dumps({"components": n, "metrics": res["metrics"],
+                      "written": res["written"]}))
+    if owned:
+        ray.shutdown()
+    return 0
+
+
+def cmd_down(args) -> int:
+    ray, owned = _ray_session(args.num_cpus)
+    import ray.data
+
+    from .pipelines.waterways_down import waterways_down
+    from .sources.csvout import write_ends_csv, write_openmetrics
+
+    edges = ray.data.read_parquet(args.input)
+    nodes = ray.data.read_parquet(args.nodes) if args.nodes else None
+    res = waterways_down(edges, nodes, split_equally=not args.from_upstream,
+                         max_dist_m=args.max_dist_m,
+                         with_tag_groups=args.tag_groups,
+                         num_partitions=args.num_partitions,
+                         checkpoint_dir=args.checkpoint_dir)
+    summary = {"metrics": res["metrics"]}
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+        for name in ("loops", "dag_edges", "flow_edges", "ends",
+                     "assignments_paths", "tag_groups"):
+            if name in res and res[name] is not None:
+                res[name].write_parquet(os.path.join(args.out_dir, name))
+                summary[name] = "written"
+    if args.openmetrics:
+        if "loops" not in res:
+            print("error: --openmetrics needs --nodes (loop positions)",
+                  file=sys.stderr)
+            return 2
+        loops = res["loops"].select_columns(
+            ["root_nid", "num_nodes"]).to_pandas()
+        write_openmetrics(
+            args.openmetrics, "loops_num_nodes",
+            [({"root": int(r.root_nid)}, int(r.num_nodes))
+             for r in loops.itertuples()],
+            help_text="nodes per loop feature")
+        summary["openmetrics"] = args.openmetrics
+    if args.ends_csv:
+        import pandas as pd
+
+        ends = res["ends"].to_pandas()
+        rows = [{"nid": int(r.end_nid), "upstream_m": float(r.end_upstream_m),
+                 "lat": 0.0, "lon": 0.0}
+                for r in ends.itertuples() if pd.notna(r.end_upstream_m)]
+        n = write_ends_csv(args.ends_csv, rows,
+                           min_length_m=args.min_length_m)
+        summary["ends_csv"] = {"path": args.ends_csv, "rows": n}
+    print(json.dumps(summary))
+    if owned:
+        ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="osm_lump_ways_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pl = sub.add_parser("lump", help="flagship lump over a pages table")
+    pl.add_argument("-i", "--input", help="pages Parquet path/dir")
+    pl.add_argument("--synth", type=int, default=None,
+                    help="synthesize N deterministic pages instead of --input")
+    pl.add_argument("--seed", type=int, default=42)
+    pl.add_argument("-o", "--output", action="append",
+                    help=".geojson | .geojsons | .geojsonl (repeatable)")
+    pl.add_argument("-f", "--tag-filter", default=None,
+                    help="M2 filter DSL, e.g. 'name' or 'lang=en'")
+    pl.add_argument("-g", "--tag-group-by", default="name")
+    pl.add_argument("--min-length-m", type=float, default=None)
+    pl.add_argument("--max-length-m", type=float, default=None)
+    pl.add_argument("--only-longest-n", type=int, default=None)
+    pl.add_argument("--save-as-linestrings", action="store_true")
+    pl.add_argument("--split-files-by-group", action="store_true")
+    _add_common(pl)
+    pl.set_defaults(fn=cmd_lump)
+
+    pd = sub.add_parser("down", help="composed -down run over directed edges")
+    pd.add_argument("-i", "--input", required=True,
+                    help="edges Parquet (src, dst, length_m[, tagid])")
+    pd.add_argument("--nodes", default=None,
+                    help="nodes Parquet (node_id, lat, lon) for loop features")
+    pd.add_argument("--tag-groups", action="store_true")
+    pd.add_argument("--from-upstream", action="store_true",
+                    help="route full upstream to the biggest end "
+                         "(default splits equally)")
+    pd.add_argument("--max-dist-m", type=float, default=None)
+    pd.add_argument("--out-dir", default=None)
+    pd.add_argument("--openmetrics", default=None)
+    pd.add_argument("--ends-csv", default=None)
+    pd.add_argument("--min-length-m", type=float, default=None)
+    _add_common(pd)
+    pd.set_defaults(fn=cmd_down)
+
+    args = ap.parse_args(argv)
+    if args.cmd == "lump" and not (args.input or args.synth):
+        ap.error("lump needs -i/--input or --synth")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

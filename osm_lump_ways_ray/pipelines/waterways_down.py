@@ -238,18 +238,45 @@ class Pipeline:
                                          how="inner",
                                          num_partitions=self.num_partitions))
             rows = rows.sort("length_m", descending=True)
+
+            def explode_parts(batch: pa.Table) -> pa.Table:
+                # --save-as-linestrings: each MultiLineString part becomes its
+                # own LineString feature carrying the group props
+                # (fileio.rs:34-57)
+                import numpy as np
+
+                lats = batch["lats"].to_pylist()
+                lons = batch["lons"].to_pylist()
+                counts = [len(x) for x in lats]
+                idx = pa.array(np.repeat(np.arange(len(batch)), counts))
+                out = {c: batch[c].take(idx) for c in batch.column_names
+                       if c not in ("lats", "lons")}
+                out["lats"] = pa.array([p for row in lats for p in row],
+                                       pa.list_(pa.int64()))
+                out["lons"] = pa.array([p for row in lons for p in row],
+                                       pa.list_(pa.int64()))
+                return pa.table(out)
+
+            rows_ls = None
             for spec in self.outputs:
+                if spec.geometry == "linestring":
+                    if rows_ls is None:
+                        rows_ls = rows.map_batches(explode_parts,
+                                                   batch_format="pyarrow")
+                    spec_rows = rows_ls
+                else:
+                    spec_rows = rows
                 geo_kwargs = dict(props_cols=list(spec.props),
                                   geometry=spec.geometry)
                 if spec.split_by:
-                    w = write_features_split(rows, spec.path,
+                    w = write_features_split(spec_rows, spec.path,
                                              split_col=spec.split_by,
                                              **geo_kwargs)
                     written.append({"path": spec.path,
                                     "parts": sorted(r["part"]
                                                     for r in w.take_all())})
                 else:
-                    written.append(write_features_single(rows, spec.path,
+                    written.append(write_features_single(spec_rows, spec.path,
                                                          **geo_kwargs))
         res["written"] = written
         return res

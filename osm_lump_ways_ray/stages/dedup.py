@@ -177,34 +177,81 @@ class MinHashLSH:
 _PAIR_CAP = 200  # all-pairs guard: above this a bucket degrades to star+chain
 
 
-def _bucket_pairs(batch: pa.Table) -> pa.Table:
-    """map_groups body over (band, band_hash) buckets → candidate pairs
-    (min doc as u). Buckets are tiny for honest data. A pathological bucket
-    (all-pairs would exceed ``_PAIR_CAP``) degrades to STAR pairs through the
-    min doc PLUS consecutive-doc CHAIN pairs — O(n) pairs that preserve
-    connectivity inside the bucket for the downstream connected-components
-    clustering (nothing is silently dropped) — and logs a warning."""
-    docs = np.unique(batch["doc"].to_numpy(zero_copy_only=False))
-    if len(docs) < 2:
-        return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
-    docs.sort()
-    n = len(docs)
+def _bucket_segments(key_arrays, tail):
+    """Sort rows by (``key_arrays``…, ``tail``) and return (order, starts,
+    sizes) of the equal-key segments — the vectorized replacement for a
+    one-Python-call-per-bucket ``map_groups`` (r3: at sf0.1 the LSH bucket
+    table is ~80k rows of mostly singleton buckets; per-group dispatch
+    overhead dominated the whole minhash pipeline)."""
+    order = np.lexsort((tail, *key_arrays[::-1]))
+    n = len(order)
+    boundary = np.zeros(n, dtype=bool)
+    boundary[0] = True
+    for a in key_arrays:
+        s = a[order]
+        boundary[1:] |= s[1:] != s[:-1]
+    starts = np.nonzero(boundary)[0]
+    sizes = np.diff(np.append(starts, n))
+    return order, starts, sizes
+
+
+def _emit_capped_pairs(d: np.ndarray, us: list, vs: list, what: str) -> None:
+    """Append all-pairs of the sorted unique doc array ``d`` (star+chain above
+    ``_PAIR_CAP`` — connectivity preserved, warning logged)."""
+    n = len(d)
     if n * (n - 1) // 2 > _PAIR_CAP:
         import logging
 
         logging.getLogger(__name__).warning(
-            "LSH bucket with %d docs exceeds all-pairs cap %d; degrading to "
+            "%s bucket with %d docs exceeds all-pairs cap %d; degrading to "
             "star+chain pairs (%d pairs, connectivity preserved)",
-            n, _PAIR_CAP, 2 * (n - 1))
-        star_u = np.full(n - 1, docs[0], dtype=np.int64)
-        star_v = docs[1:].astype(np.int64)
-        chain_u = docs[:-1].astype(np.int64)
-        chain_v = docs[1:].astype(np.int64)
-        return pa.table({"u": pa.array(np.concatenate([star_u, chain_u])),
-                         "v": pa.array(np.concatenate([star_v, chain_v]))})
-    iu, ju = np.triu_indices(n, k=1)
-    return pa.table({"u": pa.array(docs[iu].astype(np.int64)),
-                     "v": pa.array(docs[ju].astype(np.int64))})
+            what, n, _PAIR_CAP, 2 * (n - 1))
+        us.append(np.full(n - 1, d[0], dtype=np.int64))
+        vs.append(d[1:].astype(np.int64))
+        us.append(d[:-1].astype(np.int64))
+        vs.append(d[1:].astype(np.int64))
+    else:
+        iu, ju = np.triu_indices(n, k=1)
+        us.append(d[iu].astype(np.int64))
+        vs.append(d[ju].astype(np.int64))
+
+
+_EMPTY_PAIRS = pa.table({"u": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.int64())})
+
+
+def _partition_pairs(batch: pa.Table) -> pa.Table:
+    """One pbucket partition of (band, band_hash, doc) rows → candidate pairs
+    for EVERY bucket inside it, segment boundaries found vectorized; Python
+    touches only the (rare) multi-doc buckets."""
+    band = batch["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bh = batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = batch["doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(doc) == 0:
+        return _EMPTY_PAIRS
+    order, starts, sizes = _bucket_segments((band, bh), doc)
+    doc = doc[order]
+    us: list = []
+    vs: list = []
+    for si in np.nonzero(sizes >= 2)[0]:
+        s = starts[si]
+        d = doc[s:s + sizes[si]]
+        d = d[np.concatenate([[True], d[1:] != d[:-1]])]  # sorted-dedupe
+        if len(d) >= 2:
+            _emit_capped_pairs(d, us, vs, "LSH")
+    if not us:
+        return _EMPTY_PAIRS
+    return pa.table({"u": pa.array(np.concatenate(us), pa.int64()),
+                     "v": pa.array(np.concatenate(vs), pa.int64())})
+
+
+def _pbucket_of(band: np.ndarray, val: np.ndarray,
+                num_partitions: int) -> np.ndarray:
+    """Stable partition id for a (band, value) bucket key — co-locates every
+    row of one bucket while spreading buckets evenly."""
+    with np.errstate(over="ignore"):
+        h = _avalanche(val.astype(np.uint64) * _MIX ^ band.astype(np.uint64))
+    return (h % np.uint64(num_partitions)).astype(np.int64)
 
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
@@ -249,8 +296,20 @@ def minhash_dedup_clusters(docs_ds, *, num_perm: int = 64, bands: int = 16,
                                    text_col=text_col),
         batch_format="pyarrow", concurrency=concurrency,
     )
-    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow")
+    def pbucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("pbucket", pa.array(_pbucket_of(
+            batch["band"].to_numpy(zero_copy_only=False),
+            batch["band_hash"].to_numpy(zero_copy_only=False),
+            num_partitions), pa.int64()))
+
+    # bucket-co-locating partition groupby, NOT a per-bucket map_groups: the
+    # bucket table is dominated by singleton buckets and Ray's per-group
+    # dispatch (slice + table build per group) costs more than the whole
+    # vectorized segment scan (r3 measured: the LSH pair stage dropped from
+    # ~10 s to <1 s at sf0.1)
+    pairs = sigs.map_batches(pbucket, batch_format="pyarrow") \
+        .groupby("pbucket").map_groups(_partition_pairs,
+                                       batch_format="pyarrow")
     # a pair found in B bands appears B times — dedupe BEFORE the (expensive)
     # text verify so each candidate is verified once
     from ray.data.aggregate import Count
@@ -338,42 +397,53 @@ _HAM_SHIFTS = np.array([0, 16, 32, 48], dtype=np.uint64)
 _HAM_MASKS = np.array([0xFFFF, 0xFFFF, 0xFFFF, 0x7FFF], dtype=np.uint64)
 
 
-def _hamming_bucket_pairs(max_hamming: int):
-    """map_groups body factory over (band, band_val) buckets: all-pairs within
-    the bucket (same _PAIR_CAP star+chain degradation as the LSH path), kept
-    only when XOR-popcount ≤ max_hamming — the verify is LOCAL because each
-    row carries its full signature into the bucket."""
+def _hamming_partition_pairs(max_hamming: int):
+    """Partition-bucketed pair emission for the hamming bands (same
+    vectorized-segments idiom as ``_partition_pairs``): all-pairs within each
+    (band, band_val) bucket (``_PAIR_CAP`` star+chain degradation), kept only
+    when XOR-popcount ≤ max_hamming — the verify is LOCAL because each row
+    carries its full signature into the bucket."""
 
-    def body(df):
-        import pandas as pd
+    def body(batch: pa.Table) -> pa.Table:
+        band = batch["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bv = batch["band_val"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = batch["doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sig = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(doc) == 0:
+            return _EMPTY_PAIRS
+        order, starts, sizes = _bucket_segments((band, bv), doc)
+        doc, sig = doc[order], sig[order]
+        us: list = []
+        vs: list = []
+        for si in np.nonzero(sizes >= 2)[0]:
+            s = starts[si]
+            d, g = doc[s:s + sizes[si]], sig[s:s + sizes[si]]
+            uniq = np.concatenate([[True], d[1:] != d[:-1]])
+            d, g = d[uniq], g[uniq]
+            n = len(d)
+            if n < 2:
+                continue
+            if n * (n - 1) // 2 > _PAIR_CAP:
+                import logging
 
-        docs = df["doc"].to_numpy()
-        sigs = df["simhash"].to_numpy().astype(np.uint64)
-        order = np.argsort(docs)
-        docs, sigs = docs[order], sigs[order]
-        uniq = np.concatenate([[True], docs[1:] != docs[:-1]])
-        docs, sigs = docs[uniq], sigs[uniq]
-        n = len(docs)
-        if n < 2:
-            return pd.DataFrame({"u": np.array([], np.int64),
-                                 "v": np.array([], np.int64)})
-        if n * (n - 1) // 2 > _PAIR_CAP:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "simhash band bucket with %d docs exceeds cap %d; "
-                "star+chain degradation", n, _PAIR_CAP)
-            iu = np.concatenate([np.zeros(n - 1, np.int64),
-                                 np.arange(n - 1, dtype=np.int64)])
-            ju = np.concatenate([np.arange(1, n, dtype=np.int64),
-                                 np.arange(1, n, dtype=np.int64)])
-        else:
-            iu, ju = np.triu_indices(n, k=1)
-        with np.errstate(over="ignore"):
-            ham = _popcount64(sigs[iu] ^ sigs[ju])
-        keep = ham <= max_hamming
-        return pd.DataFrame({"u": docs[iu[keep]].astype(np.int64),
-                             "v": docs[ju[keep]].astype(np.int64)})
+                logging.getLogger(__name__).warning(
+                    "simhash band bucket with %d docs exceeds cap %d; "
+                    "star+chain degradation", n, _PAIR_CAP)
+                iu = np.concatenate([np.zeros(n - 1, np.int64),
+                                     np.arange(n - 1, dtype=np.int64)])
+                ju = np.concatenate([np.arange(1, n, dtype=np.int64),
+                                     np.arange(1, n, dtype=np.int64)])
+            else:
+                iu, ju = np.triu_indices(n, k=1)
+            with np.errstate(over="ignore"):
+                ham = _popcount64(g[iu] ^ g[ju])
+            keep = ham <= max_hamming
+            us.append(d[iu[keep]].astype(np.int64))
+            vs.append(d[ju[keep]].astype(np.int64))
+        if not us:
+            return _EMPTY_PAIRS
+        return pa.table({"u": pa.array(np.concatenate(us), pa.int64()),
+                         "v": pa.array(np.concatenate(vs), pa.int64())})
 
     return body
 
@@ -408,9 +478,16 @@ def simhash_hamming_clusters(docs_ds, *, max_hamming: int = 3,
             "simhash": pa.array(np.tile(sig.astype(np.int64), nb), pa.int64()),
         })
 
+    def pbucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("pbucket", pa.array(_pbucket_of(
+            batch["band"].to_numpy(zero_copy_only=False),
+            batch["band_val"].to_numpy(zero_copy_only=False),
+            num_partitions), pa.int64()))
+
     bands = sigs.map_batches(to_bands, batch_format="pyarrow")
-    pairs = bands.groupby(["band", "band_val"]).map_groups(
-        _hamming_bucket_pairs(max_hamming), batch_format="pandas")
+    pairs = bands.map_batches(pbucket, batch_format="pyarrow") \
+        .groupby("pbucket").map_groups(_hamming_partition_pairs(max_hamming),
+                                       batch_format="pyarrow")
     pairs = pairs.groupby(["u", "v"]).aggregate(Count(alias_name="_c")) \
                  .select_columns(["u", "v"])
     return connected_components(pairs, "u", "v", num_partitions=num_partitions)

@@ -1,0 +1,123 @@
+"""Dedup-family unit tests: the vectorized bucket-pair emission (r3 rewrite of
+the per-bucket ``map_groups`` path) against brute-force per-bucket pairs, the
+``_PAIR_CAP`` star+chain degradation, and the end-to-end LSH cluster pipelines
+on a corpus with planted near-dups."""
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from osm_lump_ways_ray.stages import dedup as dd
+
+
+def _brute_pairs(band, bh, doc):
+    """Reference all-pairs per (band, bh) bucket over unique docs."""
+    out = set()
+    buckets = {}
+    for b, h, d in zip(band, bh, doc):
+        buckets.setdefault((b, h), set()).add(d)
+    for docs in buckets.values():
+        for u, v in itertools.combinations(sorted(docs), 2):
+            out.add((u, v))
+    return out
+
+
+def test_partition_pairs_matches_bruteforce():
+    rng = np.random.RandomState(7)
+    n = 3000
+    band = rng.randint(0, 16, n).astype(np.int64)
+    bh = rng.randint(0, 400, n).astype(np.int64)  # forces multi-doc buckets
+    doc = rng.randint(0, 500, n).astype(np.int64)
+    batch = pa.table({"band": pa.array(band), "band_hash": pa.array(bh),
+                      "doc": pa.array(doc)})
+    got = dd._partition_pairs(batch)
+    got_pairs = set(zip(got["u"].to_pylist(), got["v"].to_pylist()))
+    assert got_pairs == _brute_pairs(band, bh, doc)
+    # every emitted pair is ordered u < v
+    assert all(u < v for u, v in got_pairs)
+
+
+def test_partition_pairs_cap_star_chain_connectivity():
+    # one bucket with n docs where all-pairs would blow the cap: emitted pair
+    # graph must still connect every doc (star+chain), with O(n) pairs
+    n = 50
+    assert n * (n - 1) // 2 > dd._PAIR_CAP
+    batch = pa.table({
+        "band": pa.array(np.zeros(n, np.int64)),
+        "band_hash": pa.array(np.zeros(n, np.int64)),
+        "doc": pa.array(np.arange(100, 100 + n, dtype=np.int64)),
+    })
+    got = dd._partition_pairs(batch)
+    assert got.num_rows == 2 * (n - 1)
+    # union-find connectivity
+    parent = {d: d for d in range(100, 100 + n)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(got["u"].to_pylist(), got["v"].to_pylist()):
+        parent[find(u)] = find(v)
+    assert len({find(d) for d in range(100, 100 + n)}) == 1
+
+
+def test_hamming_partition_pairs_filters_by_popcount():
+    # sigs: 3 docs in one bucket; doc 1 and 2 differ in 2 bits, doc 3 in 20
+    sigs = np.array([0b1111, 0b1100, (1 << 40) - 1], dtype=np.int64)
+    batch = pa.table({
+        "band": pa.array(np.zeros(3, np.int64)),
+        "band_val": pa.array(np.zeros(3, np.int64)),
+        "doc": pa.array(np.array([1, 2, 3], np.int64)),
+        "simhash": pa.array(sigs),
+    })
+    got = dd._hamming_partition_pairs(3)(batch)
+    assert set(zip(got["u"].to_pylist(), got["v"].to_pylist())) == {(1, 2)}
+
+
+def test_minhash_clusters_planted_dups(ray_session):
+    import ray.data
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away to the deep green forest by the old stone bridge").split()
+    texts, ids = [], []
+    for i in range(40):
+        words = [f"unique{i}w{j}" for j in range(30)]  # distinct docs
+        texts.append(" ".join(words))
+        ids.append(i)
+    # planted near-dup pair: same text with one word changed
+    texts.append(" ".join(base))
+    ids.append(100)
+    mod = list(base)
+    mod[5] = "leaps"
+    texts.append(" ".join(mod))
+    ids.append(101)
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    out = dd.minhash_dedup_clusters(
+        docs, verify_with=docs, jaccard_threshold=(1, 2),
+        num_partitions=4).to_pandas()
+    clusters = dict(zip(out["node"], out["component_id"]))
+    assert clusters.get(100) == 100 and clusters.get(101) == 100
+    assert all(n in (100, 101) for n in clusters)
+
+
+def test_simhash_hamming_clusters_planted_dups(ray_session):
+    import ray.data
+
+    words = [f"w{j}" for j in range(64)]
+    texts = {0: " ".join(words), 1: " ".join(words[:-1] + ["changed"])}
+    for i in range(2, 30):
+        texts[i] = " ".join(f"doc{i}tok{j}" for j in range(40))
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)], pa.string())}))
+    out = dd.simhash_hamming_clusters(docs, max_hamming=16,
+                                      num_partitions=4).to_pandas()
+    clusters = dict(zip(out["node"], out["component_id"]))
+    # docs 0/1 share almost all tokens → tiny hamming distance → clustered
+    assert clusters.get(0) == 0 and clusters.get(1) == 0
