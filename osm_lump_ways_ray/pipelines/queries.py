@@ -18,12 +18,25 @@ from ..functions.cells import cell_id_sql
 from ..functions.haversine import MEAN_EARTH_RADIUS_M, haversine_m_fp
 from ..sources import derived as D
 from ..stages.relational import cogroup_join as hash_join
+from ..state.derivation_cache import cached_ds, cached_obj
 
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
 
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _nodes_pos(sf_dir: str):
+    """Derived node positions (node_id, lat, lon) — shared across the spatial /
+    waterways queries; built once per session (derivation cache)."""
+
+    def build():
+        return _read(sf_dir, "documents", columns=["doc_id"]) \
+            .map_batches(D.nodes_batch, batch_format="pyarrow") \
+            .select_columns(["node_id", "lat", "lon"])
+
+    return cached_ds(("nodes_pos", sf_dir), build)
 
 
 def _hav_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
@@ -60,15 +73,35 @@ NODE_LATLON_SQL = {
 
 # ════════════════════════════════════════════════════ graph family (G1/A1/M5)
 
+def _und_edges(sf_dir: str):
+    """Undirected lump edges over the documents graph — shared G1 input
+    (derivation cache; one build per session)."""
+
+    def build():
+        docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+        return D.undirected_edges(docs)
+
+    return cached_ds(("und_edges", sf_dir), build)
+
+
+def _und_cc_labels(sf_dir: str):
+    """G1 connected components over ``_und_edges`` — the shared lump labels
+    (computed once per session; main.rs runs ONE component pass and feeds
+    every output from it)."""
+    from ..stages.graph import connected_components
+
+    def build():
+        return connected_components(_und_edges(sf_dir), "u", "v",
+                                    num_partitions=8)
+
+    return cached_ds(("und_cc_labels", sf_dir), build)
+
+
 def q_lump_components(sf_dir: str):
     """G1 over the derived documents graph → per-component node count."""
     from ray.data.aggregate import Count
 
-    from ..stages.graph import connected_components
-
-    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
-    edges = D.undirected_edges(docs)
-    labels = connected_components(edges, "u", "v", num_partitions=8)
+    labels = _und_cc_labels(sf_dir)
     return labels.groupby("component_id").aggregate(Count(alias_name="num_nodes"))
 
 
@@ -82,11 +115,8 @@ def q_lump_lengths(sf_dir: str):
     """A2: per-component Σ edge length in integer decimetres (order-proof)."""
     from ray.data.aggregate import Sum
 
-    from ..stages.graph import connected_components
-
-    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
-    edges = D.undirected_edges(docs).materialize()
-    labels = connected_components(edges, "u", "v", num_partitions=8)
+    edges = _und_edges(sf_dir)
+    labels = _und_cc_labels(sf_dir)
 
     def add_len(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy(zero_copy_only=False)
@@ -208,17 +238,36 @@ HAVING COUNT(*) >= 2
 """
 
 
-def q_scc_loops(sf_dir: str):
-    """G10 over the derived decade-cycle graph → (root_nid, num_nodes)."""
-    import ray
-    from ray.data.aggregate import Count
+def _decade_closed_edges(sf_dir: str):
+    """Decade-cycle directed edges (chains + closing edges) — the shared SCC
+    input of the loop family; built once per session (derivation cache)."""
 
+    def build():
+        docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+        max_doc = int(docs.max("doc_id"))
+        return D.directed_edges_closed(docs, max_doc_ref=max_doc)
+
+    return cached_ds(("decade_closed_edges", sf_dir), build)
+
+
+def _decade_scc(sf_dir: str):
+    """G10 SCC labels over the decade-cycle graph — computed ONCE per session
+    and shared by scc_loops / cycle_contraction / loop_features /
+    openmetrics (the -down single-program pattern: main.rs runs one SCC)."""
     from ..stages.scc import strongly_connected_components
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    max_doc = int(docs.max("doc_id"))
-    edges = D.directed_edges_closed(docs, max_doc_ref=max_doc)
-    scc = strongly_connected_components(edges, "src", "dst", num_partitions=8)
+    def build():
+        return strongly_connected_components(
+            _decade_closed_edges(sf_dir), "src", "dst", num_partitions=8)
+
+    return cached_ds(("decade_scc", sf_dir), build)
+
+
+def q_scc_loops(sf_dir: str):
+    """G10 over the derived decade-cycle graph → (root_nid, num_nodes)."""
+    from ray.data.aggregate import Count
+
+    scc = _decade_scc(sf_dir)
     return scc.groupby("scc_id").aggregate(Count(alias_name="num_nodes")) \
               .rename_columns(["root_nid", "num_nodes"])
 
@@ -234,23 +283,7 @@ HAVING COUNT(*) = 10 AND SUM(CASE WHEN n_chars % 7 = 0 THEN 1 ELSE 0 END) = 0
 def q_flow_upstream(sf_dir: str):
     """G13 (split-equally) over decade CHAINS (closing edges removed → DAG);
     integer lengths (doc%13+1) so upstream sums are exact ints."""
-    from ..stages.scc import upstream_flow
-
-    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
-
-    def emit(batch: pa.Table) -> pa.Table:
-        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = ((nch % 7) != 0) & ((d % 10) != 9)
-        dk = d[keep]
-        return pa.table({
-            "src": pa.array(dk + 1, pa.int64()),
-            "dst": pa.array(dk + 2, pa.int64()),
-            "length_m": pa.array((dk % 13 + 1).astype(np.float64), pa.float64()),
-        })
-
-    edges = docs.map_batches(emit, batch_format="pyarrow")
-    out = upstream_flow(edges, split_equally=True, num_partitions=8)
+    out = _decade_flow(sf_dir)
 
     def project(batch):
         batch = batch.copy()
@@ -278,21 +311,18 @@ FROM runs
 """
 
 
-def q_directed_ends(sf_dir: str):
-    """G15 ends over the decade DAG (chains only): out-degree-0 vertices."""
+def _decade_ends(sf_dir: str):
+    """G15 end nodes of the decade chains — shared by directed_ends and the
+    J6 ends-tag/membership queries (one ends pass in the -down run)."""
     from ..stages.scc import directed_ends
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return cached_ds(("decade_ends", sf_dir),
+                     lambda: directed_ends(_decade_chain_edges(sf_dir)))
 
-    def emit(batch: pa.Table) -> pa.Table:
-        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = ((nch % 7) != 0) & ((d % 10) != 9)
-        dk = d[keep]
-        return pa.table({"src": pa.array(dk + 1, pa.int64()),
-                         "dst": pa.array(dk + 2, pa.int64())})
 
-    return directed_ends(docs.map_batches(emit, batch_format="pyarrow"))
+def q_directed_ends(sf_dir: str):
+    """G15 ends over the decade DAG (chains only): out-degree-0 vertices."""
+    return _decade_ends(sf_dir)
 
 
 SQL_DIRECTED_ENDS = """
@@ -773,8 +803,7 @@ def q_tile_assign(sf_dir: str):
 
     from ..stages.spatial import assign_tiles
 
-    docs = _read(sf_dir, "documents", columns=["doc_id"])
-    nodes = docs.map_batches(D.nodes_batch, batch_format="pyarrow")
+    nodes = _nodes_pos(sf_dir)
     tiled = assign_tiles(nodes, res=6)
     return tiled.groupby("cell").aggregate(Count(alias_name="n"))
 
@@ -804,8 +833,7 @@ def q_pip(sf_dir: str):
         ring = [(la0 / 1e7, lo0 / 1e7), (la0 / 1e7, lo1 / 1e7),
                 (la1 / 1e7, lo1 / 1e7), (la1 / 1e7, lo0 / 1e7)]
         polys.append(Polygon(name, ring))
-    docs = _read(sf_dir, "documents", columns=["doc_id"])
-    nodes = docs.map_batches(D.nodes_batch, batch_format="pyarrow")
+    nodes = _nodes_pos(sf_dir)
 
     def to_deg(batch: pa.Table) -> pa.Table:
         lat = batch["lat"].to_numpy(zero_copy_only=False) / 1e7
@@ -836,8 +864,7 @@ def q_knn_spatial(sf_dir: str):
     """Spatial kNN join: nearest anchor (node_id % 97 == 1) per non-anchor node."""
     from ..stages.spatial import knn_join_broadcast
 
-    docs = _read(sf_dir, "documents", columns=["doc_id"])
-    nodes = docs.map_batches(D.nodes_batch, batch_format="pyarrow").materialize()
+    nodes = _nodes_pos(sf_dir)
 
     anchors = nodes.map_batches(
         lambda b: b.filter(pc.equal(
@@ -878,9 +905,7 @@ def q_knn_partitioned(sf_dir: str):
     Same answer as the broadcast path — the exact SQL oracle applies."""
     from ..stages.spatial import knn_join_partitioned
 
-    docs = _read(sf_dir, "documents", columns=["doc_id"])
-    nodes = docs.map_batches(D.nodes_batch, batch_format="pyarrow") \
-                .select_columns(["node_id", "lat", "lon"]).materialize()
+    nodes = _nodes_pos(sf_dir)
     anchors = nodes.map_batches(
         lambda b: (lambda t: pa.table({"anchor_id": t["node_id"],
                                        "lat": t["lat"], "lon": t["lon"]}))(
@@ -1131,23 +1156,42 @@ ORACLES = {
 
 def _decade_chain_edges(sf_dir: str, with_tag: bool = False, with_len: bool = False):
     """Directed decade CHAINS (no closing edges → DAG), optional tagid=doc%3 and
-    integer length doc%13+1 — shared derivation for the directed-op oracles."""
-    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    integer length doc%13+1 — shared derivation for the directed-op oracles.
+    Built once per (params) per session (derivation cache)."""
 
-    def emit(batch: pa.Table) -> pa.Table:
-        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = ((nch % 7) != 0) & ((d % 10) != 9)
-        dk = d[keep]
-        cols = {"src": pa.array(dk + 1, pa.int64()),
-                "dst": pa.array(dk + 2, pa.int64())}
-        if with_tag:
-            cols["tagid"] = pa.array(dk % 3, pa.int64())
-        if with_len:
-            cols["length_m"] = pa.array((dk % 13 + 1).astype(np.float64), pa.float64())
-        return pa.table(cols)
+    def build():
+        docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
-    return docs.map_batches(emit, batch_format="pyarrow")
+        def emit(batch: pa.Table) -> pa.Table:
+            d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = ((nch % 7) != 0) & ((d % 10) != 9)
+            dk = d[keep]
+            cols = {"src": pa.array(dk + 1, pa.int64()),
+                    "dst": pa.array(dk + 2, pa.int64())}
+            if with_tag:
+                cols["tagid"] = pa.array(dk % 3, pa.int64())
+            if with_len:
+                cols["length_m"] = pa.array((dk % 13 + 1).astype(np.float64),
+                                            pa.float64())
+            return pa.table(cols)
+
+        return docs.map_batches(emit, batch_format="pyarrow")
+
+    return cached_ds(("decade_chain_edges", sf_dir, with_tag, with_len), build)
+
+
+def _decade_flow(sf_dir: str):
+    """G13 upstream flow (split-equally) over the decade chains — the shared
+    mid-derivation of the -down battery entries (flow_upstream,
+    upstream_segments; main.rs computes this ONCE per run)."""
+    from ..stages.scc import upstream_flow
+
+    def build():
+        return upstream_flow(_decade_chain_edges(sf_dir, with_len=True),
+                             split_equally=True, num_partitions=8)
+
+    return cached_ds(("decade_flow", sf_dir), build)
 
 
 _CHAIN_RUNS_SQL = """
@@ -1194,10 +1238,9 @@ FROM runs GROUP BY run, dec
 
 
 def q_cycle_contraction(sf_dir: str):
-    """G11: contract decade cycles → DAG edges (cycle decades vanish)."""
-    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    max_doc = int(docs.max("doc_id"))
-    edges = D.directed_edges_closed(docs, max_doc_ref=max_doc)
+    """G11: contract decade cycles → DAG edges (cycle decades vanish).
+    Reuses the session's shared G10 SCC run (``_decade_scc``)."""
+    edges = _decade_closed_edges(sf_dir)
 
     def with_len(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -1206,7 +1249,8 @@ def q_cycle_contraction(sf_dir: str):
     from ..stages.waterways import contract_cycles
 
     dag, _scc = contract_cycles(edges.map_batches(with_len, batch_format="pyarrow"),
-                                num_partitions=8)
+                                num_partitions=8,
+                                scc_labels=_decade_scc(sf_dir))
     return dag.select_columns(["src", "dst"])
 
 
@@ -1228,18 +1272,29 @@ SELECT src, dst FROM e WHERE dec NOT IN (SELECT dec FROM cyc)
 """
 
 
-def q_biggest_end(sf_dir: str):
-    """G14 over the chain DAG: every node's assigned end (= its run's last node)."""
+def _decade_begp(sf_dir: str):
+    """G14+G16 rows over the chain DAG (zero flow) — biggest-end node
+    assignments and per-end path rows in ONE shared pass (kind=0 nodes,
+    kind=1 paths), reused by the biggest_end and grouped_paths queries."""
     from ..stages.waterways import biggest_end_and_grouped_paths
 
-    edges = _decade_chain_edges(sf_dir, with_len=True)
+    def build():
+        edges = _decade_chain_edges(sf_dir, with_len=True)
 
-    def with_flow(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "upstream_m", pa.array(np.zeros(len(batch)), pa.float64()))
+        def with_flow(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "upstream_m", pa.array(np.zeros(len(batch)), pa.float64()))
 
-    out = biggest_end_and_grouped_paths(
-        edges.map_batches(with_flow, batch_format="pyarrow"), num_partitions=8)
+        return biggest_end_and_grouped_paths(
+            edges.map_batches(with_flow, batch_format="pyarrow"),
+            num_partitions=8)
+
+    return cached_ds(("decade_begp", sf_dir), build)
+
+
+def q_biggest_end(sf_dir: str):
+    """G14 over the chain DAG: every node's assigned end (= its run's last node)."""
+    out = _decade_begp(sf_dir)
 
     def nodes_only(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.equal(batch["kind"], pa.scalar(0, pa.int64())))
@@ -1263,16 +1318,7 @@ SELECT n.node, e.end_nid FROM (
 
 def q_grouped_paths(sf_dir: str):
     """G16 core over the chain DAG: per-end path rows (end, n_nodes)."""
-    from ..stages.waterways import biggest_end_and_grouped_paths
-
-    edges = _decade_chain_edges(sf_dir, with_len=True)
-
-    def with_flow(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "upstream_m", pa.array(np.zeros(len(batch)), pa.float64()))
-
-    out = biggest_end_and_grouped_paths(
-        edges.map_batches(with_flow, batch_format="pyarrow"), num_partitions=8)
+    out = _decade_begp(sf_dir)
 
     def paths_only(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.equal(batch["kind"], pa.scalar(1, pa.int64())))
@@ -1306,12 +1352,21 @@ FROM truns GROUP BY dec, run, tagid, trun
 """
 
 
-def q_longest_source_mouth(sf_dir: str):
-    """G19 over the chain DAG: per-mouth river-system length (integer lengths)."""
+def _decade_lsm(sf_dir: str):
+    """G19 per-mouth river-system rows over the chain DAG — shared by the
+    longest_source_mouth query and the S6 ends-CSV round-trip (one pass in
+    the reference's -down run)."""
     from ..stages.waterways import longest_source_mouth
 
-    edges = _decade_chain_edges(sf_dir, with_len=True)
-    out = longest_source_mouth(edges, num_partitions=8)
+    return cached_ds(
+        ("decade_lsm", sf_dir),
+        lambda: longest_source_mouth(
+            _decade_chain_edges(sf_dir, with_len=True), num_partitions=8))
+
+
+def q_longest_source_mouth(sf_dir: str):
+    """G19 over the chain DAG: per-mouth river-system length (integer lengths)."""
+    out = _decade_lsm(sf_dir)
 
     def to_int(batch: pa.Table) -> pa.Table:
         m = batch["river_system_length_m"].to_numpy(zero_copy_only=False)
@@ -1332,19 +1387,24 @@ FROM runs GROUP BY run, dec
 """
 
 
+def _decade_loops(sf_dir: str):
+    """G21 loop-feature rows over the decade cycles — computed once per
+    session off the shared SCC run, reused by loop_stats + the OpenMetrics
+    round-trip (the -down run emits both outputs from one loops pass)."""
+    from ..stages.waterways import loop_features
+
+    def build():
+        return loop_features(_decade_closed_edges(sf_dir), _nodes_pos(sf_dir),
+                             num_partitions=8, scc_labels=_decade_scc(sf_dir))
+
+    return cached_ds(("decade_loops", sf_dir), build)
+
+
 def q_loop_stats(sf_dir: str):
     """G21 loop features (decade cycles): root_nid, num_nodes, num_segments.
     Positions arrive by hash join against the derived nodes table (r2 — the
     broadcast position dict is gone)."""
-    from ..stages.waterways import loop_features
-
-    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    max_doc = int(docs.max("doc_id"))
-    edges = D.directed_edges_closed(docs, max_doc_ref=max_doc)
-    nodes_ds = _read(sf_dir, "documents", columns=["doc_id"]) \
-        .map_batches(D.nodes_batch, batch_format="pyarrow") \
-        .select_columns(["node_id", "lat", "lon"])
-    out = loop_features(edges, nodes_ds, num_partitions=8)
+    out = _decade_loops(sf_dir)
     return out.select_columns(["root_nid", "num_nodes", "num_segments"])
 
 
@@ -1360,12 +1420,7 @@ HAVING COUNT(*) = 10 AND SUM(CASE WHEN n_chars % 7 = 0 THEN 1 ELSE 0 END) = 0
 # ═══════════════════════ per-component ops family (G2-G9, rows-only checks)
 
 def _lump_graph_and_positions(sf_dir: str):
-    import duckdb
-
     from ..stages.graph import connected_components
-
-    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
-    edges = D.undirected_edges(docs)
 
     def add_cols(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -1373,13 +1428,24 @@ def _lump_graph_and_positions(sf_dir: str):
                     .append_column("inter_nids",
                                    pa.array([[]] * n, pa.list_(pa.int64())))
 
-    edges_g = edges.map_batches(add_cols, batch_format="pyarrow").materialize()
-    labels = connected_components(edges_g, "u", "v", "g", num_partitions=8)
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
-    pos_rows = con.execute(f"SELECT node_id, lat, lon FROM ({D.NODES_SQL}) n").fetchall()
-    con.close()
-    pos = {int(r[0]): (int(r[1]), int(r[2])) for r in pos_rows}
+    edges_g = cached_ds(
+        ("lump_edges_g", sf_dir),
+        lambda: _und_edges(sf_dir).map_batches(add_cols,
+                                               batch_format="pyarrow"))
+    labels = cached_ds(
+        ("lump_labels_g", sf_dir),
+        lambda: connected_components(edges_g, "u", "v", "g", num_partitions=8))
+
+    def build_pos():
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
+        pos_rows = con.execute(f"SELECT node_id, lat, lon FROM ({D.NODES_SQL}) n").fetchall()
+        con.close()
+        return {int(r[0]): (int(r[1]), int(r[2])) for r in pos_rows}
+
+    pos = cached_obj(("lump_pos_dict", sf_dir), build_pos)
     return edges_g, labels, pos
 
 
@@ -1390,12 +1456,7 @@ def _chain_graph_and_positions(sf_dir: str):
     one hull-span line, betweenness→(j+1)(k-j-1) per edge) and makes them
     SQL-oracle-checkable (VERDICT r1 next-step 3); the cyclic/branchy cases
     stay covered by tests/test_components.py fixtures."""
-    import duckdb
-
     from ..stages.graph import connected_components
-
-    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
-    edges = D.undirected_edges(docs)
 
     def chain_only(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy(zero_copy_only=False)
@@ -1406,12 +1467,14 @@ def _chain_graph_and_positions(sf_dir: str):
                 .append_column("inter_nids",
                                pa.array([[]] * n, pa.list_(pa.int64())))
 
-    edges_g = edges.map_batches(chain_only, batch_format="pyarrow").materialize()
-    labels = connected_components(edges_g, "u", "v", "g", num_partitions=8)
-    docs_all = _read(sf_dir, "documents", columns=["doc_id"])
-    nodes_ds = docs_all.map_batches(D.nodes_batch, batch_format="pyarrow") \
-                       .select_columns(["node_id", "lat", "lon"])
-    return edges_g, labels, nodes_ds
+    edges_g = cached_ds(
+        ("chain_edges_g", sf_dir),
+        lambda: _und_edges(sf_dir).map_batches(chain_only,
+                                               batch_format="pyarrow"))
+    labels = cached_ds(
+        ("chain_labels_g", sf_dir),
+        lambda: connected_components(edges_g, "u", "v", "g", num_partitions=8))
+    return edges_g, labels, _nodes_pos(sf_dir)
 
 
 # gaps-and-islands over the gated chain links: a run of consecutive gated docs
@@ -1641,18 +1704,19 @@ def q_all_wayids(sf_dir: str):
     ``w{id}`` list of member way ids, ';'-joined. Way analog in the documents
     derivation: chain edge of doc d IS way ``d`` covering nodes (d, d+1)."""
     from ..stages.graph import connected_components
-    from ..stages.relational import bucket_agg
-
-    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
-    edges = D.undirected_edges(docs)
 
     def chain_only(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy(zero_copy_only=False)
         v = batch["v"].to_numpy(zero_copy_only=False)
         return batch.filter(pa.array((v - u) == 1))
 
-    edges = edges.map_batches(chain_only, batch_format="pyarrow").materialize()
-    labels = connected_components(edges, "u", "v", num_partitions=8)
+    edges = cached_ds(
+        ("und_chain_edges", sf_dir),
+        lambda: _und_edges(sf_dir).map_batches(chain_only,
+                                               batch_format="pyarrow"))
+    labels = cached_ds(
+        ("und_chain_cc", sf_dir),
+        lambda: connected_components(edges, "u", "v", num_partitions=8))
     lab = labels.select_columns(["node", "component_id"]).rename_columns(
         ["u", "component_id"])
     e = hash_join(edges, lab, ("u",), how="inner", num_partitions=8)
@@ -1690,21 +1754,10 @@ def q_ends_tag_values(sf_dir: str):
     passing through it, ';'-concatenated. Documented divergence: the reference
     concatenates in nondeterministic par_bridge order and dedups only
     consecutive repeats; this engine emits DISTINCT values in sorted order."""
-    from ..stages.scc import directed_ends
     from ..stages.relational import cogroup_join
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars", "lang"])
-
-    def emit_edges(batch: pa.Table) -> pa.Table:
-        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = ((nch % 7) != 0) & ((d % 10) != 9)
-        dk = d[keep]
-        return pa.table({"src": pa.array(dk + 1, pa.int64()),
-                         "dst": pa.array(dk + 2, pa.int64())})
-
-    edges = docs.map_batches(emit_edges, batch_format="pyarrow").materialize()
-    ends = directed_ends(edges)
+    ends = _decade_ends(sf_dir)
 
     def emit_covers(batch: pa.Table) -> pa.Table:
         d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1842,19 +1895,9 @@ def q_ends_membership(sf_dir: str):
     """J6: per-end is_in:<filter> flags over the ways touching each end."""
     from ..functions.tagfilter import parse_tag_filter
     from ..stages.relations import ends_membership
-    from ..stages.scc import directed_ends
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars", "lang"])
-
-    def emit_edges(batch: pa.Table) -> pa.Table:
-        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = ((nch % 7) != 0) & ((d % 10) != 9)
-        dk = d[keep]
-        return pa.table({"src": pa.array(dk + 1, pa.int64()),
-                         "dst": pa.array(dk + 2, pa.int64())})
-
-    ends = directed_ends(docs.map_batches(emit_edges, batch_format="pyarrow"))
+    ends = _decade_ends(sf_dir)
 
     def way_nodes(batch: pa.Table) -> pa.Table:
         # every doc's node with its lang tag (the "way rows" carrying tags)
@@ -1891,11 +1934,8 @@ def q_component_ranks(sf_dir: str):
     4-dp-rounded columns only — deterministic cross-engine)."""
     from ray.data.aggregate import Count, Sum
 
-    from ..stages.graph import connected_components
-
-    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
-    edges = D.undirected_edges(docs).materialize()
-    labels = connected_components(edges, "u", "v", num_partitions=8)
+    edges = _und_edges(sf_dir)
+    labels = _und_cc_labels(sf_dir)
 
     def add_len(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy(zero_copy_only=False)
@@ -2023,19 +2063,15 @@ def q_upstream_segments(sf_dir: str):
     flow DAG: each edge is its own single segment (no inter chain), upstream
     accumulates from the edge's flow value, min_upstream filter at 5 m,
     ``from_upstream_m_50`` exercises utils.round_mult."""
-    from ..stages.scc import upstream_flow
     from ..stages.waterways import upstream_segments
 
-    edges = _decade_chain_edges(sf_dir, with_len=True)
-    flow = upstream_flow(edges, split_equally=True, num_partitions=8)
+    flow = _decade_flow(sf_dir)
 
     def add_inters(batch: pa.Table) -> pa.Table:
         return batch.append_column(
             "inter_nids", pa.array([[]] * len(batch), pa.list_(pa.int64())))
 
-    nodes = _read(sf_dir, "documents", columns=["doc_id"]) \
-        .map_batches(D.nodes_batch, batch_format="pyarrow") \
-        .select_columns(["node_id", "lat", "lon"])
+    nodes = _nodes_pos(sf_dir)
     segs = upstream_segments(flow.map_batches(add_inters,
                                               batch_format="pyarrow"),
                              nodes, min_upstream_m=5.0, round_multiples=(50,),
@@ -2106,9 +2142,7 @@ def q_semi_join_anti(sf_dir: str):
     nodes table against both endpoint projections."""
     from ..stages.relational import cogroup_join, concat_blocks, distinct
 
-    nodes = _read(sf_dir, "documents", columns=["doc_id"]) \
-        .map_batches(D.nodes_batch, batch_format="pyarrow") \
-        .select_columns(["node_id"])
+    nodes = _nodes_pos(sf_dir).select_columns(["node_id"])
     edges = _decade_chain_edges(sf_dir)
     eps = concat_blocks(
         edges.map_batches(lambda b: pa.table({"node_id": b["src"]}),
@@ -2492,7 +2526,13 @@ FROM documents GROUP BY 1, 2
 
 def _chain_line_rows(sf_dir: str):
     """Per path component: one LineString row (component_id, n_nodes, sum_node,
-    lats, lons) — feature input for the S4/S5 writer round-trips."""
+    lats, lons) — feature input for the S4/S5 writer round-trips (built once
+    per session; both round-trips render from the same line rows)."""
+    return cached_ds(("chain_line_rows", sf_dir),
+                     lambda: _chain_line_rows_build(sf_dir))
+
+
+def _chain_line_rows_build(sf_dir: str):
     from ..pipelines.group_ops import _grouped_rows
 
     edges_g, labels, nodes_ds = _chain_graph_and_positions(sf_dir)
@@ -2614,10 +2654,8 @@ def q_ends_csv_roundtrip(sf_dir: str):
     import pandas as pd
 
     from ..sources.csvout import write_ends_csv
-    from ..stages.waterways import longest_source_mouth
 
-    edges = _decade_chain_edges(sf_dir, with_len=True)
-    out = longest_source_mouth(edges, num_partitions=8) \
+    out = _decade_lsm(sf_dir) \
         .select_columns(["mouth_nid", "river_system_length_m"]).to_pandas()
 
     nid = out["mouth_nid"].to_numpy(dtype=np.int64)
@@ -2661,15 +2699,8 @@ def q_openmetrics_roundtrip(sf_dir: str):
     import pandas as pd
 
     from ..sources.csvout import write_openmetrics
-    from ..stages.waterways import loop_features
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    max_doc = int(docs.max("doc_id"))
-    edges = D.directed_edges_closed(docs, max_doc_ref=max_doc)
-    nodes_ds = _read(sf_dir, "documents", columns=["doc_id"]) \
-        .map_batches(D.nodes_batch, batch_format="pyarrow") \
-        .select_columns(["node_id", "lat", "lon"])
-    loops = loop_features(edges, nodes_ds, num_partitions=8) \
+    loops = _decade_loops(sf_dir) \
         .select_columns(["root_nid", "num_nodes"]).to_pandas()
 
     path = tempfile.mktemp(suffix=".om", dir="/tmp")
