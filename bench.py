@@ -91,26 +91,97 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
     }
 
     if queries:
-        from osm_lump_ways_ray.pipelines.queries import QUERIES
+        # the battery runs in a crash-isolated CHILD process (see
+        # run_battery_isolated): a rare Ray-core abort (observed once:
+        # `Check failed: submitted_task_ref_count > 0` under rapid dataset
+        # churn) must cost a resume-retry of the unfinished queries, not the
+        # whole benchmark run
+        import ray
 
-        qtimes = {}
+        ray.shutdown()
+        out["queries"] = run_battery_isolated(sf_dir, num_cpus)
+    return out
+
+
+def _battery_pass(sf_dir: str, num_cpus: int, out_path: str,
+                  skip: set) -> None:
+    """Child-process body: run every queries() entry not in ``skip``,
+    appending one JSON line {name, sec} per query as it completes (so a
+    crash loses at most the in-flight query, and the parent can resume)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.target_max_block_size = 32 * 1024 * 1024
+
+    from osm_lump_ways_ray.pipelines.queries import QUERIES
+
+    with open(out_path, "a") as f:
         for name, fn in QUERIES.items():
+            if name in skip:
+                continue
             tq = time.monotonic()
             try:
                 r = fn(sf_dir)
                 # consume: force full execution without driver materialization
                 if hasattr(r, "count"):
                     r.count()
-                qtimes[name] = round(time.monotonic() - tq, 3)
+                rec = {"name": name, "sec": round(time.monotonic() - tq, 3)}
             except Exception as e:  # noqa: BLE001
-                qtimes[name] = f"ERROR {type(e).__name__}"
-        out["queries"] = qtimes
-    return out
+                rec = {"name": name, "sec": f"ERROR {type(e).__name__}"}
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+    ray.shutdown()
+
+
+def run_battery_isolated(sf_dir: str, num_cpus: int,
+                         max_attempts: int = 3) -> dict:
+    """Run the query battery in child processes, resuming past completed
+    queries if a child dies (Ray-core aborts kill the whole process — the
+    per-query try/except can't catch them)."""
+    import tempfile
+
+    out_path = tempfile.mktemp(suffix=".jsonl", prefix="graft_battery_")
+    qtimes: dict = {}
+    from osm_lump_ways_ray.pipelines.queries import QUERIES
+
+    for _ in range(max_attempts):
+        env = dict(os.environ, GRAFT_SF_DIR=sf_dir,
+                   RAY_GRAFT_CPUS=str(num_cpus),
+                   GRAFT_BATTERY_OUT=out_path,
+                   GRAFT_BATTERY_SKIP=",".join(sorted(qtimes)))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--battery-only"],
+            env=env, capture_output=True, text=True)
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    qtimes[rec["name"]] = rec["sec"]
+        if len(qtimes) == len(QUERIES):
+            break
+        sys.stderr.write(
+            f"battery child exited rc={proc.returncode} after "
+            f"{len(qtimes)}/{len(QUERIES)} queries; resuming\n"
+            + proc.stderr[-2000:] + "\n")
+    for name in QUERIES:
+        qtimes.setdefault(name, "ERROR ChildCrash")
+    return {name: qtimes[name] for name in QUERIES}
 
 
 def main() -> int:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--battery-only" in sys.argv:
+        skip = {s for s in os.environ.get("GRAFT_BATTERY_SKIP", "").split(",")
+                if s}
+        _battery_pass(sf_dir, ncpu, os.environ["GRAFT_BATTERY_OUT"], skip)
+        return 0
 
     if "--scaling" in sys.argv:
         # fresh process per parallelism level; headline only (queries skipped).
