@@ -925,17 +925,22 @@ def q_knn_partitioned(sf_dir: str):
 def q_minhash_clusters(sf_dir: str):
     """MinHash+LSH near-dup clusters with a full SQL value-oracle.
 
-    Config chosen for oracle-exactness: one hash row per band (a pair sharing
-    ANY of 32 minhashes becomes a candidate — miss probability for a true
-    jaccard≥0.8 pair is 0.2^32 ≈ 4e-23, zero on this fixed seeded data) plus a
-    JOIN-based exact-Jaccard verify with the integer compare 5·|A∩B| ≥ 4·|A∪B|.
-    Result = connected components over pairs with shingle-jaccard ≥ 0.8 — which
-    the oracle recomputes independently in SQL (list_intersect + recursive CC).
+    Config chosen for oracle-exactness with usable precision: 32 bands of
+    r=2 rows — a true jaccard≥0.8 pair matches a band with prob ≥0.8²=0.64,
+    so the miss probability is (1−0.64)³² ≈ 6e-15, zero on this fixed seeded
+    data (r3: the earlier r=1 config made EVERY pair sharing any single
+    minhash a candidate — 287k candidates from 5k docs — and the verify
+    joins dominated the query; r=2 keeps the recall argument and cuts
+    candidates ~40x). Candidates then pass a JOIN-based exact-Jaccard verify
+    with the integer compare 5·|A∩B| ≥ 4·|A∪B|. Result = connected
+    components over pairs with shingle-jaccard ≥ 0.8 — which the oracle
+    recomputes independently in SQL (list_intersect + recursive CC), so the
+    banding config is not part of the oracle contract.
     """
     from ..stages.dedup import minhash_dedup_clusters
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_dedup_clusters(docs, num_perm=32, bands=32,
+    return minhash_dedup_clusters(docs, num_perm=64, bands=32,
                                   jaccard_threshold=(4, 5), verify_with=docs) \
         .select_columns(["node", "component_id"])
 

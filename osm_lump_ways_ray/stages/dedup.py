@@ -155,9 +155,16 @@ class MinHashLSH:
                              "band_hash": pa.array([], pa.int64())})
         sh, starts = _shingle_hashes_batch(batch[self.text_col], self.shingle_k)
         a, b = self._ab
+        # one perm at a time over a REUSED buffer: the (num_perm, Σshingles)
+        # matrix is tens of MB of FRESH pages per batch, and first-touch page
+        # faults dominate its cost (measured 3-8 s vs 0.06 s for this loop)
+        sig = np.empty((self.num_perm, len(starts)), dtype=np.uint64)
+        tmp = np.empty(len(sh), dtype=np.uint64)
         with np.errstate(over="ignore"):
-            h = sh[None, :] * a[:, None] + b[:, None]  # (num_perm, Σshingles)
-        sig = np.minimum.reduceat(h, starts, axis=1)   # (num_perm, n_docs)
+            for p in range(self.num_perm):
+                np.multiply(sh, a[p], out=tmp)
+                np.add(tmp, b[p], out=tmp)
+                sig[p] = np.minimum.reduceat(tmp, starts)
         # band hash = avalanche of the constant-mixed XOR of the band's rows —
         # replaces the per-doc per-band Python md5 loop (r2 verdict hot spot)
         sig3 = sig.reshape(self.bands, self.rows_per_band, n_docs)
@@ -319,16 +326,45 @@ def minhash_dedup_clusters(docs_ds, *, num_perm: int = 64, bands: int = 16,
                  .select_columns(["u", "v"])
 
     if verify_with is not None:
-        from .relational import cogroup_join
+        from .relational import cogroup_join, snapshot
 
-        texts = verify_with.map_batches(
-            lambda b: pa.table({"u": b[id_col], "_tu": b[text_col]}),
-            batch_format="pyarrow")
+        # semi-join prefilter, gated by candidate-pair count: when the LSH
+        # pair table is small, broadcast the candidate id set (u∪v — 8 bytes
+        # per candidate, the SMALL side, never the corpus) and drop every
+        # non-candidate text row before the verify joins so the two shuffles
+        # move only texts that will be compared. Above the gate (pairs can be
+        # corpus-sized on a 30%-dup crawl) fall back to the plain hash join —
+        # same output either way.
+        pairs = snapshot(pairs)
+        if pairs.count() <= 2_000_000:
+            cand_ids = np.unique(np.concatenate([
+                np.concatenate([b["u"].to_numpy(zero_copy_only=False),
+                                b["v"].to_numpy(zero_copy_only=False)])
+                for b in pairs.iter_batches(batch_format="pyarrow",
+                                            batch_size=65536)
+            ] or [np.array([], dtype=np.int64)]))
+            cand_ref = ray.put(cand_ids)
+
+            def candidate_texts(out_id: str, out_text: str):
+                def fn(b: pa.Table) -> pa.Table:
+                    ids_np = b[id_col].to_numpy(zero_copy_only=False)
+                    keep = np.isin(ids_np, ray.get(cand_ref))
+                    t = pa.table({out_id: b[id_col], out_text: b[text_col]})
+                    return t.filter(pa.array(keep))
+                return fn
+        else:
+            def candidate_texts(out_id: str, out_text: str):
+                def fn(b: pa.Table) -> pa.Table:
+                    return pa.table({out_id: b[id_col],
+                                     out_text: b[text_col]})
+                return fn
+
+        texts = verify_with.map_batches(candidate_texts("u", "_tu"),
+                                        batch_format="pyarrow")
         pairs = cogroup_join(pairs, texts, ("u",), how="inner",
                              num_partitions=num_partitions)
-        texts_v = verify_with.map_batches(
-            lambda b: pa.table({"v": b[id_col], "_tv": b[text_col]}),
-            batch_format="pyarrow")
+        texts_v = verify_with.map_batches(candidate_texts("v", "_tv"),
+                                          batch_format="pyarrow")
         pairs = cogroup_join(pairs, texts_v, ("v",), how="inner",
                              num_partitions=num_partitions)
         if isinstance(jaccard_threshold, tuple):
