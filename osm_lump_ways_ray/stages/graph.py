@@ -595,10 +595,40 @@ def connected_components(
         parts = edges_ds.map_batches(project, batch_format="pyarrow")
         local = parts.groupby("part").map_groups(_local_cc_group, batch_format="pyarrow")
         local = local.materialize()
-        if local.count() == 0:  # empty edge set → empty labels, stable schema
+        n_local = local.count()
+        if n_local == 0:  # empty edge set → empty labels, stable schema
             ckpt.save(labels_key, local, extra={"level": _level})
             ckpt.save(eq_key, local, extra={"level": _level})
             return _empty_labels()
+
+        # Small-graph base case: when the ENTIRE label-row set fits the same
+        # driver budget the eq-graph base case below already grants itself,
+        # finish in one driver pass — each (g, node, label) row is an
+        # equivalence edge node↔label, and every label is itself a node id
+        # present as a row, so one min-label fixpoint over the distinct
+        # vertices yields final component ids. Skips the vbucket shuffle +
+        # filter stages + apply map (~2 s of fixed stage cost per CC call —
+        # the dominant term on derived graphs far below planet scale). The
+        # checkpointed path keeps the full staged pipeline so resume state
+        # stays level-shaped.
+        if ckpt.root is None and n_local <= driver_finish_rows:
+            import ray.data
+
+            tbl = pa.concat_tables(
+                list(local.iter_batches(batch_format="pyarrow")))
+            g_a = tbl["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+            n_a = tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            l_a = tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keys = np.stack([np.concatenate([g_a, g_a]),
+                             np.concatenate([n_a, l_a])], axis=1)
+            uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+            n_e = len(g_a)
+            lbl = _min_label_fixpoint(uniq, inv[:n_e], inv[n_e:])
+            return ray.data.from_arrow(pa.table({
+                "g": pa.array(uniq[:, 0], pa.int64()),
+                "node": pa.array(uniq[:, 1], pa.int64()),
+                "component_id": pa.array(lbl, pa.int64()),
+            }))
 
         # ONE shuffle computes both the per-(g,node) min label and the
         # equivalence edges: co-partition label rows by a hash of the vertex so

@@ -40,11 +40,32 @@ def cogroup_join(left, right, on, how: str = "inner", num_partitions: int = 16):
     per partition with pandas. Supports ``inner`` and ``left_anti``.
 
     Key columns must have the same names on both sides; non-key columns must be
-    disjoint."""
+    disjoint.
+
+    Small-right fast path: the right side is snapshot (executed once — the same
+    single pass the shuffle would cost it) and, when it fits the broadcast
+    budget, shipped once via ``ray.put`` and joined map-side with Arrow's Acero
+    join — no shuffle at all, and the left side keeps streaming. Right sides
+    here are derived maps (component labels, SCC representatives, rank maps,
+    needed-node positions) that are tiny at test scale and unbounded at planet
+    scale, where the partitioned path below engages automatically.
+    ``GRAFT_NO_BROADCAST_JOIN=1`` disables the fast path for A/B runs."""
+    import os
+
     import pandas as pd
     import pyarrow as pa
 
     on = list(on) if not isinstance(on, str) else [on]
+
+    if os.environ.get("GRAFT_NO_BROADCAST_JOIN") != "1":
+        right = snapshot(right)
+        if right.count() <= 2_000_000:
+            parts = list(right.iter_batches(batch_format="pyarrow"))
+            rschema = right.schema(fetch_if_missing=False)
+            rtbl = (pa.concat_tables(parts).combine_chunks() if parts
+                    else pa.table({n: pa.nulls(0, t) for n, t in
+                                   zip(rschema.names, rschema.types)}))
+            return _broadcast_arrow_join(left, rtbl, on, how)
 
     def _schema_of(ds):
         # schema(fetch_if_missing=True) runs a limit-1 mini-execution that can
@@ -161,6 +182,43 @@ def concat_blocks(*dss):
     for ds in dss:
         refs.extend(_nonempty_refs(ds.materialize()))
     return ray.data.from_arrow_refs(refs)
+
+
+def _broadcast_arrow_join(left, rtbl, on, how: str):
+    """Small-right join body: the right TABLE is shipped once via ``ray.put``
+    and joined map-side per batch — zero shuffles, types preserved exactly (no
+    pandas NaN upcasting of unmatched int64). The Acero join runs over KEY +
+    ROW-INDEX columns only (Acero rejects list/extension payload fields);
+    payloads of any type are then gathered with ``take`` (null right indices of
+    a left_outer yield null rows, matching the partitioned path). Output
+    columns are on + left-extra + right-extra (right-extra omitted for
+    ``left_anti``)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    r_extra = [c for c in rtbl.column_names if c not in on]
+    jt = {"inner": "inner", "left_outer": "left outer",
+          "left_anti": "left anti"}[how]
+    rkeys = rtbl.select(on).append_column(
+        "__ri", pa.array(np.arange(rtbl.num_rows, dtype=np.int64)))
+    ref = ray.put((rkeys.combine_chunks(), rtbl))
+
+    def merge(batch: pa.Table) -> pa.Table:
+        small_keys, small = ray.get(ref)
+        l_extra = [c for c in batch.column_names if c not in on]
+        lkeys = batch.select(on).append_column(
+            "__li", pa.array(np.arange(batch.num_rows, dtype=np.int64)))
+        j = lkeys.combine_chunks().join(small_keys, keys=on, join_type=jt)
+        taken_l = batch.take(j["__li"])
+        cols = {c: taken_l[c] for c in on + l_extra}
+        if how != "left_anti":
+            taken_r = small.take(j["__ri"])
+            for c in r_extra:
+                cols[c] = taken_r[c]
+        return pa.table(cols).combine_chunks()
+
+    return left.map_batches(merge, batch_format="pyarrow")
 
 
 def snapshot(ds):
@@ -338,7 +396,22 @@ def with_ordinal_rank(ds, keys, descending, out_col: str = "rank"):
     import ray
     import ray.data
 
-    mat = ds.sort(keys, descending=descending).materialize()
+    mat = ds.materialize()
+    # Small-input base case (same driver budget as the CC base case): one
+    # driver-side stable sort instead of a range-partitioned shuffle — the
+    # rank maps this feeds (river-system root ranks, component length ranks)
+    # are tiny at test scale but unbounded at planet scale, where the sort
+    # path below engages automatically.
+    if mat.count() <= 2_000_000:
+        tbl = pa.concat_tables(list(mat.iter_batches(batch_format="pyarrow")))
+        df = tbl.to_pandas()
+        df = df.sort_values(keys, ascending=[not d for d in descending],
+                            kind="mergesort").reset_index(drop=True)
+        df[out_col] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(df, preserve_index=False))
+
+    mat = mat.sort(keys, descending=descending).materialize()
     refs = mat.to_arrow_refs()
 
     @ray.remote
