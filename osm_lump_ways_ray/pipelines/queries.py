@@ -1082,6 +1082,86 @@ FROM documents
 """
 
 
+def q_vocab_topk(sf_dir: str):
+    """Corpus vocabulary top-50 (wordcount with in-batch combiner): the
+    canonical 100-TB shuffle test — partial counts per batch, tiny global SUM,
+    sort+limit. Ties at the boundary break token-ascending on both sides."""
+    from ..stages.text import vocab_topk
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return vocab_topk(docs, k=50)
+
+
+SQL_VOCAB_TOPK = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+ORDER BY n DESC, token ASC LIMIT 50
+"""
+
+
+def q_normalize_text(sf_dir: str):
+    """Normalization fingerprints (lowercase + trim → md5): the dedup-key prep
+    pass; exact SQL parity via md5(trim(lower(text)))."""
+    from ..stages.text import normalize_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(normalize_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "norm_fp": b["norm_fp"]}),
+        batch_format="pyarrow")
+
+
+SQL_NORMALIZE_TEXT = (
+    "SELECT doc_id, md5(trim(lower(text))) AS norm_fp FROM documents")
+
+
+def q_pii_counts(sf_dir: str):
+    """PII scrub pre-pass: per-source totals of email-shaped and long-digit
+    matches (vectorized RE2 on both engines)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.text import pii_counts_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    d = docs.map_batches(pii_counts_batch, batch_format="pyarrow")
+    agg = d.groupby("source").aggregate(
+        Sum("n_emails", alias_name="total_emails"),
+        Sum("n_digitseq", alias_name="total_digitseq"),
+        Count(alias_name="n_docs"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "source": b["source"],
+            "total_emails": b["total_emails"].cast(pa.int64()),
+            "total_digitseq": b["total_digitseq"].cast(pa.int64()),
+            "n_docs": b["n_docs"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+SQL_PII_COUNTS = r"""
+SELECT source,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))) AS BIGINT) AS total_emails,
+       CAST(SUM(len(regexp_extract_all(text, '[0-9]{6,}'))) AS BIGINT) AS total_digitseq,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+def q_length_histogram(sf_dir: str):
+    """Document-length histogram (fixed 100-char buckets)."""
+    from ..stages.text import length_histogram
+
+    docs = _read(sf_dir, "documents", columns=["n_chars"])
+    return length_histogram(docs, bucket_width=100)
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT n_chars // 100 AS bucket, COUNT(*) AS n
+FROM documents GROUP BY n_chars // 100
+"""
+
+
 QUERIES = {
     "lump_components": q_lump_components,
     "lump_lengths": q_lump_lengths,
@@ -1117,6 +1197,10 @@ QUERIES = {
     "simhash_clusters": q_simhash_clusters,
     "knn_ivf": q_knn_ivf,
     "multimodal_stub": q_multimodal_stub,
+    "vocab_topk": q_vocab_topk,
+    "normalize_text": q_normalize_text,
+    "pii_counts": q_pii_counts,
+    "length_histogram": q_length_histogram,
 }
 
 ORACLES = {
@@ -1154,6 +1238,10 @@ ORACLES = {
     "simhash": SQL_SIMHASH,
     "simhash_clusters": SQL_SIMHASH_CLUSTERS,
     "knn_ivf": SQL_KNN_COSINE,  # nprobe=nlist → provably the exact top-k
+    "vocab_topk": SQL_VOCAB_TOPK,
+    "normalize_text": SQL_NORMALIZE_TEXT,
+    "pii_counts": SQL_PII_COUNTS,
+    "length_histogram": SQL_LENGTH_HISTOGRAM,
 }
 
 

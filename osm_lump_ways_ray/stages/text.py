@@ -74,3 +74,86 @@ def fingerprint_batch(batch: pa.Table, prefix_len: int = 64) -> pa.Table:
     texts = batch["text"].to_pylist()
     fp = [md5_hex(t[:prefix_len]) for t in texts]
     return batch.append_column("fingerprint", pa.array(fp, pa.string()))
+
+
+# ─────────────────────────────────────────────── corpus vocabulary (wordcount)
+
+def vocab_partial_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch PARTIAL token counts — the combiner half of the classic
+    wordcount: split every text on single spaces (Arrow kernel, zero Python
+    loop), flatten, and pre-aggregate within the batch so the global shuffle
+    moves (token, partial_count) rows bounded by per-batch vocabulary size,
+    never one row per token occurrence. At 100 TB this is the difference
+    between shuffling ~10^13 token rows and ~10^8 vocab rows."""
+    import pyarrow.compute as pc
+
+    toks = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+    part = pa.table({"token": toks}).group_by("token").aggregate([
+        ("token", "count")])
+    return part.rename_columns(["token", "c"])
+
+
+def vocab_topk(docs_ds, k: int = 50):
+    """Corpus-level top-``k`` tokens by frequency (ties broken token-ascending):
+    partial counts inside ``map_batches`` → small groupby SUM → sort+limit.
+    Deterministic across runs and parallelism levels."""
+    from ray.data.aggregate import Sum
+
+    counts = docs_ds.map_batches(vocab_partial_batch, batch_format="pyarrow") \
+                    .groupby("token").aggregate(Sum("c", alias_name="n"))
+    top = counts.sort(["n", "token"], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda b: pa.table({"token": b["token"], "n": b["n"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+# ───────────────────────────────────────────────── normalization fingerprints
+
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    """Text normalization (lowercase + ASCII-space trim) with an md5
+    fingerprint of the normalized form — the dedup-key prep step of a
+    training-data pipeline. Arrow kernels end-to-end; exact DuckDB parity via
+    ``md5(trim(lower(text)))`` (both sides RE2/utf8-lower semantics)."""
+    import pyarrow.compute as pc
+
+    norm = pc.utf8_trim(pc.utf8_lower(batch["text"]), " ")
+    fp = [md5_hex(t) for t in norm.to_pylist()]
+    return batch.append_column("norm_text", norm) \
+                .append_column("norm_fp", pa.array(fp, pa.string()))
+
+
+# ─────────────────────────────────────────────────────── PII pattern counting
+
+# RE2 syntax on BOTH sides (pyarrow count_substring_regex and DuckDB regexp_*
+# are RE2) — semantics match by construction
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_DIGITSEQ_RE = r"[0-9]{6,}"
+
+
+def pii_counts_batch(batch: pa.Table) -> pa.Table:
+    """Per-row counts of email-shaped and long-digit-sequence matches
+    (phone/SSN analog) — the scrubbing pre-pass of a training-data pipeline.
+    Vectorized RE2 over the whole column; no Python row loop."""
+    import pyarrow.compute as pc
+
+    emails = pc.count_substring_regex(batch["text"], PII_EMAIL_RE)
+    digits = pc.count_substring_regex(batch["text"], PII_DIGITSEQ_RE)
+    return batch.append_column("n_emails", emails.cast(pa.int64())) \
+                .append_column("n_digitseq", digits.cast(pa.int64()))
+
+
+def length_histogram(docs_ds, bucket_width: int = 100,
+                     col: str = "n_chars"):
+    """Document-length histogram: fixed-width buckets → per-bucket count.
+    The bucket key is computed inside ``map_batches`` (no Python loop) so the
+    groupby shuffles one small row per (block, bucket)."""
+    from ray.data.aggregate import Count
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = pc.floor(pc.divide(batch[col].cast(pa.float64()), bucket_width))
+        return pa.table({"bucket": b.cast(pa.int64())})
+
+    return docs_ds.map_batches(bucketize, batch_format="pyarrow") \
+                  .groupby("bucket").aggregate(Count(alias_name="n"))

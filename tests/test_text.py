@@ -1,0 +1,84 @@
+"""Text-analysis stage tests: token/quality/langid batch bodies plus the r3
+additions (vocab wordcount combiner, normalization fingerprints, PII regex
+counts, length histogram) on hand-checkable fixtures."""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+from osm_lump_ways_ray.stages.text import (
+    langid_batch,
+    length_histogram,
+    normalize_batch,
+    pii_counts_batch,
+    quality_batch,
+    token_stats_batch,
+    vocab_partial_batch,
+    vocab_topk,
+)
+
+
+def test_token_stats_batch():
+    b = pa.table({"text": ["a b c", "", "x  y"]})
+    out = token_stats_batch(b)
+    # "".split(" ") == [""] → 1 token; double space yields an empty token
+    assert out["ws_tokens"].to_pylist() == [3, 1, 3]
+
+
+def test_quality_batch_stopword_ppm():
+    b = pa.table({"text": ["the cat", "cat dog bird fish"]})
+    out = quality_batch(b)
+    assert out["n_stopwords"].to_pylist() == [1, 0]
+    assert out["stop_ppm"].to_pylist() == [500_000, 0]
+
+
+def test_langid_first_marker_wins():
+    b = pa.table({"text": ["the der", "der le", "nothing here"]})
+    out = langid_batch(b)
+    assert out["detected_lang"].to_pylist() == ["en", "de", "other"]
+
+
+def test_vocab_partial_batch_counts_within_batch():
+    b = pa.table({"text": ["a b a", "b c"]})
+    out = vocab_partial_batch(b)
+    got = dict(zip(out["token"].to_pylist(), out["c"].to_pylist()))
+    assert got == {"a": 2, "b": 2, "c": 1}
+
+
+def test_vocab_topk_deterministic_tie_break(ray_session):
+    import ray.data
+
+    # c appears 3x; a and b tie at 2 → token-ascending break keeps 'a' at k=2
+    ds = ray.data.from_arrow(pa.table({"text": ["c a b", "c a b", "c"]}))
+    top = vocab_topk(ds, k=2).to_pandas()
+    assert list(top["token"]) in (["c", "a"], ["a", "c"])  # set semantics
+    assert dict(zip(top["token"], top["n"]))["c"] == 3
+
+
+def test_normalize_batch_md5_parity():
+    b = pa.table({"text": ["  MiXeD Case  ", "plain"]})
+    out = normalize_batch(b)
+    assert out["norm_text"].to_pylist() == ["mixed case", "plain"]
+    want = hashlib.md5(b"mixed case").hexdigest()
+    assert out["norm_fp"].to_pylist()[0] == want
+
+
+def test_pii_counts_batch():
+    b = pa.table({"text": [
+        "mail me at foo.bar@example.com or x@y.co",
+        "call 1234567 now",
+        "clean text 12345",  # 5 digits — below the 6+ threshold
+    ]})
+    out = pii_counts_batch(b)
+    assert out["n_emails"].to_pylist() == [2, 0, 0]
+    assert out["n_digitseq"].to_pylist() == [0, 1, 0]
+
+
+def test_length_histogram(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({"n_chars": [5, 99, 100, 250, 260]}))
+    out = length_histogram(ds, bucket_width=100).to_pandas()
+    got = dict(zip(out["bucket"], out["n"]))
+    assert got == {0: 2, 1: 1, 2: 2}
