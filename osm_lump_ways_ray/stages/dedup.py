@@ -294,16 +294,29 @@ def minhash_dedup_clusters(docs_ds, *, num_perm: int = 64, bands: int = 16,
     engines (used by the SQL oracle)."""
     import ray
 
-    if concurrency is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = (1, max(2, ncpu))
-    sigs = docs_ds.map_batches(
-        MinHashLSH,
-        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
-                                   shingle_k=shingle_k, id_col=id_col,
-                                   text_col=text_col),
-        batch_format="pyarrow", concurrency=concurrency,
-    )
+    if concurrency is not None:
+        sigs = docs_ds.map_batches(
+            MinHashLSH,
+            fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
+                                       shingle_k=shingle_k, id_col=id_col,
+                                       text_col=text_col),
+            batch_format="pyarrow", concurrency=concurrency,
+        )
+    else:
+        # stateless tasks + per-worker signature-state cache: the permutation
+        # params rebuild in ~µs, while an actor pool costs ~3 s spin-up per
+        # call (state/worker_cache.py)
+        from ..state.worker_cache import cached_state
+
+        key = ("minhash_lsh", num_perm, bands, shingle_k, id_col, text_col)
+
+        def sig_stage(batch: pa.Table) -> pa.Table:
+            worker = cached_state(key, lambda _k: MinHashLSH(
+                num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                id_col=id_col, text_col=text_col))
+            return worker(batch)
+
+        sigs = docs_ds.map_batches(sig_stage, batch_format="pyarrow")
     def pbucket(batch: pa.Table) -> pa.Table:
         return batch.append_column("pbucket", pa.array(_pbucket_of(
             batch["band"].to_numpy(zero_copy_only=False),

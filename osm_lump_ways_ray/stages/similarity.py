@@ -99,19 +99,33 @@ def knn_bruteforce(embeddings_ds, queries: tuple, *, k: int = 5,
 
     ``queries`` = (query_ids: int array, query_matrix). Returns
     (query_id, rank, vec_id, sim_ppm) with deterministic tie-break (sim desc,
-    vec_id asc)."""
+    vec_id asc).
+
+    Stateless tasks + per-worker state cache (r3): the only per-worker state
+    is the normalized broadcast query matrix — rebuilding it from the plasma
+    ref costs microseconds, while an actor pool costs ~3 s of spin-up per call
+    (measured A/B at 32 CPUs: 3.2 s pool vs 0.5 s stateless). ``concurrency``
+    selects the explicit actor pool for parity testing."""
     import ray
 
+    from ..state.worker_cache import cached_state
+
     qref = ray.put(queries)
-    if concurrency is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = (1, max(2, ncpu))
-    cands = embeddings_ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs=dict(queries_ref=qref, id_col=id_col,
-                                   emb_col=emb_col, k=k),
-        batch_format="pyarrow", concurrency=concurrency,
-    )
+    if concurrency is not None:
+        cands = embeddings_ds.map_batches(
+            BruteForceTopK,
+            fn_constructor_kwargs=dict(queries_ref=qref, id_col=id_col,
+                                       emb_col=emb_col, k=k),
+            batch_format="pyarrow", concurrency=concurrency,
+        )
+    else:
+        def stage(batch: pa.Table) -> pa.Table:
+            worker = cached_state(
+                qref, lambda r: BruteForceTopK(r, id_col=id_col,
+                                               emb_col=emb_col, k=k))
+            return worker(batch)
+
+        cands = embeddings_ds.map_batches(stage, batch_format="pyarrow")
     if exclude_query_ids:
         qarr = np.asarray(queries[0], dtype=np.int64)
 
@@ -137,23 +151,20 @@ def knn_bruteforce(embeddings_ds, queries: tuple, *, k: int = 5,
 
 def ivf_assign(embeddings_ds, centroids_ref, *, id_col: str = "vec_id",
                emb_col: str = "embedding", concurrency=None):
-    """Assign each row to its nearest centroid (list id) — the shard key."""
+    """Assign each row to its nearest centroid (list id) — the shard key.
+    Stateless tasks + per-worker centroid cache (see knn_bruteforce)."""
     import ray
 
-    class Assign:
-        def __init__(self):
-            self.cent = _normalize(ray.get(centroids_ref))
+    from ..state.worker_cache import cached_state
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mat = _normalize(_stack_embeddings(batch, emb_col))
-            lists = np.argmax(mat @ self.cent.T, axis=1).astype(np.int64)
-            return batch.append_column("ivf_list", pa.array(lists, pa.int64()))
+    def stage(batch: pa.Table) -> pa.Table:
+        cent = cached_state(centroids_ref,
+                            lambda r: _normalize(ray.get(r)))
+        mat = _normalize(_stack_embeddings(batch, emb_col))
+        lists = np.argmax(mat @ cent.T, axis=1).astype(np.int64)
+        return batch.append_column("ivf_list", pa.array(lists, pa.int64()))
 
-    if concurrency is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = (1, max(2, ncpu))
-    return embeddings_ds.map_batches(Assign, batch_format="pyarrow",
-                                     concurrency=concurrency)
+    return embeddings_ds.map_batches(stage, batch_format="pyarrow")
 
 
 def pseudo_centroids(embeddings_ds, nlist: int, *, emb_col: str = "embedding",

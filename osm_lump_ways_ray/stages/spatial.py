@@ -173,17 +173,29 @@ class PIPGeocoder:
 
 def pip_join(ds, polygons: list, *, lat_col: str = "lat", lon_col: str = "lon",
              concurrency=None):
+    """Stateless tasks + per-worker geocoder cache by default (the polygon
+    set + cell prefilter rebuild from the plasma ref in ~ms; an actor pool
+    costs ~3 s spin-up per call — state/worker_cache.py). ``concurrency``
+    selects the explicit actor pool."""
     import ray
 
+    from ..state.worker_cache import cached_state
+
     ref = ray.put(polygons)
-    if concurrency is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = (1, max(2, ncpu))
-    return ds.map_batches(
-        PIPGeocoder,
-        fn_constructor_kwargs=dict(polygons_ref=ref, lat_col=lat_col, lon_col=lon_col),
-        batch_format="pyarrow", concurrency=concurrency,
-    )
+    if concurrency is not None:
+        return ds.map_batches(
+            PIPGeocoder,
+            fn_constructor_kwargs=dict(polygons_ref=ref, lat_col=lat_col,
+                                       lon_col=lon_col),
+            batch_format="pyarrow", concurrency=concurrency,
+        )
+
+    def stage(batch: pa.Table) -> pa.Table:
+        worker = cached_state(
+            ref, lambda r: PIPGeocoder(r, lat_col=lat_col, lon_col=lon_col))
+        return worker(batch)
+
+    return ds.map_batches(stage, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------- kNN join
@@ -234,17 +246,27 @@ class NearestAnchor:
 
 def knn_join_broadcast(ds, anchors: tuple, *, lat_col: str = "lat",
                        lon_col: str = "lon", concurrency=None):
+    """Stateless tasks + per-worker anchor cache by default (see pip_join);
+    ``concurrency`` selects the explicit actor pool."""
     import ray
 
+    from ..state.worker_cache import cached_state
+
     ref = ray.put(anchors)
-    if concurrency is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = (1, max(2, ncpu))
-    return ds.map_batches(
-        NearestAnchor,
-        fn_constructor_kwargs=dict(anchors_ref=ref, lat_col=lat_col, lon_col=lon_col),
-        batch_format="pyarrow", concurrency=concurrency,
-    )
+    if concurrency is not None:
+        return ds.map_batches(
+            NearestAnchor,
+            fn_constructor_kwargs=dict(anchors_ref=ref, lat_col=lat_col,
+                                       lon_col=lon_col),
+            batch_format="pyarrow", concurrency=concurrency,
+        )
+
+    def stage(batch: pa.Table) -> pa.Table:
+        worker = cached_state(
+            ref, lambda r: NearestAnchor(r, lat_col=lat_col, lon_col=lon_col))
+        return worker(batch)
+
+    return ds.map_batches(stage, batch_format="pyarrow")
 
 
 # ---------------------------------------------- partitioned (cell-grid) kNN join

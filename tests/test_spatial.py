@@ -175,3 +175,40 @@ def test_ivf_build_crash_safe_and_kmeans(mk, tmp_path):
     expect = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in
                     knn_bruteforce(ds, (qids, qmat), k=4).take_all())
     assert got == expect
+
+
+def test_ivf_recall_at_reduced_nprobe(mk, tmp_path):
+    """ANN quality gate: on clustered data, a k-means IVF probed at
+    nprobe=2 of nlist=8 must reach ≥0.9 recall@10 vs brute force (the scale
+    path trades exactly this recall for an ~nlist/nprobe read reduction)."""
+    import ray.data
+    from osm_lump_ways_ray.stages.similarity import (ivf_build_index,
+                                                     knn_bruteforce,
+                                                     knn_ivf_indexed)
+
+    rng = np.random.RandomState(11)
+    n_clusters, per, d = 8, 60, 16
+    centers = rng.randn(n_clusters, d) * 5.0
+    emb = np.concatenate([
+        centers[c] + rng.randn(per, d) * 0.3 for c in range(n_clusters)
+    ]).astype(np.float32)
+    n = len(emb)
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array([list(map(float, r)) for r in emb],
+                                        pa.list_(pa.float32()))})
+    ds = mk(t)
+    idx = str(tmp_path / "ivf_recall")
+    ivf_build_index(ds, idx, nlist=8, kmeans_iters=5)
+
+    qids = np.arange(16, dtype=np.int64)
+    qmat = emb[:: n // 16][:16].astype(np.float64)
+    k = 10
+    truth = {}
+    for r in knn_bruteforce(ds, (qids, qmat), k=k).take_all():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in knn_ivf_indexed(idx, (qids, qmat), k=k, nprobe=2).take_all():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    recall = hits / (len(truth) * k)
+    assert recall >= 0.9, f"recall@10 = {recall:.3f}"
