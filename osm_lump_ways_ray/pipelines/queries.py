@@ -1148,6 +1148,63 @@ FROM documents GROUP BY source
 """
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition signal: mean distinct-token ppm per lang
+    (integer arithmetic end-to-end — same exact-compare convention as
+    ``quality``)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.text import repetition_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    r = docs.map_batches(repetition_batch, batch_format="pyarrow")
+    agg = r.groupby("lang").aggregate(
+        Sum("distinct_ppm", alias_name="sum_ppm"), Count(alias_name="n"))
+
+    def mean_int(batch: pa.Table) -> pa.Table:
+        s = batch["sum_ppm"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table({"lang": batch["lang"],
+                         "mean_distinct_ppm": pa.array(s // n, pa.int64())})
+
+    return agg.map_batches(mean_int, batch_format="pyarrow")
+
+
+SQL_REPETITION = """
+WITH perdoc AS (
+  SELECT lang,
+         len(list_distinct(string_split(text, ' '))) * 1000000
+         // len(string_split(text, ' ')) AS distinct_ppm
+  FROM documents
+)
+SELECT lang, CAST(SUM(distinct_ppm) // COUNT(*) AS BIGINT) AS mean_distinct_ppm
+FROM perdoc GROUP BY lang
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling (per-lang keep rates, key-mod filter —
+    map-only, reproducible at any parallelism) → per-lang sampled counts."""
+    from ray.data.aggregate import Count
+
+    from ..stages.text import stratified_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    rates = {"en": (1, 10), "de": (1, 2), "fr": (1, 2)}
+    s = stratified_sample(docs, rates, group_col="lang", key_col="doc_id",
+                          default=(1, 1))
+    return s.groupby("lang").aggregate(Count(alias_name="n_sampled"))
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, COUNT(*) AS n_sampled FROM documents
+WHERE doc_id % (CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 2
+                WHEN 'fr' THEN 2 ELSE 1 END)
+      < (CASE lang WHEN 'en' THEN 1 ELSE 1 END)
+GROUP BY lang
+"""
+
+
 def q_length_histogram(sf_dir: str):
     """Document-length histogram (fixed 100-char buckets)."""
     from ..stages.text import length_histogram
@@ -1201,6 +1258,8 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "pii_counts": q_pii_counts,
     "length_histogram": q_length_histogram,
+    "repetition": q_repetition,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES = {
@@ -1242,6 +1301,8 @@ ORACLES = {
     "normalize_text": SQL_NORMALIZE_TEXT,
     "pii_counts": SQL_PII_COUNTS,
     "length_histogram": SQL_LENGTH_HISTOGRAM,
+    "repetition": SQL_REPETITION,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
 }
 
 

@@ -142,6 +142,48 @@ def pii_counts_batch(batch: pa.Table) -> pa.Table:
                 .append_column("n_digitseq", digits.cast(pa.int64()))
 
 
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signal: distinct-token ratio per document in
+    integer ppm (1e6 × distinct/total, floor). Entirely Arrow C kernels —
+    explode to (row, token) and let ``group_by`` compute count_distinct; the
+    stat is per-document, so it never leaves the batch (no shuffle)."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(batch["text"], " ")
+    total = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    n = len(batch)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), total)
+    flat = pa.table({"row": pa.array(row_idx, pa.int64()),
+                     "token": pc.list_flatten(toks)})
+    dist = flat.group_by("row").aggregate([("token", "count_distinct")])
+    distinct = np.zeros(n, dtype=np.int64)
+    distinct[dist["row"].to_numpy(zero_copy_only=False)] = \
+        dist["token_count_distinct"].to_numpy(zero_copy_only=False)
+    ppm = distinct * 1_000_000 // total
+    return batch.append_column("distinct_ppm", pa.array(ppm, pa.int64()))
+
+
+def stratified_sample(docs_ds, rates: dict, *, group_col: str = "lang",
+                      key_col: str = "doc_id", default=(1, 1)):
+    """Deterministic stratified sampling: keep a row iff
+    ``key % den < num`` for its group's ``(num, den)`` rate — a pure map-side
+    filter (no shuffle, no RNG state), reproducible at any parallelism and
+    resumable for free. ``rates``: {group_value: (num, den)};  groups not
+    listed use ``default``."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        groups = batch[group_col].to_pylist()
+        num = np.empty(len(keys), dtype=np.int64)
+        den = np.empty(len(keys), dtype=np.int64)
+        for i, g in enumerate(groups):
+            num[i], den[i] = rates.get(g, default)
+        return batch.filter(pa.array((keys % den) < num))
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
 def length_histogram(docs_ds, bucket_width: int = 100,
                      col: str = "n_chars"):
     """Document-length histogram: fixed-width buckets → per-bucket count.

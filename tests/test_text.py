@@ -82,3 +82,26 @@ def test_length_histogram(ray_session):
     out = length_histogram(ds, bucket_width=100).to_pandas()
     got = dict(zip(out["bucket"], out["n"]))
     assert got == {0: 2, 1: 1, 2: 2}
+
+
+def test_repetition_batch_distinct_ppm():
+    from osm_lump_ways_ray.stages.text import repetition_batch
+
+    b = pa.table({"text": ["a a a a", "a b c d", "x x y  y"]})
+    out = repetition_batch(b)
+    # 1/4, 4/4, and {x, y, ''} 3 distinct of 5 tokens (double space)
+    assert out["distinct_ppm"].to_pylist() == [250_000, 1_000_000, 600_000]
+
+
+def test_stratified_sample_deterministic(ray_session):
+    import ray.data
+
+    from osm_lump_ways_ray.stages.text import stratified_sample
+
+    t = pa.table({"doc_id": pa.array(list(range(20)), pa.int64()),
+                  "lang": pa.array(["en", "de"] * 10)})
+    ds = ray.data.from_arrow(t)
+    out = stratified_sample(ds, {"en": (1, 5)}, default=(1, 1)).to_pandas()
+    en = sorted(out[out["lang"] == "en"]["doc_id"])
+    assert en == [0, 10]          # even ids, % 5 == 0
+    assert (out["lang"] == "de").sum() == 10  # default rate keeps all
