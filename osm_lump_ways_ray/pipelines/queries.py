@@ -2890,6 +2890,216 @@ ORACLES.update({
 })
 
 
+# ═══════════════════════════════════════════ temporal join / window family
+#
+# Operators Ray Data lacks natively, built as key-cogrouped searchsorted
+# kernels (stages/temporal.py). Events carry 2024 timestamps while orders are
+# 1995-2001, so the as-of join's "latest order at-or-before" resolves to each
+# customer's final order — tie-breaking on equal o_orderdate is genuinely
+# exercised (7 customers tie at their max date at sf0.01).
+
+
+def _quantize_milli(col: str, out: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        vm = np.floor(v * 1000 + 0.5).astype(np.int64)
+        return batch.append_column(out, pa.array(vm, pa.int64()))
+
+    return fn
+
+
+def q_asof_latest_order(sf_dir: str):
+    """As-of join: each event matched to the customer's most recent order at
+    or before the event timestamp (ties → max o_orderkey)."""
+    from ..stages.temporal import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["o_custkey"],
+            "o_orderkey": batch["o_orderkey"],
+            "o_orderdate": batch["o_orderdate"],
+            "price_cents": pa.array(np.floor(p * 100 + 0.5).astype(np.int64),
+                                    pa.int64()),
+        })
+
+    right = orders.map_batches(prep, batch_format="pyarrow")
+    joined = asof_join(ev, right, key="user_id", left_ts="ts",
+                       right_ts="o_orderdate", tiebreak="o_orderkey",
+                       right_cols=["o_orderkey", "price_cents"])
+    return joined.select_columns(["event_id", "user_id", "o_orderkey",
+                                  "price_cents"])
+
+
+SQL_ASOF_LATEST_ORDER = """
+WITH j AS (
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) rn
+  FROM events e JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id, o_orderkey,
+       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+FROM j WHERE rn = 1
+"""
+
+
+def q_range_join_prior(sf_dir: str):
+    """Interval join + aggregate: per purchase event, count/sum the same
+    user's view/click events in the preceding hour (left-outer: zero rows
+    keep the purchase with 0/0)."""
+    from ..stages.temporal import range_join_agg
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type", "value"])
+    left = ev.filter(expr="event_type == 'purchase'") \
+             .select_columns(["event_id", "user_id", "ts"])
+    right = ev.filter(expr="event_type == 'view' or event_type == 'click'") \
+              .map_batches(_quantize_milli("value", "value_milli"),
+                           batch_format="pyarrow") \
+              .select_columns(["user_id", "ts", "value_milli"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["user_id", "r_ts", "value_milli"])
+
+    right = right.map_batches(rename, batch_format="pyarrow")
+    out = range_join_agg(left, right, key="user_id", left_ts="ts",
+                         right_ts="r_ts", val_milli_col="value_milli",
+                         lo_offset_us=-3_600_000_000, hi_offset_us=0)
+    return out.select_columns(["event_id", "user_id", "n_matched",
+                               "sum_matched_milli"])
+
+
+SQL_RANGE_JOIN_PRIOR = """
+SELECT e.event_id, e.user_id, COUNT(b.ts) AS n_matched,
+       COALESCE(CAST(SUM(CAST(FLOOR(b.value * 1000 + 0.5) AS BIGINT))
+                     AS BIGINT), 0) AS sum_matched_milli
+FROM events e
+LEFT JOIN events b
+  ON b.user_id = e.user_id
+ AND b.event_type IN ('view', 'click')
+ AND b.ts >= e.ts - INTERVAL 1 HOUR AND b.ts < e.ts
+WHERE e.event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based session windows (24 h gap) per user: one row per session
+    with its ordinal, event count, and duration."""
+    from ..stages.temporal import sessionize
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return sessionize(ev, key="user_id", ts="ts", order_tiebreak="event_id",
+                      gap_s=86_400)
+
+
+SQL_SESSIONIZE = """
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 1 DAY
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_n
+  FROM d
+)
+SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+       COUNT(*) AS n_events,
+       CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT)
+         AS dur_s
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_hopping_window(sf_dir: str):
+    """Hopping window aggregate: 1 h windows every 30 min per event_type
+    (each event expands map-side into window/hop replicas)."""
+    from ..stages.temporal import hopping_window
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"]) \
+        .map_batches(_quantize_milli("value", "value_milli"),
+                     batch_format="pyarrow")
+    return hopping_window(ev, group="event_type", ts="ts",
+                          val_milli_col="value_milli",
+                          window_s=3600, hop_s=1800)
+
+
+SQL_HOPPING_WINDOW = """
+WITH base AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) // 1800 * 1800 AS b,
+         CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+  FROM events
+), w AS (
+  SELECT event_type, b AS window_start_s, vm FROM base
+  UNION ALL
+  SELECT event_type, b - 1800, vm FROM base
+)
+SELECT event_type, window_start_s, COUNT(*) AS n,
+       CAST(SUM(vm) AS BIGINT) AS sum_milli
+FROM w GROUP BY 1, 2
+"""
+
+
+def q_quantiles(sf_dir: str):
+    """Distributed exact grouped quantiles (p50/p90/p99) over the quantized
+    value domain — histogram shuffle is one row per distinct (group, value)."""
+    from ..stages.temporal import grouped_quantiles
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"]) \
+        .map_batches(_quantize_milli("value", "value_milli"),
+                     batch_format="pyarrow") \
+        .select_columns(["event_type", "value_milli"])
+    return grouped_quantiles(ev, group="event_type",
+                             val_milli_col="value_milli")
+
+
+SQL_QUANTILES = """
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+  FROM events
+), c AS (
+  SELECT event_type, vm, COUNT(*) AS n FROM v GROUP BY 1, 2
+), t AS (
+  SELECT event_type, vm,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY vm) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS tot
+  FROM c
+)
+SELECT t.event_type, q.qp AS q_permille, CAST(MIN(vm) AS BIGINT) AS v_milli
+FROM t CROSS JOIN (VALUES (500), (900), (990)) AS q(qp)
+WHERE cum * 1000 >= qp * tot
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update({
+    "asof_latest_order": q_asof_latest_order,
+    "range_join_prior": q_range_join_prior,
+    "sessionize": q_sessionize,
+    "hopping_window": q_hopping_window,
+    "quantiles": q_quantiles,
+})
+ORACLES.update({
+    "asof_latest_order": SQL_ASOF_LATEST_ORDER,
+    "range_join_prior": SQL_RANGE_JOIN_PRIOR,
+    "sessionize": SQL_SESSIONIZE,
+    "hopping_window": SQL_HOPPING_WINDOW,
+    "quantiles": SQL_QUANTILES,
+})
+
+
 # ═══════════════════════════════════════════ deterministic output ordering
 #
 # The driver's hash compare is ROW-ORDER-sensitive while Ray's streaming

@@ -1,0 +1,345 @@
+"""Temporal join / window operators Ray Data lacks natively (graft extension
+surface): as-of join, interval (range) join with aggregation, gap-based
+sessionization, hopping windows, and distributed grouped quantiles.
+
+All are expressed as compositions of ``map_batches`` + hash-bucketed
+``groupby().map_groups`` — the same key-cogroup pattern as
+``relational.cogroup_join`` — with fully vectorized numpy bodies (composite
+dense-key ``searchsorted`` range search, no per-row Python).
+
+Partitioning assumption (documented per the custom-operator contract): both
+sides are hash-partitioned on the equality key, so one bucket holds every row
+of a key.  A single hot key lands in one task; at planet scale, salt hot keys
+by a coarse time bucket on the *left* side and replicate the right rows that
+straddle bucket boundaries (the boundary band is at most ``window`` wide).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .relational import concat_blocks
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _part_of(arr: np.ndarray, num_partitions: int) -> np.ndarray:
+    key = arr.astype(np.uint64)
+    return ((key * _MIX) >> np.uint64(17)).astype(np.int64) % num_partitions
+
+
+def _cogroup(left, right, key: str, body, out_schema: pa.Schema,
+             num_partitions: int = 16):
+    """Tag both sides, union with null-padded schemas, hash-bucket on ``key``,
+    and run ``body(left_tbl, right_tbl) -> pa.Table`` once per bucket.
+
+    Schema handling mirrors relational.cogroup_join: sides are split in Arrow
+    BEFORE any pandas conversion so null padding never forces int64→float64."""
+    import pyarrow.compute as pc
+
+    def _schema_of(ds):
+        sch = ds.schema(fetch_if_missing=False)
+        if sch is None:
+            ds = ds.materialize()
+            sch = ds.schema()
+        return ds, sch
+
+    left, lschema = _schema_of(left)
+    right, rschema = _schema_of(right)
+    types = dict(zip(lschema.names, lschema.types))
+    for n, t in zip(rschema.names, rschema.types):
+        if n != key:
+            assert n not in types, f"non-key column collision: {n}"
+        types[n] = t
+    l_cols = list(lschema.names)
+    r_cols = [c for c in rschema.names if c != key]
+    all_cols = l_cols + r_cols
+
+    def tag(side: int, present: list):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            part = _part_of(batch[key].to_numpy(zero_copy_only=False),
+                            num_partitions)
+            cols = {"_part": pa.array(part, pa.int64()),
+                    "_side": pa.array(np.full(n, side, dtype=np.int8), pa.int8())}
+            for c in all_cols:
+                cols[c] = batch[c] if c in present else pa.nulls(n, type=types[c])
+            return pa.table(cols)
+
+        return fn
+
+    tagged = concat_blocks(
+        left.map_batches(tag(0, l_cols), batch_format="pyarrow"),
+        right.map_batches(tag(1, list(rschema.names)), batch_format="pyarrow"))
+
+    def merge(t: pa.Table) -> pa.Table:
+        side = t["_side"]
+        l = t.filter(pc.equal(side, pa.scalar(0, pa.int8()))).select(l_cols)
+        r = t.filter(pc.equal(side, pa.scalar(1, pa.int8()))) \
+             .select([key] + r_cols)
+        out = body(l.combine_chunks(), r.combine_chunks())
+        return out.cast(out_schema)
+
+    return tagged.groupby("_part").map_groups(merge, batch_format="pyarrow")
+
+
+class _RankEncoder:
+    """Bucket-local composite (key, ts) → sortable int64, rank-encoded on BOTH
+    axes so the product never exceeds ~(2·rows)² — overflow-safe at any key /
+    timestamp magnitude (a raw ``key_idx * ts_span`` composite overflows int64
+    once a bucket spans ~50 years of microseconds × 10^6 keys).
+
+    Right rows get EVEN ts slots (2·rank); left probe timestamps get ODD slots
+    placed strictly between right ranks, so threshold semantics are exact:
+    ``at_or_before`` sits after every right row with ts ≤ t, ``first_at_or_
+    after`` sits before every right row with ts ≥ t."""
+
+    def __init__(self, right_keys: np.ndarray, right_ts: np.ndarray):
+        self.uk = np.unique(right_keys)
+        self.ut = np.unique(right_ts)
+        self.span = np.int64(2 * len(self.ut) + 2)
+        kr = np.searchsorted(self.uk, right_keys)
+        tr = np.searchsorted(self.ut, right_ts)
+        self.right_comp = kr.astype(np.int64) * self.span + 2 * tr
+
+    def _key_idx(self, keys: np.ndarray):
+        idx = np.searchsorted(self.uk, keys)
+        idx[idx >= len(self.uk)] = 0
+        hit = (self.uk[idx] == keys) if len(self.uk) else np.zeros(len(keys), bool)
+        return idx.astype(np.int64), hit
+
+    def probe_at_or_before(self, keys: np.ndarray, ts: np.ndarray):
+        """Composite that sorts AFTER all right rows of the key with rts ≤ ts."""
+        idx, hit = self._key_idx(keys)
+        slot = 2 * np.searchsorted(self.ut, ts, side="right") - 1
+        return idx * self.span + slot, hit
+
+    def probe_first_at_or_after(self, keys: np.ndarray, ts: np.ndarray):
+        """Composite that sorts BEFORE all right rows of the key with rts ≥ ts."""
+        idx, hit = self._key_idx(keys)
+        slot = 2 * np.searchsorted(self.ut, ts, side="left") - 1
+        return idx * self.span + slot, hit
+
+
+def asof_join(left, right, key: str, left_ts: str, right_ts: str,
+              tiebreak: str, right_cols: list, *, num_partitions: int = 16):
+    """Backward as-of join: for each left row, the right row of the same key
+    with the greatest ``right_ts`` ≤ ``left_ts``; ties on ``right_ts`` resolved
+    to the greatest ``tiebreak``.  Inner semantics (unmatched left rows drop).
+
+    Distributed shape: key-cogroup (one shuffle), then per bucket ONE composite
+    ``searchsorted`` over all keys at once — the right side is lexsorted by
+    (key, ts, tiebreak) and ``searchsorted(..., 'right') - 1`` lands on the
+    last (= max-tiebreak) row at or before each left timestamp.
+    """
+    def body(l: pa.Table, r: pa.Table) -> pa.Table:
+        lcols = {c: l[c].to_numpy(zero_copy_only=False) for c in l.column_names}
+        lk = lcols[key].astype(np.int64)
+        lt = l[left_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        rk = r[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        rt = r[right_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        rtie = r[tiebreak].to_numpy(zero_copy_only=False)
+        if len(r) == 0 or len(l) == 0:
+            empty = {c: lcols[c][:0] for c in l.column_names}
+            for c in right_cols:
+                empty[c] = r[c].to_numpy(zero_copy_only=False)[:0]
+            return pa.table(empty)
+        order = np.lexsort((rtie, rt, rk))
+        rk, rt = rk[order], rt[order]
+        rvals = {c: r[c].to_numpy(zero_copy_only=False)[order]
+                 for c in right_cols}
+        enc = _RankEncoder(rk, rt)
+        lcomp, hit = enc.probe_at_or_before(lk, lt)
+        pos = np.searchsorted(enc.right_comp, lcomp, side="right") - 1
+        ok = hit & (pos >= 0)
+        safe = np.where(ok, pos, 0)
+        ok &= rk[safe] == lk  # the found row must belong to the same key
+        sel = safe[ok]
+        out = {c: lcols[c][ok] for c in l.column_names}
+        for c in right_cols:
+            out[c] = rvals[c][sel]
+        return pa.table(out)
+
+    l_schema = left.schema(fetch_if_missing=False)
+    if l_schema is None:
+        left = left.materialize()
+        l_schema = left.schema()
+    r_schema = right.schema(fetch_if_missing=False)
+    if r_schema is None:
+        right = right.materialize()
+        r_schema = right.schema()
+    rtypes = dict(zip(r_schema.names, r_schema.types))
+    out_schema = pa.schema(
+        [(n, t) for n, t in zip(l_schema.names, l_schema.types)]
+        + [(c, rtypes[c]) for c in right_cols])
+    return _cogroup(left, right, key, body, out_schema, num_partitions)
+
+
+def range_join_agg(left, right, key: str, left_ts: str, right_ts: str,
+                   val_milli_col: str, *, lo_offset_us: int, hi_offset_us: int,
+                   num_partitions: int = 16):
+    """Interval join + aggregate: for each left row, count and sum (pre-
+    quantized integer ``val_milli_col``) the right rows of the same key with
+    ``left_ts + lo_offset ≤ right_ts < left_ts + hi_offset``.  Left-outer
+    semantics: every left row emits, zero-match rows get (0, 0).
+
+    Per bucket: right side lexsorted by (key, ts) once, integer cumsum, then
+    TWO composite ``searchsorted`` calls give [lo, hi) slice bounds for every
+    left row simultaneously — counts are ``hi-lo``, sums are cumsum diffs.
+    """
+
+    def body(l: pa.Table, r: pa.Table) -> pa.Table:
+        lcols = {c: l[c].to_numpy(zero_copy_only=False) for c in l.column_names}
+        n = len(l)
+        if n == 0:
+            return pa.table({**{c: lcols[c] for c in l.column_names},
+                             "n_matched": np.zeros(0, np.int64),
+                             "sum_matched_milli": np.zeros(0, np.int64)})
+        lk = lcols[key].astype(np.int64)
+        lt = l[left_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if len(r) == 0:
+            z = np.zeros(n, np.int64)
+            return pa.table({**lcols, "n_matched": z, "sum_matched_milli": z})
+        rk = r[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        rt = r[right_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        rv = r[val_milli_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((rt, rk))
+        rk, rt, rv = rk[order], rt[order], rv[order]
+        cs = np.concatenate(([0], np.cumsum(rv)))
+        enc = _RankEncoder(rk, rt)
+        lo_comp, hit = enc.probe_first_at_or_after(lk, lt + lo_offset_us)
+        hi_comp, _ = enc.probe_first_at_or_after(lk, lt + hi_offset_us)
+        lo = np.searchsorted(enc.right_comp, lo_comp, side="left")
+        hi = np.searchsorted(enc.right_comp, hi_comp, side="left")
+        lo, hi = np.where(hit, lo, 0), np.where(hit, hi, 0)
+        cnt = (hi - lo).astype(np.int64)
+        ssum = cs[hi] - cs[lo]
+        return pa.table({**lcols, "n_matched": cnt, "sum_matched_milli": ssum})
+
+    l_schema = left.schema(fetch_if_missing=False)
+    if l_schema is None:
+        left = left.materialize()
+        l_schema = left.schema()
+    out_schema = pa.schema(
+        [(n, t) for n, t in zip(l_schema.names, l_schema.types)]
+        + [("n_matched", pa.int64()), ("sum_matched_milli", pa.int64())])
+    return _cogroup(left, right, key, body, out_schema, num_partitions)
+
+
+def sessionize(events, key: str, ts: str, order_tiebreak: str, gap_s: int,
+               *, num_partitions: int = 16):
+    """Gap-based session windows: per key, sorted by (ts, tiebreak), a new
+    session starts whenever the gap to the previous event exceeds ``gap_s``.
+    Returns one row per session: (key, session_n, n_events, dur_s) with
+    ``session_n`` numbered 1.. per key in time order.
+
+    One shuffle (hash-bucket on key), one lexsort + diff + cumsum per bucket.
+    """
+    gap_us = gap_s * 1_000_000
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_part": pa.array(_part_of(k, num_partitions), pa.int64()),
+            key: batch[key],
+            "_ts": batch[ts].cast(pa.int64()),
+            "_tb": batch[order_tiebreak],
+        })
+
+    def sessions(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        tv = t["_ts"].to_numpy(zero_copy_only=False)
+        tb = t["_tb"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, tv, k))
+        k, tv = k[order], tv[order]
+        new_key = np.empty(len(k), bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        brk = new_key.copy()
+        brk[1:] |= (tv[1:] - tv[:-1]) > gap_us
+        n_sessions = int(np.count_nonzero(brk))
+        # per-session reductions via the sorted layout
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.append(starts, len(k)))
+        s_start = tv[starts]
+        s_end = tv[np.append(starts[1:], len(k)) - 1]
+        s_key = k[starts]
+        # renumber sessions 1.. within each key (keys are contiguous)
+        nk = np.empty(n_sessions, bool)
+        nk[0] = True
+        nk[1:] = s_key[1:] != s_key[:-1]
+        key_first = np.maximum.accumulate(np.where(nk, np.arange(n_sessions), 0))
+        session_n = np.arange(n_sessions) - key_first + 1
+        return pa.table({
+            key: pa.array(s_key, pa.int64()),
+            "session_n": pa.array(session_n, pa.int64()),
+            "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+            "dur_s": pa.array((s_end - s_start) // 1_000_000, pa.int64()),
+        })
+
+    bucketed = events.map_batches(bucket, batch_format="pyarrow")
+    return bucketed.groupby("_part").map_groups(sessions, batch_format="pyarrow")
+
+
+def hopping_window(events, group: str, ts: str, val_milli_col: str,
+                   *, window_s: int = 3600, hop_s: int = 1800):
+    """Hopping (sliding) window aggregate: each event lands in
+    ``window_s / hop_s`` overlapping windows; emits (group, window_start_s,
+    n, sum_milli).  Expansion happens map-side (flat replication inside
+    ``map_batches``), the aggregate is a plain grouped Sum/Count — the
+    pre-aggregation combiner shape (replicas combine inside each block before
+    the shuffle)."""
+    from ray.data.aggregate import Count, Sum
+
+    assert window_s % hop_s == 0
+    k = window_s // hop_s
+
+    def expand(batch: pa.Table) -> pa.Table:
+        sec = batch[ts].cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        base = sec // hop_s * hop_s
+        g = batch[group]
+        v = batch[val_milli_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        outs = []
+        for i in range(k):
+            outs.append(pa.table({
+                group: g,
+                "window_start_s": pa.array(base - i * hop_s, pa.int64()),
+                "_v": pa.array(v, pa.int64()),
+            }))
+        return pa.concat_tables(outs)
+
+    ex = events.map_batches(expand, batch_format="pyarrow")
+    return ex.groupby([group, "window_start_s"]).aggregate(
+        Count(alias_name="n"), Sum("_v", alias_name="sum_milli"))
+
+
+def grouped_quantiles(events, group: str, val_milli_col: str,
+                      q_permille: tuple = (500, 900, 990)):
+    """Distributed exact quantiles over a quantized integer domain: grouped
+    value-histogram (one combiner-backed groupby over (group, v)), then a tiny
+    per-group cumulative scan picks, for each q, the smallest v whose
+    cumulative count reaches ``ceil(q/1000 * total)``.
+
+    The histogram is the scale lever: the shuffle moves one row per DISTINCT
+    (group, value) — bounded by the quantized domain, not the row count."""
+    from ray.data.aggregate import Count
+
+    hist = events.groupby([group, val_milli_col]).aggregate(
+        Count(alias_name="n"))
+
+    def pick(df):
+        df = df.sort_values(val_milli_col)
+        cum = df["n"].to_numpy().cumsum()
+        total = int(cum[-1])
+        v = df[val_milli_col].to_numpy()
+        rows = []
+        for qp in q_permille:
+            need = -(-qp * total // 1000)  # ceil without floats
+            rows.append((df[group].iloc[0], qp,
+                         int(v[np.searchsorted(cum, need, side="left")])))
+        import pandas as pd
+
+        return pd.DataFrame(rows, columns=[group, "q_permille", "v_milli"])
+
+    return hist.groupby(group).map_groups(pick, batch_format="pandas")
