@@ -2890,6 +2890,56 @@ ORACLES.update({
 })
 
 
+# ═══════════════════════════════════════════ raster→vector (north rule)
+
+
+def q_raster_to_vector(sf_dir: str):
+    """Raster→vector: res-5 per-cell counts quantized into 4 bands, 4-connected
+    equal-band cells merged into regions by the distributed CC kernel."""
+    from ..stages.spatial import raster_to_vector
+
+    nodes = _nodes_pos(sf_dir)
+    return raster_to_vector(nodes, res=5, n_bands=4)
+
+
+SQL_RASTER_TO_VECTOR = f"""
+WITH RECURSIVE
+  n AS ({NODES_SQL}),
+  raster AS (
+    SELECT {cell_id_sql("lat", "lon", 5)} AS cell, COUNT(*) AS cnt
+    FROM n GROUP BY 1
+  ),
+  mx AS (SELECT MAX(cnt) AS m FROM raster),
+  r AS (
+    SELECT cell, cnt, (cell >> 29) & 536870911 AS latb, cell & 536870911 AS lonb,
+           CAST(cnt * 4 // (m + 1) AS BIGINT) AS band
+    FROM raster, mx
+  ),
+  e AS (
+    SELECT a.cell AS u, b.cell AS v
+    FROM r a JOIN r b ON a.band = b.band
+     AND ((b.latb = a.latb AND b.lonb = a.lonb + 1)
+          OR (b.latb = a.latb + 1 AND b.lonb = a.lonb))
+  ),
+  und AS (SELECT u AS s, v AS t FROM e UNION SELECT v, u FROM e),
+  reach(node, lbl) AS (
+    SELECT cell, cell FROM r
+    UNION
+    SELECT und.t, reach.lbl FROM reach JOIN und ON und.s = reach.node
+  ),
+  lab AS (SELECT node AS cell, MIN(lbl) AS region_id FROM reach GROUP BY 1)
+SELECT region_id, MIN(band) AS band, COUNT(*) AS n_cells,
+       CAST(SUM(cnt) AS BIGINT) AS total_n,
+       MIN(latb) AS lat_lo, MAX(latb) AS lat_hi,
+       MIN(lonb) AS lon_lo, MAX(lonb) AS lon_hi
+FROM lab JOIN r USING (cell) GROUP BY 1
+"""
+
+
+QUERIES.update({"raster_to_vector": q_raster_to_vector})
+ORACLES.update({"raster_to_vector": SQL_RASTER_TO_VECTOR})
+
+
 # ═══════════════════════════════════════════ temporal join / window family
 #
 # Operators Ray Data lacks natively, built as key-cogrouped searchsorted

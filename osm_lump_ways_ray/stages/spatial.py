@@ -459,3 +459,92 @@ def knn_join_partitioned(points_ds, anchors_ds, *, res: int = 4,
         pts = residue.select_columns(["node_id", "lat", "lon"])
         r = max(r - 2, 0)
     return concat_blocks(*parts) if len(parts) > 1 else parts[0]
+
+
+def raster_to_vector(points, *, lat_col: str = "lat", lon_col: str = "lon",
+                     res: int = 5, n_bands: int = 4, num_partitions: int = 16):
+    """Raster→vector conversion over the grid index (north rule): rasterize
+    points into per-cell counts, quantize counts into ``n_bands`` intensity
+    bands, then vectorize by merging 4-connected cells of equal band into
+    regions via the distributed connected-components kernel. One row per
+    region: (region_id, band, n_cells, total_n, latb/lonb bounding box).
+
+    Adjacency is on the raw (latb, lonb) integer grid — |Δlat|+|Δlon| = 1, no
+    antimeridian wrap — so the DuckDB oracle can reproduce it with bit
+    arithmetic. The raster is bounded by the cell space (4^res), not the
+    point count: every stage after the first groupby runs on that bounded
+    table, and the CC kernel is the same scale-proof one the lump pipeline
+    uses (partition-contract, driver base case only below 2M rows)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from .graph import connected_components
+    from .relational import cogroup_join, concat_blocks
+
+    mask = np.int64((1 << 29) - 1)
+
+    raster = assign_tiles(points, lat_col=lat_col, lon_col=lon_col, res=res) \
+        .groupby("cell").aggregate(Count(alias_name="n"))
+    max_n = raster.max("n")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "cell": batch["cell"],
+            "n": pa.array(n, pa.int64()),
+            "latb": pa.array((cell >> 29) & mask, pa.int64()),
+            "lonb": pa.array(cell & mask, pa.int64()),
+            "band": pa.array(n * n_bands // (max_n + 1), pa.int64()),
+        })
+
+    r = derive_r = raster.map_batches(derive, batch_format="pyarrow")
+
+    def cands(batch: pa.Table) -> pa.Table:
+        """East + north neighbor candidates; ids outside the grid simply
+        miss the inner join below (matches the oracle's no-wrap adjacency)."""
+        cell = batch["cell"].to_numpy(zero_copy_only=False)
+        band = batch["band"].to_numpy(zero_copy_only=False)
+        east = cell + 1            # lonb + 1
+        north = cell + (1 << 29)   # latb + 1
+        return pa.table({
+            "u": pa.array(np.concatenate([cell, cell]), pa.int64()),
+            "nbr": pa.array(np.concatenate([east, north]), pa.int64()),
+            "band_u": pa.array(np.concatenate([band, band]), pa.int64()),
+        })
+
+    cand = r.map_batches(cands, batch_format="pyarrow")
+
+    def as_right(batch: pa.Table) -> pa.Table:
+        return pa.table({"nbr": batch["cell"], "band_v": batch["band"]})
+
+    right = r.map_batches(as_right, batch_format="pyarrow")
+    matched = cogroup_join(cand, right, on="nbr",
+                           num_partitions=num_partitions)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        same = batch.filter(pc.equal(batch["band_u"], batch["band_v"]))
+        return pa.table({"u": same["u"], "v": same["nbr"]})
+
+    edges = matched.map_batches(to_edges, batch_format="pyarrow")
+    self_edges = r.map_batches(
+        lambda b: pa.table({"u": b["cell"], "v": b["cell"]}),
+        batch_format="pyarrow")
+    cc = connected_components(concat_blocks(edges, self_edges),
+                              src="u", dst="v",
+                              num_partitions=num_partitions)
+
+    def lab(batch: pa.Table) -> pa.Table:
+        return pa.table({"cell": batch["node"],
+                         "region_id": batch["component_id"]})
+
+    labels = cc.map_batches(lab, batch_format="pyarrow")
+    joined = cogroup_join(derive_r, labels, on="cell",
+                          num_partitions=num_partitions)
+    return joined.groupby("region_id").aggregate(
+        Min("band", alias_name="band"),
+        Count(alias_name="n_cells"),
+        Sum("n", alias_name="total_n"),
+        Min("latb", alias_name="lat_lo"), Max("latb", alias_name="lat_hi"),
+        Min("lonb", alias_name="lon_lo"), Max("lonb", alias_name="lon_hi"))
