@@ -22,9 +22,23 @@ from ..state.derivation_cache import cached_ds, cached_obj
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    """Column-pruned parquet read with SIZE-AWARE block count: Ray splits even
+    a sub-MB file into ~64 fragment blocks, and every downstream groupby then
+    pays a 64-task all-to-all (measured: identity groupby over 5k rows 2.5 s
+    at 64 blocks vs 0.2 s at 4). Small files get max(8, 1 block/MB) — 8 keeps
+    CPU-heavy per-doc stages parallel — while files ≥ 64 MB keep Ray's own
+    sizing (at 100 TB the default streaming split is the right answer)."""
+    import os
+
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    nbytes = os.path.getsize(path)
+    override = None
+    if nbytes < 64 * 1024 * 1024:
+        override = max(8, int(nbytes) // (1024 * 1024))
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=override)
 
 
 def _nodes_pos(sf_dir: str):
@@ -97,6 +111,35 @@ def _und_cc_labels(sf_dir: str):
     return cached_ds(("und_cc_labels", sf_dir), build)
 
 
+def _members_to_ways(members, num_partitions: int = 16):
+    """(way, node) membership rows → (way_id, node_ids) way rows, vectorized.
+
+    Hash-partition on way then ONE numpy run-split per partition — the same
+    shape as sources/pages.assemble_ways_partition. (The old per-way
+    ``groupby("way").map_groups`` cost one Python call per way: 1000 pandas
+    groups ≈ 3 s of pure overhead in the sf0.1 battery.)"""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        w = batch["way"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_part", pa.array(w % num_partitions, pa.int64()))
+
+    def assemble(t: pa.Table) -> pa.Table:
+        w = t["way"].to_numpy(zero_copy_only=False)
+        n = t["node"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, w))
+        w, n = w[order], n[order]
+        starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+        offsets = np.append(starts, len(w)).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         pa.array(n, pa.int64()))
+        return pa.table({"way_id": pa.array(w[starts] + 1, pa.int64()),
+                         "node_ids": lists})
+
+    return members.map_batches(add_part, batch_format="pyarrow") \
+                  .groupby("_part").map_groups(assemble, batch_format="pyarrow")
+
+
 def q_lump_components(sf_dir: str):
     """G1 over the derived documents graph → per-component node count."""
     from ray.data.aggregate import Count
@@ -167,15 +210,8 @@ def q_degree_pillar(sf_dir: str):
         return pa.table({"way": pa.array(d // 5, pa.int64()),
                          "node": pa.array(d + 1, pa.int64())})
 
-    def to_way(df: "pd.DataFrame") -> "pd.DataFrame":
-        df = df.sort_values("node")
-        return pd.DataFrame({
-            "way_id": [int(df["way"].iloc[0]) + 1],
-            "node_ids": [df["node"].to_numpy(dtype=np.int64)],
-        })
-
-    ways = docs.map_batches(to_members, batch_format="pyarrow") \
-               .groupby("way").map_groups(to_way, batch_format="pandas")
+    ways = _members_to_ways(docs.map_batches(to_members,
+                                             batch_format="pyarrow"))
     return node_degree_weights(ways).rename_columns(["node_id", "weight"])
 
 
@@ -207,15 +243,8 @@ def q_way_contraction(sf_dir: str):
         return pa.table({"way": pa.array(d // 5, pa.int64()),
                          "node": pa.array(d + 1, pa.int64())})
 
-    def to_way(df: "pd.DataFrame") -> "pd.DataFrame":
-        df = df.sort_values("node")
-        return pd.DataFrame({
-            "way_id": [int(df["way"].iloc[0]) + 1],
-            "node_ids": [df["node"].to_numpy(dtype=np.int64)],
-        })
-
-    ways = docs.map_batches(to_members, batch_format="pyarrow") \
-               .groupby("way").map_groups(to_way, batch_format="pandas").materialize()
+    ways = _members_to_ways(docs.map_batches(to_members,
+                                             batch_format="pyarrow")).materialize()
     pillars = pillar_node_array(ways)
     edges = contract_ways(ways, ray.put(pillars))
 
@@ -445,16 +474,16 @@ SQL_TAGGROUPER = ("SELECT COALESCE(NULLIF(source, 'src0'), lang) AS group_value,
 
 def q_group_stats(sf_dir: str):
     """A7-style grouped stats on lineitem (integer-exact mean via ppm)."""
-    from ray.data.aggregate import Count, Max, Min, Sum
+    from ..stages.relational import bucket_agg
 
     li = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity"])
-    agg = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Min("l_quantity", alias_name="min_qty"),
-        Max("l_quantity", alias_name="max_qty"),
-        Count(alias_name="n"),
-    )
+    agg = bucket_agg(li, ["l_returnflag", "l_linestatus"], {
+        "sum_qty": ("l_quantity", "sum"),
+        "min_qty": ("l_quantity", "min"),
+        "max_qty": ("l_quantity", "max"),
+        "n": (None, "count"),
+    }, combine=True)
 
     def mean_ppm(batch: pa.Table) -> pa.Table:
         s = batch["sum_qty"].to_numpy(zero_copy_only=False)
@@ -618,39 +647,36 @@ GROUP BY r_name
 
 
 def q_events_window(sf_dir: str):
-    """Tumbling 1-hour window per event_type (streaming-shaped aggregate)."""
-    from ray.data.aggregate import Count, Sum
+    """Tumbling 1-hour window per event_type (streaming-shaped aggregate).
+    Values are quantized per ROW to integer milli before the sum — integer
+    partial sums are order-independent, so the map-side combiner
+    (bucket_agg combine=True) is exact."""
+    from ..stages.relational import bucket_agg
 
     ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def window(batch: pa.Table) -> pa.Table:
         us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         hour = us - us % 3_600_000_000
+        v = batch["value"].to_numpy(zero_copy_only=False)
         return pa.table({
             "event_type": batch["event_type"],
             "window_start": pa.array(hour, pa.int64()).cast(pa.timestamp("us")),
-            "value": batch["value"],
+            "vm": pa.array(np.floor(v * 1000 + 0.5).astype(np.int64),
+                           pa.int64()),
         })
 
-    agg = ev.map_batches(window, batch_format="pyarrow") \
-            .groupby(["event_type", "window_start"]).aggregate(
-                Count(alias_name="n"), Sum("value", alias_name="sum_value"))
-
-    def to_int(batch: pa.Table) -> pa.Table:
-        s = batch["sum_value"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "event_type": batch["event_type"],
-            "window_start": batch["window_start"],
-            "n": batch["n"],
-            "sum_value_milli": pa.array(np.floor(s * 1000 + 0.5).astype(np.int64), pa.int64()),
-        })
-
-    return agg.map_batches(to_int, batch_format="pyarrow")
+    return bucket_agg(
+        ev.map_batches(window, batch_format="pyarrow"),
+        ["event_type", "window_start"],
+        {"n": (None, "count"), "sum_value_milli": ("vm", "sum")},
+        combine=True)
 
 
 SQL_EVENTS_WINDOW = """
 SELECT event_type, date_trunc('hour', ts) AS window_start, COUNT(*) AS n,
-       CAST(FLOOR(SUM(value) * 1000 + 0.5) AS BIGINT) AS sum_value_milli
+       CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_milli
 FROM events GROUP BY 1, 2
 """
 
@@ -2336,16 +2362,8 @@ def q_dup_scrub(sf_dir: str):
         return pa.table({"way": pa.array(d // 5, pa.int64()),
                          "node": pa.array((d - d % 2) + 1, pa.int64())})
 
-    def to_way(df: "pd.DataFrame") -> "pd.DataFrame":
-        df = df.sort_values("node")
-        return pd.DataFrame({
-            "way_id": [int(df["way"].iloc[0]) + 1],
-            "node_ids": [df["node"].to_numpy(dtype=np.int64)],
-        })
-
-    ways = docs.map_batches(to_members, batch_format="pyarrow") \
-               .groupby("way").map_groups(to_way, batch_format="pandas") \
-               .materialize()
+    ways = _members_to_ways(docs.map_batches(to_members,
+                                             batch_format="pyarrow")).materialize()
     edges = contract_ways(ways, ray.put(np.array([], dtype=np.int64)))
 
     def project(batch: pa.Table) -> pa.Table:
@@ -2483,18 +2501,8 @@ def q_inter_store(sf_dir: str):
         return pa.table({"way": pa.array(d // 5, pa.int64()),
                          "node": pa.array(d + 1, pa.int64())})
 
-    def to_way(df):
-        import pandas as pd
-
-        df = df.sort_values("node")
-        return pd.DataFrame({
-            "way_id": [int(df["way"].iloc[0]) + 1],
-            "node_ids": [df["node"].to_numpy(dtype=np.int64)],
-        })
-
-    ways = docs.map_batches(to_members, batch_format="pyarrow") \
-               .groupby("way").map_groups(to_way, batch_format="pandas") \
-               .materialize()
+    ways = _members_to_ways(docs.map_batches(to_members,
+                                             batch_format="pyarrow")).materialize()
     edges = contract_ways(ways, ray.put(pillar_node_array(ways)))
 
     def project(batch: pa.Table) -> pa.Table:
@@ -2888,6 +2896,42 @@ ORACLES.update({
     "ends_csv_roundtrip": SQL_ENDS_CSV_ROUNDTRIP,
     "openmetrics_roundtrip": SQL_OPENMETRICS_ROUNDTRIP,
 })
+
+
+# ═══════════════════════════════════════════ TF-IDF
+
+
+def q_tfidf(sf_dir: str):
+    """Per-document top-3 TF-IDF terms (integer idf_milli = n_docs*1000 // df;
+    tie-break term ascending)."""
+    from ..stages.text import tfidf_top_terms
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_top_terms(docs, k=3)
+
+
+SQL_TFIDF = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), nd AS (SELECT COUNT(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf * ((nd.n * 1000) // df.df) AS BIGINT) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ((nd.n * 1000) // df.df) DESC, tf.term ASC) AS rn
+  FROM tf JOIN df USING (term), nd
+)
+SELECT doc_id, term, score, CAST(rn AS BIGINT) AS rank FROM s WHERE rn <= 3
+"""
+
+
+QUERIES.update({"tfidf": q_tfidf})
+ORACLES.update({"tfidf": SQL_TFIDF})
 
 
 # ═══════════════════════════════════════════ raster→vector (north rule)

@@ -263,25 +263,62 @@ def bucket_sum(ds, key_col: str, val_col: str, *, num_partitions: int = 16):
              .groupby("_bucket").map_groups(reduce_bucket, batch_format="pyarrow")
 
 
-def bucket_agg(ds, key_cols, aggs, *, num_partitions: int = 16):
+def bucket_agg(ds, key_cols, aggs, *, num_partitions: int = 16,
+               combine: bool = False):
     """Grouped aggregation via hash-bucket shuffle + per-bucket pandas groupby.
 
     ``aggs`` = {out_col: (in_col, "sum"|"count"|"min"|"max")}. Same rationale as
     ``bucket_sum``: Ray's sort-based aggregate pays per-output-group overhead
     (measured 15 s for 1M groups); bucketing keys into ``num_partitions`` groups
-    keeps the shuffle coarse and the reduction vectorized."""
+    keeps the shuffle coarse and the reduction vectorized.
+
+    ``combine=True`` adds the map-side combiner: each input block is reduced to
+    per-key partials BEFORE the shuffle (count → sum-of-counts etc. in the
+    merge phase), so the all-to-all moves O(blocks × groups) rows instead of
+    the full input — the right shape when groups ≪ rows."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
 
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    if combine:
+        _MERGE_HOW = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            gb = df.groupby(key_cols, as_index=False, sort=False)
+            out = gb.size()[key_cols]
+            for out_col, (in_col, how) in aggs.items():
+                if how == "count":
+                    out[out_col] = gb.size()["size"].to_numpy()
+                else:
+                    out[out_col] = getattr(gb[in_col], how)()[in_col].to_numpy()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        in_cols_needed = key_cols + sorted(
+            {c for c, _ in aggs.values() if c is not None})
+        partials = ds.map_batches(
+            lambda b, cols=in_cols_needed: partial(b.select(cols)),
+            batch_format="pyarrow")
+        merge_aggs = {out: (out, _MERGE_HOW[how])
+                      for out, (_, how) in aggs.items()}
+        return bucket_agg(partials, key_cols, merge_aggs,
+                          num_partitions=num_partitions, combine=False)
+
     in_cols = sorted({c for c, _ in aggs.values() if c is not None})
 
+    def _key_u64(batch: pa.Table, col: str) -> "np.ndarray":
+        arr = batch[col].to_numpy(zero_copy_only=False)
+        if arr.dtype.kind in "iub":
+            return arr.astype(np.uint64)
+        # string / object keys: pandas' deterministic siphash (fixed key)
+        return pd.util.hash_array(arr)
+
     def add_bucket(batch: pa.Table) -> pa.Table:
-        k = batch[key_cols[0]].to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = _key_u64(batch, key_cols[0])
         for c in key_cols[1:]:
-            k = k * np.uint64(1099511628211) ^ batch[c].to_numpy(
-                zero_copy_only=False).astype(np.uint64)
+            k = k * np.uint64(1099511628211) ^ _key_u64(batch, c)
         b = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
              ).astype(np.int64) % num_partitions
         cols = {c: batch[c] for c in key_cols + in_cols}

@@ -290,7 +290,7 @@ def hopping_window(events, group: str, ts: str, val_milli_col: str,
     ``map_batches``), the aggregate is a plain grouped Sum/Count — the
     pre-aggregation combiner shape (replicas combine inside each block before
     the shuffle)."""
-    from ray.data.aggregate import Count, Sum
+    from .relational import bucket_agg
 
     assert window_s % hop_s == 0
     k = window_s // hop_s
@@ -310,8 +310,9 @@ def hopping_window(events, group: str, ts: str, val_milli_col: str,
         return pa.concat_tables(outs)
 
     ex = events.map_batches(expand, batch_format="pyarrow")
-    return ex.groupby([group, "window_start_s"]).aggregate(
-        Count(alias_name="n"), Sum("_v", alias_name="sum_milli"))
+    return bucket_agg(ex, [group, "window_start_s"],
+                      {"n": (None, "count"), "sum_milli": ("_v", "sum")},
+                      combine=True)
 
 
 def grouped_quantiles(events, group: str, val_milli_col: str,
@@ -322,11 +323,13 @@ def grouped_quantiles(events, group: str, val_milli_col: str,
     cumulative count reaches ``ceil(q/1000 * total)``.
 
     The histogram is the scale lever: the shuffle moves one row per DISTINCT
-    (group, value) — bounded by the quantized domain, not the row count."""
-    from ray.data.aggregate import Count
+    (group, value) — bounded by the quantized domain, not the row count.
+    It runs on the hash-bucket aggregator (Ray's sort-based aggregate pays
+    per-output-group overhead: measured 7 s for 49k groups vs <1 s bucketed)."""
+    from .relational import bucket_agg
 
-    hist = events.groupby([group, val_milli_col]).aggregate(
-        Count(alias_name="n"))
+    hist = bucket_agg(events, [group, val_milli_col],
+                      {"n": (None, "count")})
 
     def pick(df):
         df = df.sort_values(val_milli_col)

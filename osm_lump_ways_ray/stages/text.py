@@ -199,3 +199,65 @@ def length_histogram(docs_ds, bucket_width: int = 100,
 
     return docs_ds.map_batches(bucketize, batch_format="pyarrow") \
                   .groupby("bucket").aggregate(Count(alias_name="n"))
+
+
+def tfidf_top_terms(docs_ds, k: int = 3, *, num_partitions: int = 16):
+    """Per-document top-k TF-IDF terms with an INTEGER idf so the DuckDB
+    oracle is value-exact: ``idf_milli = (n_docs * 1000) // df``,
+    ``score = tf * idf_milli``; ties break on term ascending.
+
+    Shape: per-batch (doc, term, tf) counting (each document lives in one row,
+    so per-batch counting is exact) → document-frequency via the hash-bucket
+    combiner → cogroup join back → per-doc-bucket vectorized head(k). The df
+    table is one row per vocabulary term — the broadcast-join fast path picks
+    it up when it fits, the partitioned path engages when it doesn't."""
+    import pandas as pd
+
+    from .relational import bucket_agg, cogroup_join
+
+    n_docs = docs_ds.count()
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        toks = [t.split(" ") for t in texts]
+        lens = np.fromiter((len(x) for x in toks), dtype=np.int64,
+                           count=len(toks))
+        flat = pd.DataFrame({
+            "doc_id": np.repeat(ids, lens),
+            "term": np.concatenate([np.asarray(x, dtype=object)
+                                    for x in toks]) if len(toks) else
+                    np.array([], dtype=object),
+        })
+        out = flat.groupby(["doc_id", "term"], as_index=False, sort=False) \
+                  .size().rename(columns={"size": "tf"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    tf = docs_ds.map_batches(term_counts, batch_format="pyarrow")
+    df_tbl = bucket_agg(tf, "term", {"df": (None, "count")},
+                        num_partitions=num_partitions)
+    joined = cogroup_join(tf, df_tbl, on="term",
+                          num_partitions=num_partitions)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfv = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = tfv * (n_docs * 1000 // dfv)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch["doc_id"], "term": batch["term"],
+            "score": pa.array(s, pa.int64()),
+            "_part": pa.array(d % num_partitions, pa.int64()),
+        })
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+
+    def topk(t: pa.Table) -> pa.Table:
+        df = t.select(["doc_id", "term", "score"]).to_pandas()
+        df = df.sort_values(["doc_id", "score", "term"],
+                            ascending=[True, False, True], kind="mergesort")
+        head = df.groupby("doc_id", sort=False).head(k).copy()
+        head["rank"] = head.groupby("doc_id", sort=False).cumcount() + 1
+        return pa.Table.from_pandas(head, preserve_index=False)
+
+    return scored.groupby("_part").map_groups(topk, batch_format="pyarrow")
