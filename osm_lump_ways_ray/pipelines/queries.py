@@ -2898,6 +2898,34 @@ ORACLES.update({
 })
 
 
+# ═══════════════════════════════════════ embedding-column aggregation
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid sums (long format, integer micro) — the
+    vector-column combiner aggregate."""
+    from ..stages.similarity import label_centroid_sums
+
+    emb = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    return label_centroid_sums(emb)
+
+
+def _sql_label_centroids(dim: int = 64) -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT label::BIGINT AS label, {i}::BIGINT AS dim, "
+        f"CAST(FLOOR(embedding[{i}]::DOUBLE * 1000000 + 0.5) AS BIGINT) AS m "
+        f"FROM embeddings" for i in range(1, dim + 1))
+    return (f"WITH u AS ({arms}) "
+            "SELECT label, dim, CAST(SUM(m) AS BIGINT) AS sum_micro, "
+            "COUNT(*) AS n_vecs FROM u GROUP BY 1, 2")
+
+
+SQL_LABEL_CENTROIDS = _sql_label_centroids()
+
+QUERIES.update({"label_centroids": q_label_centroids})
+ORACLES.update({"label_centroids": SQL_LABEL_CENTROIDS})
+
+
 # ═══════════════════════════════════════════ TF-IDF
 
 

@@ -330,3 +330,40 @@ def knn_ivf_indexed(index_dir: str, queries: tuple, *, k: int = 5,
                                 if f.endswith(".parquet")))
     shard = ray.data.read_parquet(paths, columns=[id_col, emb_col])
     return knn_bruteforce(shard, queries, k=k, id_col=id_col, emb_col=emb_col)
+
+
+def label_centroid_sums(emb_ds, *, label_col: str = "label",
+                        vec_col: str = "embedding",
+                        num_partitions: int = 16):
+    """Vector-column grouped aggregation: per-label embedding centroid sums in
+    LONG format (label, dim, sum_micro, n_vecs) — components quantized to
+    integer micro per row so partial sums are order-independent and the DuckDB
+    oracle (explicit per-subscript SUM) is value-exact.
+
+    The combiner shape for 10^12-row embedding tables: each block reduces to
+    (labels × dim) partial rows via one ``np.add.at`` scatter; the shuffle
+    moves only those partials."""
+    from .relational import bucket_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _stack_embeddings(batch, vec_col)
+        micro = np.floor(mat * 1_000_000 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        dim = micro.shape[1]
+        sums = np.zeros((len(uniq), dim), np.int64)
+        np.add.at(sums, inv, micro)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                                    len(uniq)), pa.int64()),
+            "sum_micro": pa.array(sums.reshape(-1), pa.int64()),
+            "n_vecs": pa.array(np.repeat(counts, dim), pa.int64()),
+        })
+
+    partials = emb_ds.map_batches(partial, batch_format="pyarrow")
+    return bucket_agg(partials, ["label", "dim"],
+                      {"sum_micro": ("sum_micro", "sum"),
+                       "n_vecs": ("n_vecs", "sum")},
+                      num_partitions=num_partitions)
