@@ -398,10 +398,79 @@ def _dedupe_edges(edges, src: str, dst: str, num_partitions: int):
                 .groupby("vbucket").map_groups(uniq, batch_format="pandas")
 
 
+def _local_scc_arrays(s: "np.ndarray", d: "np.ndarray",
+                      drop_singletons: bool):
+    """Driver base case: iterative Tarjan over CSR arrays → (node, scc_id)
+    with scc_id = min node id, size-1 SCCs dropped when requested. For
+    ``drop_singletons=True`` this is exactly the distributed result (acyclic
+    trimming never removes a node of a ≥2-node SCC)."""
+    nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+    n = len(nodes)
+    ns, nd = inv[: len(s)], inv[len(s):]
+    order = np.argsort(ns, kind="stable")
+    heads = nd[order]
+    offsets = np.zeros(n + 1, np.int64)
+    np.add.at(offsets, ns + 1, 1)
+    offsets = np.cumsum(offsets)
+
+    index = np.full(n, -1, np.int64)
+    low = np.zeros(n, np.int64)
+    on_stack = np.zeros(n, bool)
+    comp = np.full(n, -1, np.int64)
+    stack: list = []
+    next_index = 0
+    n_comps = 0
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        work = [(root, int(offsets[root]))]
+        index[root] = low[root] = next_index
+        next_index += 1
+        stack.append(root)
+        on_stack[root] = True
+        while work:
+            v, ei = work[-1]
+            if ei < offsets[v + 1]:
+                work[-1] = (v, ei + 1)
+                w = int(heads[ei])
+                if index[w] == -1:
+                    index[w] = low[w] = next_index
+                    next_index += 1
+                    stack.append(w)
+                    on_stack[w] = True
+                    work.append((w, int(offsets[w])))
+                elif on_stack[w]:
+                    if index[w] < low[v]:
+                        low[v] = index[w]
+            else:
+                work.pop()
+                if work:
+                    pv = work[-1][0]
+                    if low[v] < low[pv]:
+                        low[pv] = low[v]
+                if low[v] == index[v]:
+                    while True:
+                        w = stack.pop()
+                        on_stack[w] = False
+                        comp[w] = n_comps
+                        if w == v:
+                            break
+                    n_comps += 1
+    roots = np.full(n_comps, np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(roots, comp, nodes)
+    scc_id = roots[comp]
+    if drop_singletons:
+        sizes = np.bincount(comp, minlength=n_comps)
+        keep = sizes[comp] > 1
+        return nodes[keep], scc_id[keep]
+    return nodes, scc_id
+
+
 def strongly_connected_components(edges_ds, src: str = "src", dst: str = "dst",
                                   *, num_partitions: int = 8,
                                   max_peel_rounds: int = 32,
-                                  drop_singletons: bool = True):
+                                  drop_singletons: bool = True,
+                                  driver_finish_rows: int = 200_000):
     """Distributed SCC → Dataset (node, scc_id); scc_id = min node of the cycle
     (the reference's root_nid = min nid convention, -down/main.rs:544-663).
     Singleton components dropped by default (kosaraju.rs:87 parity).
@@ -415,6 +484,26 @@ def strongly_connected_components(edges_ds, src: str = "src", dst: str = "dst",
     assigned = None  # union of per-round hits (stays distributed)
     edges = snapshot(_dedupe_edges(edges_ds.select_columns([src, dst]),
                                    src, dst, num_partitions))
+
+    # driver base case (the connected_components pattern, graph.py): below the
+    # threshold the iterative FW-BW rounds are pure shuffle overhead (measured
+    # 7.4 s for a 4k-edge graph) — one local Tarjan is exact and instant.
+    # Only for drop_singletons=True, where trimming cannot change the result.
+    if drop_singletons and edges.count() <= driver_finish_rows:
+        parts = list(edges.iter_batches(batch_format="pyarrow"))
+        if not parts:
+            return ray.data.from_arrow(pa.table({
+                "node": pa.array([], pa.int64()),
+                "scc_id": pa.array([], pa.int64())}))
+        t = pa.concat_tables(parts)
+        node, scc_id = _local_scc_arrays(
+            t[src].to_numpy(zero_copy_only=False).astype(np.int64),
+            t[dst].to_numpy(zero_copy_only=False).astype(np.int64),
+            drop_singletons)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(node, pa.int64()),
+            "scc_id": pa.array(scc_id, pa.int64())}))
+
     edges = _trim_acyclic(edges, src, dst, num_partitions)
 
     for _ in range(max_peel_rounds):

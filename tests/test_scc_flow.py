@@ -57,10 +57,29 @@ def _nx_scc(pairs, drop_singletons=True):
     # nested/meshed SCC
     [(1, 2), (2, 3), (3, 1), (2, 4), (4, 5), (5, 2), (5, 6)],
 ], ids=["two-cycles", "chain-cycle-chain", "meshed"])
-def test_scc_vs_networkx(mk, pairs):
+@pytest.mark.parametrize("driver_rows", [200_000, 0],
+                         ids=["tarjan-base", "distributed"])
+def test_scc_vs_networkx(mk, pairs, driver_rows):
     got = {r["node"]: r["scc_id"]
-           for r in strongly_connected_components(mk(edges_table(pairs))).take_all()}
+           for r in strongly_connected_components(
+               mk(edges_table(pairs)),
+               driver_finish_rows=driver_rows).take_all()}
     assert got == _nx_scc(pairs)
+
+
+def test_scc_local_vs_distributed_random(mk):
+    """Tarjan driver base case ≡ distributed FW-BW on a random digraph."""
+    rng = np.random.RandomState(17)
+    pairs = list({(int(a), int(b)) for a, b in
+                  zip(rng.randint(0, 60, 400), rng.randint(0, 60, 400))
+                  if a != b})
+    loc = {r["node"]: r["scc_id"]
+           for r in strongly_connected_components(
+               mk(edges_table(pairs)), driver_finish_rows=10**6).take_all()}
+    dist = {r["node"]: r["scc_id"]
+            for r in strongly_connected_components(
+                mk(edges_table(pairs)), driver_finish_rows=0).take_all()}
+    assert loc == dist == _nx_scc(pairs)
 
 
 def test_scc_no_cycles_empty(mk):
