@@ -2898,6 +2898,40 @@ ORACLES.update({
 })
 
 
+# ═══════════════════════════════════ embedding LSH near-dup (scale path)
+
+
+def q_embedding_lsh(sf_dir: str):
+    """LSH-bucketed embedding near-dup: 2 bands × 4 sign bits, exact cosine
+    only within colliding buckets (no all-pairs, no broadcast)."""
+    from ..stages.similarity import embedding_lsh_neardup
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_lsh_neardup(emb, threshold=0.35)
+
+
+def _sql_sign_band(first_dim: int, bits: int) -> str:
+    return " + ".join(
+        f"{1 << i} * (CASE WHEN embedding[{first_dim + i}] > 0 "
+        "THEN 1 ELSE 0 END)" for i in range(bits))
+
+
+SQL_EMBEDDING_LSH = f"""
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         {_sql_sign_band(1, 4)} AS b0,
+         {_sql_sign_band(5, 4)} AS b1
+  FROM embeddings
+)
+SELECT DISTINCT a.vec_id AS u, b.vec_id AS v
+FROM s a JOIN s b ON b.vec_id > a.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1)
+WHERE list_cosine_similarity(a.e, b.e) >= 0.35
+"""
+
+QUERIES.update({"embedding_lsh": q_embedding_lsh})
+ORACLES.update({"embedding_lsh": SQL_EMBEDDING_LSH})
+
+
 # ═══════════════════════════════════════ embedding-column aggregation
 
 

@@ -367,3 +367,55 @@ def label_centroid_sums(emb_ds, *, label_col: str = "label",
                       {"sum_micro": ("sum_micro", "sum"),
                        "n_vecs": ("n_vecs", "sum")},
                       num_partitions=num_partitions)
+
+
+def embedding_lsh_neardup(emb_ds, *, threshold: float = 0.35,
+                          sign_dims: int = 8, band_bits: int = 4,
+                          num_partitions: int = 16):
+    """LSH-bucketed embedding near-dup — the scale path next to the broadcast
+    all-pairs baseline (q_embedding_neardup): vectors are bucketed by the sign
+    pattern of their leading components, split into ``sign_dims/band_bits``
+    bands (a pair is a candidate if ANY band matches), exact cosine runs only
+    WITHIN buckets, and band-duplicate pairs dedupe with a grouped count.
+    No all-pairs product and no corpus broadcast at any size; recall is the
+    standard LSH trade (candidates only where a band collides) and the oracle
+    reproduces the identical bucketing, so the compare is exact."""
+    from .relational import bucket_agg
+
+    n_bands = sign_dims // band_bits
+    weights = (1 << np.arange(band_bits, dtype=np.int64))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        mat = _stack_embeddings(batch, "embedding")
+        sign = (mat[:, :sign_dims] > 0).astype(np.int64)
+        outs = []
+        n = len(batch)
+        for band in range(n_bands):
+            seg = sign[:, band * band_bits:(band + 1) * band_bits]
+            outs.append(pa.table({
+                "band": pa.array(np.full(n, band, dtype=np.int64), pa.int64()),
+                "bucket": pa.array(seg @ weights, pa.int64()),
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+            }))
+        return pa.concat_tables(outs)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) < 2:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        mat = _normalize(_stack_embeddings(t, "embedding"))
+        sims = mat @ mat.T
+        iu = np.triu_indices(len(ids), k=1)
+        m = sims[iu] >= threshold
+        a, b = ids[iu[0][m]], ids[iu[1][m]]
+        return pa.table({"u": pa.array(np.minimum(a, b), pa.int64()),
+                         "v": pa.array(np.maximum(a, b), pa.int64())})
+
+    cand = emb_ds.map_batches(expand, batch_format="pyarrow") \
+        .groupby(["band", "bucket"]).map_groups(pairs, batch_format="pyarrow")
+    # dedup pairs found by more than one band
+    return bucket_agg(cand, ["u", "v"], {"_n": (None, "count")},
+                      num_partitions=num_partitions) \
+        .select_columns(["u", "v"])

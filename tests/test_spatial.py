@@ -212,3 +212,39 @@ def test_ivf_recall_at_reduced_nprobe(mk, tmp_path):
     hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
     recall = hits / (len(truth) * k)
     assert recall >= 0.9, f"recall@10 = {recall:.3f}"
+
+
+def test_embedding_lsh_subset_of_bruteforce(ray_session):
+    """LSH candidates are exactly the bucket-colliding subset of the
+    brute-force pair set; planted near-dups (equal leading signs) are found."""
+    import ray.data
+
+    from osm_lump_ways_ray.stages.similarity import (_normalize,
+                                                     embedding_lsh_neardup)
+
+    rng = np.random.RandomState(9)
+    base = rng.randn(40, 16)
+    # plant 5 near-dup pairs: tiny perturbation keeps signs and cosine ≥ 0.99
+    dups = base[:5] + rng.randn(5, 16) * 1e-3
+    mat = np.vstack([base, dups])
+    ids = np.arange(len(mat), dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([row.astype(np.float32) for row in mat],
+                              pa.list_(pa.float32())),
+    })
+    got = embedding_lsh_neardup(ray.data.from_arrow(tbl), threshold=0.9,
+                                sign_dims=8, band_bits=4).to_pandas()
+    got_pairs = set(zip(got.u, got.v))
+    # brute-force reference with the same bucketing rule
+    norm = _normalize(mat.astype(np.float64))
+    sims = norm @ norm.T
+    sign = (mat[:, :8] > 0).astype(int)
+    w = 2 ** np.arange(4)
+    b0, b1 = sign[:, :4] @ w, sign[:, 4:8] @ w
+    want = {(int(i), int(j)) for i in range(len(mat)) for j in range(i + 1, len(mat))
+            if sims[i, j] >= 0.9 and (b0[i] == b0[j] or b1[i] == b1[j])}
+    assert got_pairs == want
+    # every planted pair collides in both bands → must be recalled
+    planted = {(i, 40 + i) for i in range(5)}
+    assert planted <= got_pairs
