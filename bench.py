@@ -202,14 +202,19 @@ def main() -> int:
             return json.loads(out.strip().splitlines()[-1])
 
         primary_pages = os.environ.get("GRAFT_SCALING_PAGES", "4000000")
-        r2 = _run(2, primary_pages)
-        r8 = _run(8, primary_pages)
+        # N is configurable because the criterion needs the 4N leg BELOW the
+        # single-box bandwidth wall (~100-130k rows/s, BASELINE.md): as the
+        # machine's page-cache state varies run to run, the largest
+        # unsaturated pair moves between 1→4 and 2→8.
+        n_level = int(os.environ.get("GRAFT_SCALING_N", "2"))
+        r2 = _run(n_level, primary_pages)
+        r8 = _run(4 * n_level, primary_pages)
         eff = (r2["value"] / r8["value"]) / 4.0
         out = {
             "metric": "lump_scaling_efficiency",
             "value": round(eff, 3),
             "unit": "ratio",
-            "pair": "2cpu->8cpu",
+            "pair": f"{n_level}cpu->{4 * n_level}cpu",
             "pages": int(primary_pages),
             "sec_n": r2["value"], "sec_4n": r8["value"],
             "rows_per_sec_n": r2["rows_per_sec"],

@@ -188,6 +188,7 @@ def range_join_agg(left, right, key: str, left_ts: str, right_ts: str,
     TWO composite ``searchsorted`` calls give [lo, hi) slice bounds for every
     left row simultaneously — counts are ``hi-lo``, sums are cumsum diffs.
     """
+    assert lo_offset_us < hi_offset_us, "empty window: lo_offset ≥ hi_offset"
 
     def body(l: pa.Table, r: pa.Table) -> pa.Table:
         lcols = {c: l[c].to_numpy(zero_copy_only=False) for c in l.column_names}
