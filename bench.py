@@ -183,6 +183,46 @@ def main() -> int:
         _battery_pass(sf_dir, ncpu, os.environ["GRAFT_BATTERY_OUT"], skip)
         return 0
 
+    if "--scaling-nodes" in sys.argv:
+        # NODE-emulation pair (the closer stand-in for N → 4N CLUSTER sizes):
+        # a "node" is one fresh Ray instance with its own object store and
+        # driver — exactly what each machine of a real cluster contributes.
+        # Leg 1: ONE 2-CPU session. Leg 2: FOUR concurrent 2-CPU sessions
+        # (separate Ray instances) each running the same 4M-page job.
+        # Efficiency = aggregate 4-node throughput / (4 × one-node).
+        # Conservative vs a real cluster: the four emulated nodes share one
+        # physical DRAM bus; real nodes multiply that resource. The CPU-count
+        # pair (--scaling) complements it: one session exercises cross-
+        # partition shuffles through one plasma store, this mode does not
+        # emulate network exchange.
+        pages = os.environ.get("GRAFT_SCALING_PAGES", "4000000")
+        env = dict(os.environ, RAY_GRAFT_CPUS="2",
+                   GRAFT_BENCH_HEADLINE_ONLY="1", GRAFT_PAGES_OVERRIDE=pages)
+
+        def _headline(out: str) -> dict:
+            return json.loads(out.strip().splitlines()[-1])
+
+        solo = _headline(subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True).stdout)
+        procs = [subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+            for _ in range(4)]
+        nodes = [_headline(p.communicate()[0]) for p in procs]
+        agg = sum(n["rows_per_sec"] for n in nodes)
+        eff = agg / (4 * solo["rows_per_sec"])
+        print(json.dumps({
+            "metric": "lump_node_scaling_efficiency",
+            "value": round(eff, 3), "unit": "ratio",
+            "pair": "1node(2cpu)->4nodes(2cpu each)",
+            "pages": int(pages),
+            "rows_per_sec_1node": solo["rows_per_sec"],
+            "rows_per_sec_4node_aggregate": round(agg, 1),
+            "per_node": [n["rows_per_sec"] for n in nodes],
+        }))
+        return 0
+
     if "--scaling" in sys.argv:
         # fresh process per parallelism level; headline only (queries skipped).
         # Two N→4N pairs (the sandbox stand-in for two cluster sizes):

@@ -412,11 +412,12 @@ def lump(pages_ds, *, cell_res: int = 7, num_partitions: int = 32,
     # pre-aggregate per batch (combiner) before the wide groupby: the shuffle
     # then moves one row per (g, component) per batch instead of per segment
     def partial_len(batch: pa.Table) -> pa.Table:
-        g = batch["g"].to_numpy(zero_copy_only=False)
-        c = batch["component_id"].to_numpy(zero_copy_only=False)
+        from ..stages.graph import _unique_pairs
+
+        g = batch["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["component_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = batch["length_m"].to_numpy(zero_copy_only=False)
-        key = np.stack([g, c], axis=1)
-        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        uniq, inv = _unique_pairs(g, c)
         sums = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(sums, inv, m)
         return pa.table({"g": pa.array(uniq[:, 0], pa.int64()),
