@@ -2898,6 +2898,37 @@ ORACLES.update({
 })
 
 
+# ═══════════════════════════════════════════ JSON property extraction
+
+
+def q_json_props(sf_dir: str):
+    """Per-event_type stats over the integer ``k`` field of the JSON ``props``
+    column — Arrow C-regex extraction, combiner aggregate."""
+    from ..stages.relational import bucket_agg
+    from ..stages.text import json_int_field
+
+    ev = _read(sf_dir, "events", columns=["event_type", "props"])
+    k = json_int_field(ev, "props", "k", "k")
+    return bucket_agg(k, "event_type", {
+        "n": (None, "count"),
+        "sum_k": ("k", "sum"),
+        "min_k": ("k", "min"),
+        "max_k": ("k", "max"),
+    }, combine=True)
+
+
+SQL_JSON_PROPS = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY 1
+"""
+
+QUERIES.update({"json_props": q_json_props})
+ORACLES.update({"json_props": SQL_JSON_PROPS})
+
+
 # ═══════════════════════════════════ embedding LSH near-dup (scale path)
 
 

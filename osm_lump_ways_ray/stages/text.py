@@ -261,3 +261,19 @@ def tfidf_top_terms(docs_ds, k: int = 3, *, num_partitions: int = 16):
         return pa.Table.from_pandas(head, preserve_index=False)
 
     return scored.groupby("_part").map_groups(topk, batch_format="pyarrow")
+
+
+def json_int_field(ds, col: str, key: str, out: str):
+    """Vectorized JSON integer-field extraction via Arrow's C regex kernel
+    (``pc.extract_regex``) — no per-row Python json.loads. Rows without the
+    key get null (dropped by the cast-filter)."""
+    import pyarrow.compute as pc
+
+    pattern = f'"{key}"\\s*:\\s*(?P<v>-?\\d+)'
+
+    def extract(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch[col], pattern=pattern)
+        vals = pc.struct_field(hit, "v").cast(pa.int64())
+        return batch.append_column(out, vals)
+
+    return ds.map_batches(extract, batch_format="pyarrow")
