@@ -68,54 +68,44 @@ def undirected_edges(documents_ds, *, num_partitions: int = 8):
 
     def half_edges(batch: pa.Table) -> pa.Table:
         d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lang = batch["lang"].to_pylist()
-        keys, sides, docs, langs = [], [], [], []
-        for i in range(len(d)):
-            di = int(d[i])
-            # chain link (d-1, d): key = 2*d (even keys = chain links)
-            if di % 8 != 0:
-                keys.append(2 * di)
-                sides.append(1)
-                docs.append(di)
-                langs.append(lang[i])
-            keys.append(2 * (di + 1))
-            sides.append(0)
-            docs.append(di)
-            langs.append(lang[i])
-            # long-range link (d-5, d): odd keys
-            if di % 37 == 0 and di >= 5:
-                keys.append(2 * di + 1)
-                sides.append(1)
-                docs.append(di)
-                langs.append(lang[i])
-            keys.append(2 * (di + 5) + 1)
-            sides.append(0)
-            docs.append(di)
-            langs.append(lang[i])
+        lang = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        m_chain = d % 8 != 0
+        m_long = (d % 37 == 0) & (d >= 5)
+        keys = np.concatenate([2 * d[m_chain], 2 * (d + 1),
+                               2 * d[m_long] + 1, 2 * (d + 5) + 1])
+        sides = np.concatenate([
+            np.ones(m_chain.sum(), np.int8), np.zeros(len(d), np.int8),
+            np.ones(m_long.sum(), np.int8), np.zeros(len(d), np.int8)])
+        docs = np.concatenate([d[m_chain], d, d[m_long], d])
+        langs = np.concatenate([lang[m_chain], lang, lang[m_long], lang])
         return pa.table({
             "key": pa.array(keys, pa.int64()),
             "side": pa.array(sides, pa.int8()),
             "doc": pa.array(docs, pa.int64()),
-            "lang": pa.array(langs, pa.string()),
+            "lang": pa.array(langs.tolist(), pa.string()),
+            "_part": pa.array(keys % num_partitions, pa.int64()),
         })
 
     def match(batch: pa.Table) -> pa.Table:
-        # one group per key: emit edge if both sides present with equal lang
-        import pandas as pd
-
-        df = batch.to_pandas()
-        us, vs = [], []
-        for _, grp in df.groupby("key"):
-            if len(grp) == 2:
-                s0 = grp[grp["side"] == 0]
-                s1 = grp[grp["side"] == 1]
-                if len(s0) == 1 and len(s1) == 1 and s0["lang"].iloc[0] == s1["lang"].iloc[0]:
-                    us.append(int(s0["doc"].iloc[0]) + 1)
-                    vs.append(int(s1["doc"].iloc[0]) + 1)
-        return pa.table({"u": pa.array(us, pa.int64()), "v": pa.array(vs, pa.int64())})
+        # one PARTITION per group (not one key — per-key map_groups costs one
+        # Python call per key): sort by (key, side), run-split, and emit an
+        # edge for every key holding exactly side-0 + side-1 with equal langs
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        s = batch["side"].to_numpy(zero_copy_only=False)
+        doc = batch["doc"].to_numpy(zero_copy_only=False)
+        lang = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        order = np.lexsort((s, k))
+        k, s, doc, lang = k[order], s[order], doc[order], lang[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        counts = np.diff(np.append(starts, len(k)))
+        two = starts[counts == 2]
+        ok = (s[two] == 0) & (s[two + 1] == 1) & (lang[two] == lang[two + 1])
+        sel = two[ok]
+        return pa.table({"u": pa.array(doc[sel] + 1, pa.int64()),
+                         "v": pa.array(doc[sel + 1] + 1, pa.int64())})
 
     halves = documents_ds.map_batches(half_edges, batch_format="pyarrow")
-    return halves.groupby("key").map_groups(match, batch_format="pyarrow")
+    return halves.groupby("_part").map_groups(match, batch_format="pyarrow")
 
 
 UNDIRECTED_EDGES_SQL = (

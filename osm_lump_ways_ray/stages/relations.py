@@ -33,13 +33,36 @@ def relation_tags_overwrite(member_ds, *, way_col: str = "way_id",
     m = cogroup_join(member_ds, sizes, (rel_col,), how="inner",
                      num_partitions=num_partitions)
 
-    def argmax_group(df):
-        import pandas as pd
+    def add_part(batch):
+        w = batch[way_col].to_numpy(zero_copy_only=False)
+        import pyarrow as pa
 
-        df = df.sort_values(["n_members", rel_col], ascending=[False, False])
-        return df.head(1)[[way_col, rel_col, tag_col, "n_members"]]
+        return batch.append_column(
+            "_part", pa.array(w % num_partitions, pa.int64()))
 
-    return m.groupby(way_col).map_groups(argmax_group, batch_format="pandas")
+    def argmax_partition(t):
+        # one task per PARTITION (per-way map_groups costs one Python call per
+        # way): lexsort by (way, -n_members, -rel_id), keep each way's first row
+        import numpy as np
+        import pyarrow as pa
+
+        w = t[way_col].to_numpy(zero_copy_only=False)
+        n = t["n_members"].to_numpy(zero_copy_only=False)
+        r = t[rel_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-r, -n, w))
+        ws = w[order]
+        starts = order[np.flatnonzero(np.r_[True, ws[1:] != ws[:-1]])]
+        idx = pa.array(starts, pa.int64())
+        return pa.table({
+            way_col: t[way_col].take(idx),
+            rel_col: t[rel_col].take(idx),
+            tag_col: t[tag_col].take(idx),
+            "n_members": t["n_members"].take(idx),
+        })
+
+    return m.map_batches(add_part, batch_format="pyarrow") \
+            .groupby("_part").map_groups(argmax_partition,
+                                         batch_format="pyarrow")
 
 
 def ends_membership(ends_ds, way_nodes_ds, filters: Sequence[tuple], *,
