@@ -601,8 +601,6 @@ FROM s WHERE COALESCE(cum_before, 0) < 0.9 * total
 
 def q_region_rollup(sf_dir: str):
     """A6-style rollup via BROADCAST dimension joins (small side shipped once)."""
-    from ray.data.aggregate import Count, Sum
-
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
     nation = pa.concat_tables(_read(sf_dir, "nation").iter_batches(batch_format="pyarrow"))
     region = pa.concat_tables(_read(sf_dir, "region").iter_batches(batch_format="pyarrow"))
@@ -621,9 +619,12 @@ def q_region_rollup(sf_dir: str):
         out = out.merge(r, left_on="n_regionkey", right_on="r_regionkey")
         return out[["r_name", "c_acctbal"]]
 
+    from ..stages.relational import bucket_agg
+
     joined = cust.map_batches(merge, batch_format="pandas")
-    agg = joined.groupby("r_name").aggregate(
-        Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="sum_bal"))
+    agg = bucket_agg(joined, "r_name",
+                     {"n_customers": (None, "count"),
+                      "sum_bal": ("c_acctbal", "sum")}, combine=True)
 
     def to_int(batch: pa.Table) -> pa.Table:
         s = batch["sum_bal"].to_numpy(zero_copy_only=False)

@@ -475,15 +475,15 @@ def raster_to_vector(points, *, lat_col: str = "lat", lon_col: str = "lon",
     point count: every stage after the first groupby runs on that bounded
     table, and the CC kernel is the same scale-proof one the lump pipeline
     uses (partition-contract, driver base case only below 2M rows)."""
-    from ray.data.aggregate import Count, Max, Min, Sum
-
     from .graph import connected_components
-    from .relational import cogroup_join, concat_blocks
+    from .relational import bucket_agg, cogroup_join, concat_blocks
 
     mask = np.int64((1 << 29) - 1)
 
-    raster = assign_tiles(points, lat_col=lat_col, lon_col=lon_col, res=res) \
-        .groupby("cell").aggregate(Count(alias_name="n"))
+    raster = bucket_agg(
+        assign_tiles(points, lat_col=lat_col, lon_col=lon_col, res=res)
+        .select_columns(["cell"]),
+        "cell", {"n": (None, "count")}, combine=True)
     max_n = raster.max("n")
 
     def derive(batch: pa.Table) -> pa.Table:
@@ -542,9 +542,10 @@ def raster_to_vector(points, *, lat_col: str = "lat", lon_col: str = "lon",
     labels = cc.map_batches(lab, batch_format="pyarrow")
     joined = cogroup_join(derive_r, labels, on="cell",
                           num_partitions=num_partitions)
-    return joined.groupby("region_id").aggregate(
-        Min("band", alias_name="band"),
-        Count(alias_name="n_cells"),
-        Sum("n", alias_name="total_n"),
-        Min("latb", alias_name="lat_lo"), Max("latb", alias_name="lat_hi"),
-        Min("lonb", alias_name="lon_lo"), Max("lonb", alias_name="lon_hi"))
+    return bucket_agg(joined, "region_id", {
+        "band": ("band", "min"),
+        "n_cells": (None, "count"),
+        "total_n": ("n", "sum"),
+        "lat_lo": ("latb", "min"), "lat_hi": ("latb", "max"),
+        "lon_lo": ("lonb", "min"), "lon_hi": ("lonb", "max"),
+    }, combine=True)
