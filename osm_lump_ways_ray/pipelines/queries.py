@@ -2899,6 +2899,49 @@ ORACLES.update({
 })
 
 
+# ═══════════════════════════════ multimodal pipeline (decode→resize→frames→feat)
+
+
+def q_multimodal_pipeline(sf_dir: str):
+    """Full multimodal stub chain: decode (actor pool) → resize (integer
+    aspect-fit) → frame-sample (stride/ceil) → feature-extract (md5 dims,
+    per-actor model state)."""
+    from ..stages.multimodal import multimodal_pipeline
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    return multimodal_pipeline(docs)
+
+
+SQL_MULTIMODAL_PIPELINE = """
+WITH m AS (
+  SELECT doc_id, n_chars, md5(text) AS d,
+         n_chars % 640 + 1 AS width, n_chars % 480 + 1 AS height
+  FROM documents
+), s AS (
+  SELECT doc_id, width, height, width * height AS n_pixels,
+         CASE WHEN GREATEST(width, height) > 224
+              THEN 224000000 // GREATEST(width, height)
+              ELSE 1000000 END AS sc,
+         (strpos('0123456789abcdef', substr(d, 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(d, 2, 1)) - 1) AS feat0,
+         (strpos('0123456789abcdef', substr(d, 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(d, 4, 1)) - 1) AS feat1,
+         n_chars % 240 + 1 AS n_frames
+  FROM m
+)
+SELECT doc_id, width, height, n_pixels, feat0, feat1,
+       width * sc // 1000000 AS resized_w,
+       height * sc // 1000000 AS resized_h,
+       n_frames,
+       CAST(CEIL(n_frames / 8.0) AS BIGINT) AS frame_stride,
+       CAST(CEIL(n_frames / CEIL(n_frames / 8.0)) AS BIGINT) AS n_sampled
+FROM s
+"""
+
+QUERIES.update({"multimodal_pipeline": q_multimodal_pipeline})
+ORACLES.update({"multimodal_pipeline": SQL_MULTIMODAL_PIPELINE})
+
+
 # ═══════════════════════════════════════════ JSON property extraction
 
 
