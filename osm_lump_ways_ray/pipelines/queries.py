@@ -2899,6 +2899,50 @@ ORACLES.update({
 })
 
 
+# ═══════════════════════════════════════════ PageRank (iterative rounds)
+
+
+def q_pagerank(sf_dir: str):
+    """3-iteration integer PageRank over the directed decade graph —
+    distributed join+aggregate rounds, oracle unrolled exactly."""
+    from ..stages.graph import pagerank_int
+
+    edges = _decade_closed_edges(sf_dir)
+    nodes = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda b: pa.table({"node": pc.add(b["doc_id"],
+                                           pa.scalar(1, pa.int64()))}),
+        batch_format="pyarrow")
+    return pagerank_int(edges, nodes, iterations=3)
+
+
+def _sql_pagerank(iterations: int = 3) -> str:
+    from ..sources.derived import DIRECTED_EDGES_CLOSED_SQL
+
+    ctes = [
+        f"e AS ({DIRECTED_EDGES_CLOSED_SQL})",
+        "nodes AS (SELECT doc_id + 1 AS node FROM documents)",
+        "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1)",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"c{k} AS (SELECT e.dst AS node, SUM(r{k-1}.r // deg.d) AS s "
+            f"FROM e JOIN deg USING (src) JOIN r{k-1} ON r{k-1}.node = e.src "
+            "GROUP BY 1)")
+        ctes.append(
+            f"r{k} AS (SELECT n.node, CAST(150000 + 850000 * "
+            f"COALESCE(c{k}.s, 0) // 1000000 AS BIGINT) AS r "
+            f"FROM nodes n LEFT JOIN c{k} USING (node))")
+    return ("WITH " + ", ".join(ctes)
+            + f" SELECT node, r AS rank_micro FROM r{iterations}")
+
+
+SQL_PAGERANK = _sql_pagerank()
+
+QUERIES.update({"pagerank": q_pagerank})
+ORACLES.update({"pagerank": SQL_PAGERANK})
+
+
 # ═══════════════════════════════ multimodal pipeline (decode→resize→frames→feat)
 
 

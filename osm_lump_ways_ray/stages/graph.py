@@ -732,3 +732,74 @@ def intern_group_ids(ds, value_col: str, out_col: str = "g"):
         return batch.append_column(out_col, pa.array(hashed[inv], pa.int64()))
 
     return ds.map_batches(add, batch_format="pyarrow")
+
+
+def pagerank_int(edges_ds, nodes_ds, *, iterations: int = 3,
+                 num_partitions: int = 16):
+    """PageRank with INTEGER micro-unit arithmetic (deterministic across
+    engines, so the DuckDB oracle can unroll the same iterations exactly):
+
+        r_0(v) = 1_000_000
+        r_{k+1}(v) = 150_000 + 850_000 · S_k(v) // 1_000_000,
+        S_k(v) = Σ_{u→v} r_k(u) // deg_out(u)      (floor division throughout)
+
+    Dangling mass is dropped (simplified variant — mirrored in the oracle).
+    Each iteration is one broadcast-or-cogroup join (ranks ⋈ edges on src) and
+    one combiner-backed grouped sum — the distributed round shape; ranks stay
+    a Dataset throughout, nothing collects to the driver."""
+    from .relational import bucket_agg, cogroup_join
+
+    edges = edges_ds.select_columns(["src", "dst"])
+    deg = bucket_agg(edges, "src", {"deg": (None, "count")},
+                     num_partitions=num_partitions, combine=True)
+    edges_deg = cogroup_join(edges, deg, on=("src",),
+                             num_partitions=num_partitions)
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "node": batch["node"],
+            "r": pa.array(np.full(n, 1_000_000, np.int64), pa.int64()),
+        })
+
+    ranks = nodes_ds.map_batches(init_rank, batch_format="pyarrow")
+    for _ in range(iterations):
+        def as_src(batch: pa.Table) -> pa.Table:
+            return pa.table({"src": batch["node"], "r": batch["r"]})
+
+        r_src = ranks.map_batches(as_src, batch_format="pyarrow")
+        contrib_rows = cogroup_join(edges_deg, r_src, on=("src",),
+                                    num_partitions=num_partitions)
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            r = batch["r"].to_numpy(zero_copy_only=False)
+            d = batch["deg"].to_numpy(zero_copy_only=False)
+            return pa.table({"node": batch["dst"],
+                             "c": pa.array(r // d, pa.int64())})
+
+        sums = bucket_agg(contrib_rows.map_batches(contrib,
+                                                   batch_format="pyarrow"),
+                          "node", {"s": ("c", "sum")},
+                          num_partitions=num_partitions, combine=True)
+        joined = cogroup_join(ranks.select_columns(["node"]), sums,
+                              on=("node",), how="left_outer",
+                              num_partitions=num_partitions)
+
+        def update(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            s = _pc.coalesce(batch["s"], pa.scalar(0, batch["s"].type)) \
+                .cast(pa.int64()).to_numpy(zero_copy_only=False)
+            r = 150_000 + 850_000 * s // 1_000_000
+            return pa.table({"node": batch["node"],
+                             "r": pa.array(r, pa.int64())})
+
+        from .relational import snapshot
+
+        # sever the plan between rounds (iterative union→all-to-all shapes
+        # wedge the streaming executor otherwise — same pattern as CC/SCC)
+        ranks = snapshot(joined.map_batches(update, batch_format="pyarrow"))
+
+    return ranks.map_batches(
+        lambda b: pa.table({"node": b["node"], "rank_micro": b["r"]}),
+        batch_format="pyarrow")

@@ -228,3 +228,24 @@ def test_local_cc_pointer_jumping_long_chain():
     assert set(out["label"].to_pylist()) == {1}
     assert len(out) == n
     assert wall < 5.0  # one-hop rounds would need 50k passes over the edges
+
+
+def test_pagerank_int_hand_computed(ray_session):
+    """star a→c, b→c plus c→a on 3 nodes, 2 iterations, integer semantics."""
+    import ray.data
+
+    from osm_lump_ways_ray.stages.graph import pagerank_int
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([1, 2, 3], pa.int64()),
+        "dst": pa.array([3, 3, 1], pa.int64())}))
+    nodes = ray.data.from_arrow(pa.table({"node": pa.array([1, 2, 3], pa.int64())}))
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank_int(edges, nodes, iterations=2).take_all()}
+    # r0 = 1e6 each; deg: 1→1, 2→1, 3→1
+    # iter1: S(3)=1e6+1e6=2e6 → r=150000+850000*2e6//1e6=1850000
+    #        S(1)=1e6 → 1000000; node2: none → 150000
+    # iter2: S(3)=r1(1)+r1(2)=1000000+150000=1150000 → 150000+850000*1150000//1e6
+    #        = 150000+977500 = 1127500
+    #        S(1)=r1(3)=1850000 → 150000+1572500=1722500; node2 → 150000
+    assert got == {1: 1722500, 2: 150000, 3: 1127500}
