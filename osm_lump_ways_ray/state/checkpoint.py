@@ -101,7 +101,17 @@ class CheckpointManager:
         final.parent.mkdir(parents=True, exist_ok=True)
         os.replace(tmp, final)
         out = ray.data.read_parquet(str(final))
-        rows = out.count()
+        # per-PARTITION lineage (north rule: every partition emits lineage +
+        # metrics): one record per written parquet fragment, rows from the
+        # footer only (no data read)
+        import pyarrow.parquet as pq
+
+        rows = 0
+        for frag in sorted(final.glob("*.parquet")):
+            frows = pq.ParquetFile(frag).metadata.num_rows
+            rows += frows
+            self.record(step=key, partition=frag.name, rows=frows,
+                        bytes=frag.stat().st_size)
         self._manifest["completed"][key] = {"rows": rows, "ts": time.time()}
         self._write_manifest()
         self.record(step=key, rows=rows, wall_s=round(time.monotonic() - t0, 3),

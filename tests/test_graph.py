@@ -152,6 +152,16 @@ def test_connected_components_checkpoint_resume(ray_ds_factory, tmp_path):
     assert got1 == got2 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
     lineage = (tmp_path / "ck" / "lineage.jsonl").read_text().strip().splitlines()
     assert len(lineage) >= 2
+    # per-partition records (north rule): at least one per-fragment row with
+    # partition name + rows + bytes for every saved step
+    import json as _json
+
+    recs = [_json.loads(x) for x in lineage]
+    parts = [r for r in recs if "partition" in r]
+    assert parts and all(r["rows"] >= 0 and r["bytes"] > 0 for r in parts)
+    steps_with_parts = {r["step"] for r in parts}
+    steps_saved = {r["step"] for r in recs if "wall_s" in r and "rows" in r}
+    assert steps_saved <= steps_with_parts
 
 
 def test_checkpoint_key_fingerprint_isolates_inputs(ray_ds_factory, tmp_path):
