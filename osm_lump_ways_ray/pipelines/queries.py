@@ -3359,12 +3359,74 @@ GROUP BY 1, 2
 """
 
 
+def _events_vm(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    return ev.map_batches(_quantize_milli("value", "value_milli"),
+                          batch_format="pyarrow") \
+             .select_columns(["event_id", "event_type", "value_milli"])
+
+
+def q_quantile_bucket(sf_dir: str):
+    """Groupwise quantile-bucket assignment (value quartiles per event_type) —
+    the ML-pipeline normalize-by-group-statistic shape."""
+    from ..stages.temporal import quantile_bucket_assign
+
+    return quantile_bucket_assign(_events_vm(sf_dir), group="event_type",
+                                  val_milli_col="value_milli")
+
+
+SQL_QUANTILE_BUCKET = """
+WITH v AS (
+  SELECT event_id, event_type, CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+  FROM events
+), c AS (
+  SELECT event_type, vm AS tv, COUNT(*) AS n FROM v GROUP BY 1, 2
+), t AS (
+  SELECT event_type, tv,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY tv) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS tot
+  FROM c
+), th AS (
+  SELECT event_type, qp, MIN(tv) AS thr
+  FROM t CROSS JOIN (VALUES (250), (500), (750)) AS q(qp)
+  WHERE cum * 1000 >= qp * tot GROUP BY 1, 2
+)
+SELECT v.event_id, v.event_type, v.vm AS value_milli,
+       CAST(1 + COUNT(CASE WHEN v.vm > th.thr THEN 1 END) AS BIGINT) AS bucket
+FROM v JOIN th USING (event_type)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_groupwise_center(sf_dir: str):
+    """Group-wise mean centering with integer floor mean (exact)."""
+    from ..stages.temporal import groupwise_center
+
+    return groupwise_center(_events_vm(sf_dir), group="event_type",
+                            val_milli_col="value_milli")
+
+
+SQL_GROUPWISE_CENTER = """
+WITH v AS (
+  SELECT event_id, event_type, CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+  FROM events
+), m AS (
+  SELECT event_type, SUM(vm) AS s, COUNT(*) AS n FROM v GROUP BY 1
+)
+SELECT v.event_id, v.event_type, v.vm AS value_milli,
+       CAST(v.vm - m.s // m.n AS BIGINT) AS centered_milli
+FROM v JOIN m USING (event_type)
+"""
+
+
 QUERIES.update({
     "asof_latest_order": q_asof_latest_order,
     "range_join_prior": q_range_join_prior,
     "sessionize": q_sessionize,
     "hopping_window": q_hopping_window,
     "quantiles": q_quantiles,
+    "quantile_bucket": q_quantile_bucket,
+    "groupwise_center": q_groupwise_center,
 })
 ORACLES.update({
     "asof_latest_order": SQL_ASOF_LATEST_ORDER,
@@ -3372,6 +3434,8 @@ ORACLES.update({
     "sessionize": SQL_SESSIONIZE,
     "hopping_window": SQL_HOPPING_WINDOW,
     "quantiles": SQL_QUANTILES,
+    "quantile_bucket": SQL_QUANTILE_BUCKET,
+    "groupwise_center": SQL_GROUPWISE_CENTER,
 })
 
 

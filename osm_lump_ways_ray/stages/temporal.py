@@ -347,3 +347,66 @@ def grouped_quantiles(events, group: str, val_milli_col: str,
         return pd.DataFrame(rows, columns=[group, "q_permille", "v_milli"])
 
     return hist.groupby(group).map_groups(pick, batch_format="pandas")
+
+
+def quantile_bucket_assign(events, group: str, val_milli_col: str,
+                           q_permille: tuple = (250, 500, 750)):
+    """Groupwise quantile-bucket assignment (ntile-by-VALUE, not by row
+    order — deterministic under ties): computes the group's quantile
+    thresholds via ``grouped_quantiles`` (histogram-bounded shuffle), then
+    assigns each row bucket = #thresholds < value... precisely:
+    bucket k is the smallest k with value ≤ threshold_k (k = len(q)+1 when
+    above all). Thresholds are broadcast back through the cogroup join's
+    small-side fast path — no per-row shuffle of the raw table."""
+    import pyarrow.compute as pc
+
+    from .relational import cogroup_join
+
+    th = grouped_quantiles(events, group, val_milli_col,
+                           q_permille=q_permille)
+
+    def widen(df):
+        import pandas as pd
+
+        df = df.sort_values("q_permille")
+        return pd.DataFrame({group: [df[group].iloc[0]],
+                             **{f"_t{i}": [int(v)] for i, v in
+                                enumerate(df["v_milli"])}})
+
+    th_wide = th.groupby(group).map_groups(widen, batch_format="pandas")
+    joined = cogroup_join(events, th_wide, on=group)
+    n_q = len(q_permille)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch[val_milli_col].to_numpy(zero_copy_only=False)
+        bucket = np.ones(len(v), np.int64)
+        for i in range(n_q):
+            t = batch[f"_t{i}"].to_numpy(zero_copy_only=False)
+            bucket += (v > t).astype(np.int64)
+        keep = [c for c in batch.column_names if not c.startswith("_t")]
+        return batch.select(keep).append_column(
+            "bucket", pa.array(bucket, pa.int64()))
+
+    return joined.map_batches(assign, batch_format="pyarrow")
+
+
+def groupwise_center(events, group: str, val_milli_col: str):
+    """Group-wise mean centering (integer floor mean — exact cross-engine):
+    centered = value_milli - (sum // n). Mean table via the combiner
+    aggregate, broadcast back map-side."""
+    from .relational import bucket_agg, cogroup_join
+
+    sums = bucket_agg(events, group, {"_s": (val_milli_col, "sum"),
+                                      "_n": (None, "count")}, combine=True)
+    joined = cogroup_join(events, sums, on=group)
+
+    def center(batch: pa.Table) -> pa.Table:
+        v = batch[val_milli_col].to_numpy(zero_copy_only=False)
+        s = batch["_s"].to_numpy(zero_copy_only=False)
+        n = batch["_n"].to_numpy(zero_copy_only=False)
+        keep = [c for c in batch.column_names if c not in ("_s", "_n")]
+        return batch.select(keep).append_column(
+            "centered_milli",
+            pa.array(v - s // n, pa.int64()))
+
+    return joined.map_batches(center, batch_format="pyarrow")
