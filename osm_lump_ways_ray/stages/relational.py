@@ -87,15 +87,23 @@ def cogroup_join(left, right, on, how: str = "inner", num_partitions: int = 16):
     assert not (set(l_extra) & set(r_extra)), "non-key columns must be disjoint"
     all_cols = on + l_extra + r_extra
 
+    def _col_u64(batch, col):
+        import numpy as np
+
+        arr = batch[col].to_numpy(zero_copy_only=False)
+        if arr.dtype.kind in "iub":
+            return arr.astype(np.uint64)
+        # string/object keys: deterministic siphash (same trick as bucket_agg)
+        return pd.util.hash_array(arr)
+
     def tag(side: int, present: list):
         def fn(batch: pa.Table) -> pa.Table:
             import numpy as np
 
             n = len(batch)
-            key = batch[on[0]].to_numpy(zero_copy_only=False).astype(np.uint64)
+            key = _col_u64(batch, on[0])
             for k in on[1:]:
-                key = key * np.uint64(1099511628211) ^ batch[k].to_numpy(
-                    zero_copy_only=False).astype(np.uint64)
+                key = key * np.uint64(1099511628211) ^ _col_u64(batch, k)
             part = ((key * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
                     ).astype(np.int64) % num_partitions
             cols = {"_part": pa.array(part, pa.int64()),
@@ -159,12 +167,26 @@ def _nonempty_refs(mat) -> list:
     (Ray logs "new schema: ."); a later Aggregate over a source containing such
     blocks wedges the 2.49 streaming executor. Blocks are shared-memory Arrow —
     the ray.get here maps them zero-copy to read num_rows."""
+    import pandas as _pd
+    import pyarrow as pa
+
     import ray
 
     refs = mat.to_arrow_refs()
     tables = ray.get(list(refs))  # one batched get (zero-copy mmap)
-    keep = [r for r, t in zip(refs, tables) if t.num_rows > 0]
-    return keep if keep else refs[:1]
+    # despite the name, Ray hands back NATIVE blocks — a pandas-block stage
+    # (map_groups batch_format="pandas") yields DataFrames; convert those to
+    # Arrow so downstream from_arrow_refs sees a uniform block type
+    def _as_arrow_ref(r, t):
+        if isinstance(t, _pd.DataFrame):
+            return ray.put(pa.Table.from_pandas(t, preserve_index=False))
+        return r
+
+    def _rows(t):
+        return len(t) if isinstance(t, _pd.DataFrame) else t.num_rows
+
+    keep = [_as_arrow_ref(r, t) for r, t in zip(refs, tables) if _rows(t) > 0]
+    return keep if keep else [_as_arrow_ref(refs[0], tables[0])]
 
 
 def concat_blocks(*dss):

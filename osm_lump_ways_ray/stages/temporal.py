@@ -25,7 +25,12 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _part_of(arr: np.ndarray, num_partitions: int) -> np.ndarray:
-    key = arr.astype(np.uint64)
+    if arr.dtype.kind in "iub":
+        key = arr.astype(np.uint64)
+    else:  # string/object keys: deterministic siphash (bucket_agg pattern)
+        import pandas as pd
+
+        key = pd.util.hash_array(arr)
     return ((key * _MIX) >> np.uint64(17)).astype(np.int64) % num_partitions
 
 
@@ -366,12 +371,11 @@ def quantile_bucket_assign(events, group: str, val_milli_col: str,
                            q_permille=q_permille)
 
     def widen(df):
-        import pandas as pd
-
+        # Arrow out (pandas blocks wedge the Arrow-assuming join internals)
         df = df.sort_values("q_permille")
-        return pd.DataFrame({group: [df[group].iloc[0]],
-                             **{f"_t{i}": [int(v)] for i, v in
-                                enumerate(df["v_milli"])}})
+        return pa.table({group: pa.array([df[group].iloc[0]]),
+                         **{f"_t{i}": pa.array([int(v)], pa.int64())
+                            for i, v in enumerate(df["v_milli"])}})
 
     th_wide = th.groupby(group).map_groups(widen, batch_format="pandas")
     joined = cogroup_join(events, th_wide, on=group)

@@ -98,3 +98,25 @@ def test_with_desc_rank_cross_block_ties(mk):
     out = {r["id"]: r["rk"] for r in with_desc_rank(ds, "v", out_col="rk").take_all()}
     expect = {int(i): int((vals > v).sum()) for i, v in zip(ids, vals)}
     assert out == expect
+
+
+def test_snapshot_handles_pandas_blocks(ray_session):
+    """A map_groups(batch_format='pandas') stage yields NATIVE pandas blocks;
+    snapshot/_nonempty_refs must convert them to Arrow, including when a
+    NON-EMPTY pandas block must be kept (the latent NameError path)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.stages.relational import snapshot
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "v": pa.array([10, 20, 30], pa.int64())}))
+    pandas_ds = ds.groupby("k").map_groups(
+        lambda df: pd.DataFrame({"k": [int(df["k"].iloc[0])],
+                                 "s": [int(df["v"].sum())]}),
+        batch_format="pandas")
+    out = snapshot(pandas_ds)
+    got = {r["k"]: r["s"] for r in out.take_all()}
+    assert got == {1: 30, 2: 30}
