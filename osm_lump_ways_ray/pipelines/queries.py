@@ -2899,6 +2899,27 @@ ORACLES.update({
 })
 
 
+# ═══════════════════════════════════════════ skew diagnostics
+
+
+def q_key_skew(sf_dir: str):
+    """Top-10 heaviest join keys of lineitem.l_partkey with counts — the
+    pre-shuffle skew report feeding salting decisions."""
+    from ..stages.relational import key_skew_report
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey"])
+    return key_skew_report(li, "l_partkey", k=10)
+
+
+SQL_KEY_SKEW = """
+SELECT l_partkey, COUNT(*) AS n FROM lineitem
+GROUP BY 1 ORDER BY n DESC, l_partkey ASC LIMIT 10
+"""
+
+QUERIES.update({"key_skew": q_key_skew})
+ORACLES.update({"key_skew": SQL_KEY_SKEW})
+
+
 # ═══════════════════════════════════════════ PageRank (iterative rounds)
 
 

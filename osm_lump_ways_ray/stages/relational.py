@@ -513,3 +513,24 @@ def broadcast_join(left, right_table, on: str, *, select=None):
         return batch.merge(small, on=on, how="inner")
 
     return left.map_batches(merge, batch_format="pandas")
+
+
+def key_skew_report(ds, key_col: str, *, k: int = 10, num_partitions: int = 16):
+    """Skew diagnostics: the ``k`` heaviest keys of a column with their row
+    counts — the pre-flight check before choosing shuffle keys / salting
+    thresholds (salt_hot_cells' planning input). Per-block combiner counts →
+    tiny grouped sum → global top-k with a total (count desc, key asc) order
+    so ties at the boundary are deterministic cross-engine."""
+    import numpy as np
+    import pyarrow as pa
+
+    def per_block_counts(batch: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(batch[key_col].to_numpy(zero_copy_only=False),
+                              return_counts=True)
+        return pa.table({key_col: pa.array(uniq.astype(np.int64), pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    partial = ds.map_batches(per_block_counts, batch_format="pyarrow")
+    counts = bucket_agg(partial, key_col, {"n": ("n", "sum")},
+                        num_partitions=num_partitions)
+    return counts.sort(["n", key_col], descending=[True, False]).limit(k)
