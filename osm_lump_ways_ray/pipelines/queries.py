@@ -2899,6 +2899,35 @@ ORACLES.update({
 })
 
 
+# ═══════════════════════════════════════════ rolling ROWS window
+
+
+def q_rolling_sum(sf_dir: str):
+    """Per-user 3-row rolling value sum in (ts, event_id) order — the ordered
+    ROWS-window aggregate."""
+    from ..stages.temporal import rolling_sum
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"]) \
+        .map_batches(_quantize_milli("value", "value_milli"),
+                     batch_format="pyarrow")
+    return rolling_sum(ev, key="user_id", ts="ts", order_tiebreak="event_id",
+                       val_milli_col="value_milli", window_rows=3)
+
+
+SQL_ROLLING_SUM = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS rolling_milli
+FROM events
+"""
+
+QUERIES.update({"rolling_sum": q_rolling_sum})
+ORACLES.update({"rolling_sum": SQL_ROLLING_SUM})
+
+
 # ═══════════════════════════════════════════ skew diagnostics
 
 

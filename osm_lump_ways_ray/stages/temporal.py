@@ -414,3 +414,49 @@ def groupwise_center(events, group: str, val_milli_col: str):
             pa.array(v - s // n, pa.int64()))
 
     return joined.map_batches(center, batch_format="pyarrow")
+
+
+def rolling_sum(events, key: str, ts: str, order_tiebreak: str,
+                val_milli_col: str, *, window_rows: int = 3,
+                num_partitions: int = 16):
+    """Per-key ROWS-window rolling sum (the ordered-window analog of the
+    tumbling/hopping/session aggregates): for each row in (ts, tiebreak)
+    order within its key, the sum of the last ``window_rows`` values
+    including itself. One key-hash shuffle; per bucket one lexsort + cumsum,
+    window lower bounds clamped to each key's first row — fully vectorized.
+
+    Output: (key, tiebreak, rolling_milli)."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_part": pa.array(_part_of(k, num_partitions), pa.int64()),
+            key: batch[key],
+            "_ts": batch[ts].cast(pa.int64()),
+            "_tb": batch[order_tiebreak],
+            "_v": batch[val_milli_col],
+        })
+
+    def roll(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        tv = t["_ts"].to_numpy(zero_copy_only=False)
+        tb = t["_tb"].to_numpy(zero_copy_only=False)
+        v = t["_v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tb, tv, k))
+        k, tb, v = k[order], tb[order], v[order]
+        n = len(k)
+        cs = np.concatenate(([0], np.cumsum(v)))
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        key_start = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+        lo = np.maximum(np.arange(n) - (window_rows - 1), key_start)
+        out = cs[np.arange(1, n + 1)] - cs[lo]
+        return pa.table({
+            key: pa.array(k, pa.int64()),
+            order_tiebreak: pa.array(tb, pa.int64()),
+            "rolling_milli": pa.array(out, pa.int64()),
+        })
+
+    return events.map_batches(bucket, batch_format="pyarrow") \
+                 .groupby("_part").map_groups(roll, batch_format="pyarrow")

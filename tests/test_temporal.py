@@ -190,3 +190,57 @@ def test_grouped_quantiles_exact(ray_session):
             want = vals[need - 1]
             have = got[(got.g == grp) & (got.q_permille == qp)].v_milli.iloc[0]
             assert have == want, (grp, qp)
+
+
+def test_rolling_sum_vs_pandas(ray_session):
+    rng = np.random.RandomState(31)
+    n = 1500
+    u = rng.randint(0, 25, n).astype(np.int64)
+    ts = rng.randint(0, 500, n).astype(np.int64) * 1_000_000
+    v = rng.randint(-20, 20, n).astype(np.int64)
+    ev = pa.table({"user_id": pa.array(u), "ts": _ts(ts),
+                   "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                   "value_milli": pa.array(v, pa.int64())})
+    got = T.rolling_sum(_ds(ev), key="user_id", ts="ts",
+                        order_tiebreak="event_id",
+                        val_milli_col="value_milli", window_rows=3) \
+        .to_pandas().sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    df = pd.DataFrame({"u": u, "t": ts, "e": np.arange(n), "v": v}) \
+        .sort_values(["u", "t", "e"])
+    ref = df.groupby("u")["v"].rolling(3, min_periods=1).sum() \
+        .reset_index(drop=True).to_numpy()
+    df = df.reset_index(drop=True)
+    df["r"] = ref
+    df = df.sort_values(["u", "e"]).reset_index(drop=True)
+    assert (got.rolling_milli.to_numpy() == df.r.to_numpy().astype(np.int64)).all()
+
+
+def test_quantile_bucket_and_center(ray_session):
+    rng = np.random.RandomState(41)
+    n = 2000
+    g = np.where(rng.rand(n) < 0.5, "a", "b")
+    v = rng.randint(0, 1000, n).astype(np.int64)
+    ev = pa.table({"event_id": pa.array(np.arange(n, dtype=np.int64)),
+                   "event_type": pa.array(g.tolist()),
+                   "value_milli": pa.array(v, pa.int64())})
+    got = T.quantile_bucket_assign(_ds(ev), group="event_type",
+                                   val_milli_col="value_milli") \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert len(got) == n
+    for grp in ("a", "b"):
+        vals = np.sort(v[g == grp])
+        tot = len(vals)
+        th = [vals[-(-qp * tot // 1000) - 1] for qp in (250, 500, 750)]
+        mine = got[got.event_type == grp]
+        want = 1 + (mine.value_milli.to_numpy()[:, None]
+                    > np.array(th)).sum(axis=1)
+        assert (mine.bucket.to_numpy() == want).all()
+        assert set(mine.bucket) <= {1, 2, 3, 4}
+    cen = T.groupwise_center(_ds(ev), group="event_type",
+                             val_milli_col="value_milli") \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    for grp in ("a", "b"):
+        mean_floor = int(v[g == grp].sum()) // int((g == grp).sum())
+        mine = cen[cen.event_type == grp]
+        assert (mine.centered_milli.to_numpy()
+                == mine.value_milli.to_numpy() - mean_floor).all()
