@@ -6,10 +6,14 @@ Prints ONE JSON line:
 
 - plain run:      timings over $GRAFT_SF_DIR (default /root/testdata/sf0.1) with
   ray.init(num_cpus=$RAY_GRAFT_CPUS or 32).
-- ``--scaling``:  runs the headline pipeline twice in FRESH processes at
-  num_cpus=8 and num_cpus=32 on the same input and reports both throughputs and
-  the scaling efficiency (the sandbox substitute for two cluster sizes —
-  BASELINE.md).
+- ``--scaling``:  the CPU-count N→4N pair — headline twice in FRESH processes
+  at num_cpus=$GRAFT_SCALING_N (default 2) and 4× that, same input, reports
+  both throughputs + efficiency. Exercises cross-partition shuffles through
+  ONE object store, so the 4N leg can saturate the single box (BASELINE.md).
+- ``--scaling-nodes``: the NODE-emulation N→4N pair — one fresh 2-CPU Ray
+  instance ("node") vs FOUR concurrent ones; efficiency = aggregate/(4×solo).
+  One object store per node, the real cluster topology; measured 0.82-0.96
+  (BASELINE.md "node-emulation pair").
 
 The headline kernel is the north-rule metric: pages → extract/verify → geocode
 → link → contract → grouped connected components → lengths → tile join, over a
