@@ -2899,6 +2899,36 @@ ORACLES.update({
 })
 
 
+# ═══════════════════════════════════════════ streaming debounce
+
+
+def q_debounce(sf_dir: str):
+    """Within-window dedup: drop an event when the previous event of the same
+    (user_id, event_type) is ≤ 30 min older (spacing to the previous ROW, the
+    LAG semantics — both engines agree)."""
+    from ..stages.temporal import debounce
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id",
+                                          "event_type", "ts"])
+    out = debounce(ev, keys=["user_id", "event_type"], ts="ts",
+                   order_tiebreak="event_id", window_s=1800)
+    return out.select_columns(["event_id", "user_id", "event_type"])
+
+
+SQL_DEBOUNCE = """
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+         LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts,
+         ts
+  FROM events
+) WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+"""
+
+QUERIES.update({"debounce": q_debounce})
+ORACLES.update({"debounce": SQL_DEBOUNCE})
+
+
 # ═══════════════════════════════════════════ rolling ROWS window
 
 

@@ -460,3 +460,55 @@ def rolling_sum(events, key: str, ts: str, order_tiebreak: str,
 
     return events.map_batches(bucket, batch_format="pyarrow") \
                  .groupby("_part").map_groups(roll, batch_format="pyarrow")
+
+
+def debounce(events, keys: list, ts: str, order_tiebreak: str, window_s: int,
+             *, num_partitions: int = 16):
+    """Streaming debounce / within-window dedup: keep an event only if the
+    previous event with the SAME key tuple is more than ``window_s`` older
+    (or absent). The keep-mask is the sessionize break rule, so the kernel is
+    the same one lexsort + diff per key-hash bucket."""
+    gap_us = window_s * 1_000_000
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        k = batch[keys[0]].to_numpy(zero_copy_only=False)
+        h = (k.astype(np.uint64) if k.dtype.kind in "iub"
+             else pd.util.hash_array(k))
+        for c in keys[1:]:
+            a = batch[c].to_numpy(zero_copy_only=False)
+            ah = (a.astype(np.uint64) if a.dtype.kind in "iub"
+                  else pd.util.hash_array(a))
+            h = h * np.uint64(1099511628211) ^ ah
+        cols = {c: batch[c] for c in batch.column_names}
+        cols["_kh"] = pa.array(h.astype(np.int64), pa.int64())
+        cols["_part"] = pa.array(
+            ((h * _MIX) >> np.uint64(17)).astype(np.int64) % num_partitions,
+            pa.int64())
+        return pa.table(cols)
+
+    def keep_firsts(t: pa.Table) -> pa.Table:
+        # EXACT key identity via per-column dense ranks composed into one
+        # int64 (the _kh hash only routes partitioning; a 64-bit hash
+        # collision must not merge two distinct key tuples)
+        kh = np.zeros(len(t), np.int64)
+        for c in keys:
+            col = t[c].to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(col, return_inverse=True)
+            kh = kh * np.int64(len(uniq) + 1) + inv.astype(np.int64)
+        tv = t[ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tb = t[order_tiebreak].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, tv, kh))
+        khs, tvs = kh[order], tv[order]
+        keep = np.empty(len(khs), bool)
+        if len(khs):
+            keep[0] = True
+            keep[1:] = (khs[1:] != khs[:-1]) | ((tvs[1:] - tvs[:-1]) > gap_us)
+        idx = pa.array(order[keep], pa.int64())
+        out_cols = [c for c in t.column_names if c not in ("_kh", "_part")]
+        return pa.table({c: t[c].take(idx) for c in out_cols})
+
+    return events.map_batches(bucket, batch_format="pyarrow") \
+                 .groupby("_part").map_groups(keep_firsts,
+                                              batch_format="pyarrow")

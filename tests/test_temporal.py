@@ -244,3 +244,20 @@ def test_quantile_bucket_and_center(ray_session):
         mine = cen[cen.event_type == grp]
         assert (mine.centered_milli.to_numpy()
                 == mine.value_milli.to_numpy() - mean_floor).all()
+
+
+def test_debounce_window_semantics(ray_session):
+    """Boundary: gap == window keeps suppressing (strict >); distinct keys
+    never suppress each other even when interleaved."""
+    u = np.array([1, 1, 1, 1, 2], dtype=np.int64)
+    et = np.array(["a", "a", "a", "b", "a"], dtype=object)
+    ts = np.array([0, 10_000_000, 10_000_001, 5_000_000, 1_000_000],
+                  dtype=np.int64)
+    ev = pa.table({"event_id": pa.array(np.arange(5, dtype=np.int64)),
+                   "user_id": pa.array(u), "event_type": pa.array(et.tolist()),
+                   "ts": _ts(ts)})
+    got = T.debounce(_ds(ev), keys=["user_id", "event_type"], ts="ts",
+                     order_tiebreak="event_id", window_s=10).to_pandas()
+    # key (1,a): rows at 0, 10s (gap==10 → dropped), 10.000001s vs previous
+    # ROW (10s) → gap 1µs → dropped. (1,b)@5s and (2,a)@1s are distinct keys.
+    assert sorted(got.event_id) == [0, 3, 4]
