@@ -1,6 +1,8 @@
 """Temporal join / window operators Ray Data lacks natively (graft extension
 surface): as-of join, interval (range) join with aggregation, gap-based
-sessionization, hopping windows, and distributed grouped quantiles.
+sessionization, hopping windows, rolling ROWS windows, streaming debounce,
+distributed grouped quantiles, and group-statistic row enrichment
+(quantile buckets, mean centering).
 
 All are expressed as compositions of ``map_batches`` + hash-bucketed
 ``groupby().map_groups`` — the same key-cogroup pattern as
