@@ -160,33 +160,64 @@ def cogroup_join(left, right, on, how: str = "inner", num_partitions: int = 16):
     return tagged.groupby("_part").map_groups(merge, batch_format="pyarrow")
 
 
+_BLOCK_TO_ARROW = None
+
+
+def _block_to_arrow_task():
+    """Lazily-built remote task normalizing one NATIVE block to Arrow where it
+    lives — a pandas-block stage (map_groups batch_format="pandas") yields
+    DataFrames, and downstream ``from_arrow_refs`` needs a uniform block type.
+    Running the conversion as a task keeps the payload off the driver."""
+    global _BLOCK_TO_ARROW
+    if _BLOCK_TO_ARROW is None:
+        import ray
+
+        @ray.remote(num_cpus=0.25)
+        def _conv(t):
+            import pandas as pd
+            import pyarrow as pa
+
+            if isinstance(t, pd.DataFrame):
+                return pa.Table.from_pandas(t, preserve_index=False)
+            return t
+
+        _BLOCK_TO_ARROW = _conv
+    return _BLOCK_TO_ARROW
+
+
 def _nonempty_refs(mat) -> list:
     """Block refs of a materialized dataset, dropping EMPTY blocks.
 
     Empty blocks out of map_groups/aggregate stages carry a columnless schema
     (Ray logs "new schema: ."); a later Aggregate over a source containing such
-    blocks wedges the 2.49 streaming executor. Blocks are shared-memory Arrow —
-    the ray.get here maps them zero-copy to read num_rows."""
-    import pandas as _pd
+    blocks wedges the 2.49 streaming executor.
+
+    CLUSTER-SAFE (r4): row counts come from BLOCK METADATA
+    (``iter_internal_ref_bundles`` → ``BlockMetadata.num_rows``) — block
+    payloads are never ``ray.get`` to the driver. The old implementation
+    fetched every block (zero-copy mmap locally, but a full dataset copy to
+    the driver's object store on a real multi-node cluster — this function
+    sits between every pair of shuffles in the iterative pipelines).
+    Non-Arrow (pandas) blocks are normalized to Arrow in REMOTE tasks, so the
+    data stays on its node."""
     import pyarrow as pa
 
-    import ray
-
-    refs = mat.to_arrow_refs()
-    tables = ray.get(list(refs))  # one batched get (zero-copy mmap)
-    # despite the name, Ray hands back NATIVE blocks — a pandas-block stage
-    # (map_groups batch_format="pandas") yields DataFrames; convert those to
-    # Arrow so downstream from_arrow_refs sees a uniform block type
-    def _as_arrow_ref(r, t):
-        if isinstance(t, _pd.DataFrame):
-            return ray.put(pa.Table.from_pandas(t, preserve_index=False))
-        return r
-
-    def _rows(t):
-        return len(t) if isinstance(t, _pd.DataFrame) else t.num_rows
-
-    keep = [_as_arrow_ref(r, t) for r, t in zip(refs, tables) if _rows(t) > 0]
-    return keep if keep else [_as_arrow_ref(refs[0], tables[0])]
+    pairs = []  # (block_ref, num_rows-or-None)
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            pairs.append((ref, meta.num_rows))
+    # unknown row counts are conservatively kept
+    keep = [r for r, n in pairs if n is None or n > 0]
+    if not keep:
+        # all-empty: keep ONE block so the schema survives downstream
+        # (guarded for the zero-block degenerate case — ADVICE r3)
+        keep = [pairs[0][0]] if pairs else []
+    schema = mat.schema(fetch_if_missing=False)
+    base = getattr(schema, "base_schema", schema)
+    if keep and not isinstance(base, pa.Schema):
+        conv = _block_to_arrow_task()
+        keep = [conv.remote(r) for r in keep]
+    return keep
 
 
 def concat_blocks(*dss):
