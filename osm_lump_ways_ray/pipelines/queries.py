@@ -127,6 +127,9 @@ def _members_to_ways(members, num_partitions: int = 16):
     def assemble(t: pa.Table) -> pa.Table:
         w = t["way"].to_numpy(zero_copy_only=False)
         n = t["node"].to_numpy(zero_copy_only=False)
+        if len(w) == 0:  # empty bucket / schema-inference probe
+            return pa.table({"way_id": pa.array([], pa.int64()),
+                             "node_ids": pa.array([], pa.list_(pa.int64()))})
         order = np.lexsort((n, w))
         w, n = w[order], n[order]
         starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])

@@ -22,8 +22,10 @@ Reference semantics (NOT a port):
   Distributed as: weak-component labeling (G1) → ``groupby(component)
   .map_groups`` with a per-component Kahn walk — components run in parallel,
   inside a component the walk is sequential by data dependency (same as the
-  reference, which is single-threaded here). Giant components beyond one block
-  need the level-synchronous fallback (documented, not yet implemented).
+  reference, which is single-threaded here). Components beyond
+  ``max_group_rows`` edges auto-route to the level-synchronous distributed
+  fallback in stages/levelflow.py (see ``upstream_flow`` below; parity-tested
+  against the per-component walk in tests/test_scc_flow.py).
 """
 
 from __future__ import annotations

@@ -121,8 +121,9 @@ def knn_bruteforce(embeddings_ds, queries: tuple, *, k: int = 5,
     else:
         def stage(batch: pa.Table) -> pa.Table:
             worker = cached_state(
-                qref, lambda r: BruteForceTopK(r, id_col=id_col,
-                                               emb_col=emb_col, k=k))
+                (qref.hex(), "bruteforce", id_col, emb_col, k),
+                lambda _k: BruteForceTopK(qref, id_col=id_col,
+                                          emb_col=emb_col, k=k))
             return worker(batch)
 
         cands = embeddings_ds.map_batches(stage, batch_format="pyarrow")
@@ -158,8 +159,8 @@ def ivf_assign(embeddings_ds, centroids_ref, *, id_col: str = "vec_id",
     from ..state.worker_cache import cached_state
 
     def stage(batch: pa.Table) -> pa.Table:
-        cent = cached_state(centroids_ref,
-                            lambda r: _normalize(ray.get(r)))
+        cent = cached_state((centroids_ref.hex(), "ivf_centroids"),
+                            lambda _k: _normalize(ray.get(centroids_ref)))
         mat = _normalize(_stack_embeddings(batch, emb_col))
         lists = np.argmax(mat @ cent.T, axis=1).astype(np.int64)
         return batch.append_column("ivf_list", pa.array(lists, pa.int64()))
@@ -170,8 +171,14 @@ def ivf_assign(embeddings_ds, centroids_ref, *, id_col: str = "vec_id",
 def pseudo_centroids(embeddings_ds, nlist: int, *, emb_col: str = "embedding",
                      id_col: str = "vec_id"):
     """Deterministic centroids: rows whose id ≡ 0 (mod ceil(n/nlist)) — a seeded
-    sample standing in for k-means (no sklearn in this environment; the IVF
-    mechanics — shard, probe, verify — are what matters at scale)."""
+    sample standing in for k-means init (the IVF mechanics — shard, probe,
+    verify — are what matters at scale; ``kmeans_centroids`` refines these).
+
+    ASSUMES DENSE INTEGER ids (0..n-1-ish): the id-modulo pick degenerates to
+    few/no rows under sparse or hashed id spaces. For such corpora, derive the
+    pick from a hash instead (``siphash(id) % step == 0``) — at test scale the
+    synthetic ``vec_id`` is dense, so the simple form is kept for oracle
+    reproducibility. Collects ≤ nlist rows to the driver (bounded)."""
     n = embeddings_ds.count()
     step = max(1, n // nlist)
 

@@ -191,8 +191,12 @@ def pip_join(ds, polygons: list, *, lat_col: str = "lat", lon_col: str = "lon",
         )
 
     def stage(batch: pa.Table) -> pa.Table:
+        # cache key carries the non-ref params too (ADVICE r3): a caller
+        # reusing the same polygons ref with different column names must not
+        # get a worker built for the first caller's columns
         worker = cached_state(
-            ref, lambda r: PIPGeocoder(r, lat_col=lat_col, lon_col=lon_col))
+            (ref.hex(), "pip", lat_col, lon_col),
+            lambda _k: PIPGeocoder(ref, lat_col=lat_col, lon_col=lon_col))
         return worker(batch)
 
     return ds.map_batches(stage, batch_format="pyarrow")
@@ -263,7 +267,8 @@ def knn_join_broadcast(ds, anchors: tuple, *, lat_col: str = "lat",
 
     def stage(batch: pa.Table) -> pa.Table:
         worker = cached_state(
-            ref, lambda r: NearestAnchor(r, lat_col=lat_col, lon_col=lon_col))
+            (ref.hex(), "anchor", lat_col, lon_col),
+            lambda _k: NearestAnchor(ref, lat_col=lat_col, lon_col=lon_col))
         return worker(batch)
 
     return ds.map_batches(stage, batch_format="pyarrow")

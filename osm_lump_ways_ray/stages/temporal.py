@@ -141,6 +141,16 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
     last (= max-tiebreak) row at or before each left timestamp.
     """
     def body(l: pa.Table, r: pa.Table) -> pa.Table:
+        # the int64-storage comparison below is only meaningful when both
+        # timestamp columns carry the SAME Arrow type/unit (date32 days vs
+        # timestamp[us] would silently mismatch), and the key must be integer
+        # (strings pass _part_of's siphash but not the astype here)
+        assert l.schema.field(left_ts).type == r.schema.field(right_ts).type, \
+            (f"asof_join: {left_ts} ({l.schema.field(left_ts).type}) and "
+             f"{right_ts} ({r.schema.field(right_ts).type}) must share one "
+             "Arrow temporal type/unit")
+        assert pa.types.is_integer(l.schema.field(key).type), \
+            f"asof_join: key column {key} must be integer-typed"
         lcols = {c: l[c].to_numpy(zero_copy_only=False) for c in l.column_names}
         lk = lcols[key].astype(np.int64)
         lt = l[left_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -198,6 +208,13 @@ def range_join_agg(left, right, key: str, left_ts: str, right_ts: str,
     assert lo_offset_us < hi_offset_us, "empty window: lo_offset ≥ hi_offset"
 
     def body(l: pa.Table, r: pa.Table) -> pa.Table:
+        # same type discipline as asof_join: matching temporal types, int key
+        assert l.schema.field(left_ts).type == r.schema.field(right_ts).type, \
+            (f"range_join_agg: {left_ts} ({l.schema.field(left_ts).type}) and "
+             f"{right_ts} ({r.schema.field(right_ts).type}) must share one "
+             "Arrow temporal type/unit")
+        assert pa.types.is_integer(l.schema.field(key).type), \
+            f"range_join_agg: key column {key} must be integer-typed"
         lcols = {c: l[c].to_numpy(zero_copy_only=False) for c in l.column_names}
         n = len(l)
         if n == 0:
@@ -257,6 +274,11 @@ def sessionize(events, key: str, ts: str, order_tiebreak: str, gap_s: int,
 
     def sessions(t: pa.Table) -> pa.Table:
         k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(k) == 0:  # empty bucket / schema-inference probe
+            return pa.table({key: pa.array([], pa.int64()),
+                             "session_n": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "dur_s": pa.array([], pa.int64())})
         tv = t["_ts"].to_numpy(zero_copy_only=False)
         tb = t["_tb"].to_numpy(zero_copy_only=False)
         order = np.lexsort((tb, tv, k))
@@ -337,7 +359,7 @@ def grouped_quantiles(events, group: str, val_milli_col: str,
     from .relational import bucket_agg
 
     hist = bucket_agg(events, [group, val_milli_col],
-                      {"n": (None, "count")})
+                      {"n": (None, "count")}, combine=True)
 
     def pick(df):
         df = df.sort_values(val_milli_col)
@@ -441,6 +463,10 @@ def rolling_sum(events, key: str, ts: str, order_tiebreak: str,
 
     def roll(t: pa.Table) -> pa.Table:
         k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(k) == 0:  # empty bucket / schema-inference probe
+            return pa.table({key: pa.array([], pa.int64()),
+                             order_tiebreak: pa.array([], pa.int64()),
+                             "rolling_milli": pa.array([], pa.int64())})
         tv = t["_ts"].to_numpy(zero_copy_only=False)
         tb = t["_tb"].to_numpy(zero_copy_only=False)
         v = t["_v"].to_numpy(zero_copy_only=False).astype(np.int64)
