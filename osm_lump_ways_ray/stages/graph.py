@@ -464,38 +464,38 @@ def _local_cc_group(batch: pa.Table) -> pa.Table:
 def _node_min_eq_group(batch: pa.Table) -> pa.Table:
     """map_groups body over one vertex-hash bucket of (g, node, label) rows:
     emit kind-0 rows (g, node, min_label) and kind-1 equivalence edges
-    (g, min_label, other_label) for every non-minimal local label."""
-    import pandas as pd
+    (g, min_label, other_label) for every non-minimal local label.
 
-    df = batch.select(["g", "node", "label"]).to_pandas()
-    df = df.sort_values(["g", "node", "label"], kind="mergesort")
-    g = df["g"].to_numpy()
-    node = df["node"].to_numpy()
-    lab = df["label"].to_numpy()
+    Fully vectorized (r4, VERDICT r3 #4): one lexsort, then the run-split
+    idiom — boundary masks pick vertex starts (whose label is the run min)
+    and the first occurrence of every distinct non-min label (adjacent
+    duplicates collapse because the run is label-sorted). This is the
+    per-round reduce body of the non-base-case CC path, so it must carry
+    10^12-edge rounds without a Python loop."""
+    g = batch["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+    node = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(g) == 0:
+        z8 = pa.array([], pa.int8())
+        z64 = pa.array([], pa.int64())
+        return pa.table({"kind": z8, "g": z64, "a": z64, "b": z64})
+    order = np.lexsort((lab, node, g))
+    g, node, lab = g[order], node[order], lab[order]
     new_vertex = np.r_[True, (g[1:] != g[:-1]) | (node[1:] != node[:-1])]
     starts = np.flatnonzero(new_vertex)
-    ends = np.r_[starts[1:], len(g)]
-    kinds, og, oa, ob = [], [], [], []
-    for s, e in zip(starts, ends):
-        m = int(lab[s])  # sorted → first label is the min
-        kinds.append(0)
-        og.append(int(g[s]))
-        oa.append(int(node[s]))
-        ob.append(m)
-        prev = m
-        for i in range(s + 1, e):
-            l = int(lab[i])
-            if l != prev:  # sorted → dedup by adjacency
-                kinds.append(1)
-                og.append(int(g[s]))
-                oa.append(m)
-                ob.append(l)
-                prev = l
+    vidx = np.cumsum(new_vertex) - 1          # vertex index per row
+    min_lab = lab[starts]                     # sorted → first label is the min
+    # kind-1 edges: first occurrence of each DISTINCT label within a vertex
+    # run, excluding the run start (the min itself)
+    new_lab = np.r_[True, lab[1:] != lab[:-1]] | new_vertex
+    eq_mask = new_lab & ~new_vertex
+    n0, n1 = len(starts), int(np.count_nonzero(eq_mask))
     return pa.table({
-        "kind": pa.array(np.asarray(kinds, dtype=np.int8), pa.int8()),
-        "g": pa.array(np.asarray(og, dtype=np.int64), pa.int64()),
-        "a": pa.array(np.asarray(oa, dtype=np.int64), pa.int64()),
-        "b": pa.array(np.asarray(ob, dtype=np.int64), pa.int64()),
+        "kind": pa.array(np.r_[np.zeros(n0, np.int8), np.ones(n1, np.int8)],
+                         pa.int8()),
+        "g": pa.array(np.r_[g[starts], g[eq_mask]], pa.int64()),
+        "a": pa.array(np.r_[node[starts], min_lab[vidx[eq_mask]]], pa.int64()),
+        "b": pa.array(np.r_[min_lab, lab[eq_mask]], pa.int64()),
     })
 
 
