@@ -16,9 +16,17 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..stages.components import ComponentGraph
 from ..stages.relational import bucket_agg, cogroup_join, concat_blocks, snapshot
+
+#: Per-(g, component) edge-row budget for one in-memory map_groups task.
+#: Components above it either auto-route to a distributed formulation
+#: (compression) or fail loudly (ops whose reference semantics are inherently
+#: one-graph-in-memory) instead of silently OOMing a worker on the planet
+#: graph, which is effectively ONE giant component.
+MAX_GROUP_ROWS = 200_000
 
 
 def _labeled_edges(edges_g, labels, num_partitions: int = 8):
@@ -29,15 +37,56 @@ def _labeled_edges(edges_g, labels, num_partitions: int = 8):
                         num_partitions=num_partitions)
 
 
-def _grouped_rows(edges_g, labels, nodes_ds, num_partitions: int = 8):
+def _biggest_component_rows(e, num_partitions: int) -> int:
+    """Max edge-row count over (g, component_id) — the pre-flight size probe.
+    One combiner-backed aggregate; only the per-component COUNTS (not rows)
+    reach the driver via ``max``."""
+    sizes = bucket_agg(e.select_columns(["g", "component_id"]),
+                       ["g", "component_id"], {"n_edges": (None, "count")},
+                       num_partitions=num_partitions, combine=True)
+    if sizes.count() == 0:
+        return 0
+    return int(sizes.max("n_edges"))
+
+
+def _guard_group_sizes(e, max_group_rows: Optional[int], op: str,
+                       num_partitions: int) -> None:
+    """Fail LOUDLY (instead of OOMing a worker) when any component exceeds
+    the in-memory budget. ``max_group_rows=None`` disables the probe for
+    callers that have already measured."""
+    if max_group_rows is None:
+        return
+    biggest = _biggest_component_rows(e, num_partitions)
+    if biggest > max_group_rows:
+        raise ValueError(
+            f"{op}: largest component holds {biggest} edge rows "
+            f"(> max_group_rows={max_group_rows}); one in-memory map_groups "
+            f"task cannot hold a giant component. Compression "
+            f"(component_compress_stats) auto-routes to its distributed "
+            f"formulation; {op} has no distributed fallback (the reference "
+            f"also runs it on one in-memory graph per way-group, "
+            f"src/graph/undirected_graph.rs) — raise max_group_rows only if "
+            f"each worker's heap can hold the component.")
+
+
+def _grouped_rows(edges_g, labels, nodes_ds, num_partitions: int = 8,
+                  *, max_group_rows: Optional[int] = MAX_GROUP_ROWS,
+                  op: str = "component op", _e=None):
     """Kind-tagged union of labeled edge rows (kind 0) and per-component node
     position rows (kind 1), ready for ``groupby(["g","component_id"])``.
 
     When ``nodes_ds`` is None only edge rows are emitted (ops that don't need
-    geometry, e.g. G2 compression)."""
+    geometry, e.g. G2 compression). Group sizes are probed first and a
+    component above ``max_group_rows`` fails loudly (VERDICT r3 #3).
+    ``_e`` short-circuits with an already-labeled (and already size-probed)
+    edge table."""
     from .lump import chain_segments
 
-    e = snapshot(_labeled_edges(edges_g, labels, num_partitions))
+    if _e is None:
+        e = snapshot(_labeled_edges(edges_g, labels, num_partitions))
+        _guard_group_sizes(e, max_group_rows, op, num_partitions)
+    else:
+        e = _e
 
     def edge_rows(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -110,8 +159,235 @@ def _graph_of(edges_df) -> ComponentGraph:
         edges_df["inter_nids"].tolist() if "inter_nids" in edges_df else None)
 
 
-def component_compress_stats(edges_g, labels, *, num_partitions: int = 8):
-    """G2 per component → (g, component_id, vertices_before, vertices_after)."""
+def compress_stats_distributed(e, *, num_partitions: int = 8):
+    """G2 stats WITHOUT per-component in-memory graphs — the giant-component
+    path (VERDICT r3 next-step #2; semantics undirected_graph.rs:640-716).
+
+    The sequential compress has a deterministic REMAINING-VERTEX COUNT even
+    though the surviving vertex SET is order-dependent inside cycles:
+
+    - terminals (degree != 2 in the deduped simple graph) always survive;
+    - a maximal interior (all-degree-2) chain between DISTINCT terminals a,b
+      contracts to one a-b edge; every FURTHER a-b connection (another chain,
+      or a pre-existing direct edge) trips the parallel-edge undo and keeps
+      exactly 1 interior vertex — a pair with c chains and d ∈ {0,1} direct
+      edges keeps max(0, c-1+d) interiors;
+    - a chain leaving and re-entering the SAME terminal (attached cycle)
+      keeps exactly 2 interiors (the final contraction would form a t-t
+      self-edge, which add_edge rejects);
+    - an isolated cycle (whole component degree-2) keeps exactly 3 (triangle
+      fixpoint: every remaining vertex's contraction would duplicate the
+      opposite edge).
+
+    Interior chains are G1-labeled over the interior-interior edge subset
+    (chains never cross weak components, so ``g`` suffices as the CC group),
+    making every step a bucketed aggregate or cogroup join — no task ever
+    holds a whole component. Parity with the map_groups path is asserted in
+    tests/test_group_ops.py over all four shapes."""
+    from ..stages.graph import connected_components
+
+    e = snapshot(e)
+
+    # the in-memory graph is adjacency-SET (ComponentGraph.add_edge: parallel
+    # rows collapse, self loops drop) — dedupe to the same simple graph
+    def canon(batch: pa.Table) -> pa.Table:
+        g = batch["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["component_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        m = lo != hi
+        return pa.table({"g": pa.array(g[m], pa.int64()),
+                         "component_id": pa.array(c[m], pa.int64()),
+                         "a": pa.array(lo[m], pa.int64()),
+                         "b": pa.array(hi[m], pa.int64())})
+
+    edges = snapshot(bucket_agg(
+        e.map_batches(canon, batch_format="pyarrow"),
+        ["g", "component_id", "a", "b"], {"_c": (None, "count")},
+        num_partitions=num_partitions, combine=True)
+        .select_columns(["g", "component_id", "a", "b"]))
+
+    def ends(batch: pa.Table) -> pa.Table:
+        g = batch["g"].to_numpy(zero_copy_only=False)
+        c = batch["component_id"].to_numpy(zero_copy_only=False)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"g": pa.array(np.r_[g, g], pa.int64()),
+                         "component_id": pa.array(np.r_[c, c], pa.int64()),
+                         "node": pa.array(np.r_[a, b], pa.int64())})
+
+    deg = snapshot(bucket_agg(
+        edges.map_batches(ends, batch_format="pyarrow"), ["g", "node"],
+        {"deg": (None, "count"), "component_id": ("component_id", "min")},
+        num_partitions=num_partitions, combine=True))
+
+    before = bucket_agg(deg.select_columns(["g", "component_id"]),
+                        ["g", "component_id"],
+                        {"vertices_before": (None, "count")},
+                        num_partitions=num_partitions, combine=True)
+
+    flags = snapshot(deg.map_batches(
+        lambda b: pa.table({
+            "g": b["g"], "node": b["node"],
+            "is_int": pa.array(
+                (b["deg"].to_numpy(zero_copy_only=False) == 2)
+                .astype(np.int8), pa.int8())}),
+        batch_format="pyarrow"))
+
+    lab = cogroup_join(edges, flags.rename_columns(["g", "a", "ia"]),
+                       ("g", "a"), how="inner", num_partitions=num_partitions)
+    lab = snapshot(cogroup_join(lab, flags.rename_columns(["g", "b", "ib"]),
+                                ("g", "b"), how="inner",
+                                num_partitions=num_partitions))
+
+    def ii_edges(t: pa.Table) -> pa.Table:
+        m = pa.array((t["ia"].to_numpy(zero_copy_only=False) == 1)
+                     & (t["ib"].to_numpy(zero_copy_only=False) == 1))
+        return t.filter(m).select(["g", "a", "b"])
+
+    def attach_rows(t: pa.Table) -> pa.Table:
+        g = t["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["component_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ia = t["ia"].to_numpy(zero_copy_only=False) == 1
+        ib = t["ib"].to_numpy(zero_copy_only=False) == 1
+        ma, mb = ia & ~ib, ib & ~ia
+        return pa.table({
+            "g": pa.array(np.r_[g[ma], g[mb]], pa.int64()),
+            "component_id": pa.array(np.r_[c[ma], c[mb]], pa.int64()),
+            "node": pa.array(np.r_[a[ma], b[mb]], pa.int64()),
+            "term": pa.array(np.r_[b[ma], a[mb]], pa.int64()),
+        })
+
+    def direct_pairs(t: pa.Table) -> pa.Table:
+        m = pa.array((t["ia"].to_numpy(zero_copy_only=False) == 0)
+                     & (t["ib"].to_numpy(zero_copy_only=False) == 0))
+        return t.filter(m).select(["g", "component_id", "a", "b"])
+
+    # G1 over interior-interior edges → chain/cycle labels (icc = min node);
+    # interiors with no interior neighbour are singleton chains (icc = self)
+    ii = snapshot(lab.map_batches(ii_edges, batch_format="pyarrow"))
+    icc = connected_components(ii, "a", "b", "g",
+                               num_partitions=num_partitions) \
+        .rename_columns(["g", "node", "icc"])
+    int_nodes = deg.map_batches(
+        lambda b: b.filter(pa.array(
+            b["deg"].to_numpy(zero_copy_only=False) == 2))
+        .select(["g", "node", "component_id"]),
+        batch_format="pyarrow")
+    li = cogroup_join(int_nodes, icc, ("g", "node"), how="left_outer",
+                      num_partitions=num_partitions)
+    labels_int = snapshot(li.map_batches(
+        lambda t: pa.table({"g": t["g"], "component_id": t["component_id"],
+                            "node": t["node"],
+                            "icc": pc.coalesce(t["icc"], t["node"])
+                            .cast(pa.int64())}),
+        batch_format="pyarrow"))
+
+    at = lab.map_batches(attach_rows, batch_format="pyarrow")
+    at = cogroup_join(at, labels_int.select_columns(["g", "node", "icc"]),
+                      ("g", "node"), how="inner",
+                      num_partitions=num_partitions)
+    at_agg = snapshot(bucket_agg(
+        at, ["g", "icc"],
+        {"amin": ("term", "min"), "amax": ("term", "max"),
+         "component_id": ("component_id", "min")},
+        num_partitions=num_partitions, combine=True))
+
+    icc_all = bucket_agg(labels_int.select_columns(["g", "icc", "component_id"]),
+                         ["g", "icc"], {"component_id": ("component_id", "min")},
+                         num_partitions=num_partitions, combine=True)
+    iso = cogroup_join(icc_all, at_agg.select_columns(["g", "icc"]),
+                       ("g", "icc"), how="left_anti",
+                       num_partitions=num_partitions)
+
+    # ---- contribution rows (g, component_id, after) → one grouped sum
+    def term_contrib(b: pa.Table) -> pa.Table:
+        t = b.filter(pa.array(b["deg"].to_numpy(zero_copy_only=False) != 2))
+        return pa.table({"g": t["g"], "component_id": t["component_id"],
+                         "after": pa.array(np.ones(len(t), np.int64),
+                                           pa.int64())})
+
+    def self_contrib(t: pa.Table) -> pa.Table:
+        m = pa.array(t["amin"].to_numpy(zero_copy_only=False)
+                     == t["amax"].to_numpy(zero_copy_only=False))
+        f = t.filter(m)
+        return pa.table({"g": f["g"], "component_id": f["component_id"],
+                         "after": pa.array(np.full(len(f), 2, np.int64),
+                                           pa.int64())})
+
+    def iso_contrib(t: pa.Table) -> pa.Table:
+        return pa.table({"g": t["g"], "component_id": t["component_id"],
+                         "after": pa.array(np.full(len(t), 3, np.int64),
+                                           pa.int64())})
+
+    chains = at_agg.map_batches(
+        lambda t: (lambda f: pa.table({
+            "g": f["g"], "component_id": f["component_id"],
+            "a": f["amin"], "b": f["amax"]}))(
+            t.filter(pa.array(t["amin"].to_numpy(zero_copy_only=False)
+                              != t["amax"].to_numpy(zero_copy_only=False)))),
+        batch_format="pyarrow")
+    pair_agg = bucket_agg(chains, ["g", "a", "b"],
+                          {"c": (None, "count"),
+                           "component_id": ("component_id", "min")},
+                          num_partitions=num_partitions, combine=True)
+    direct = bucket_agg(lab.map_batches(direct_pairs, batch_format="pyarrow")
+                        .select_columns(["g", "a", "b"]),
+                        ["g", "a", "b"], {"d": (None, "count")},
+                        num_partitions=num_partitions, combine=True)
+    pd_j = cogroup_join(pair_agg, direct, ("g", "a", "b"), how="left_outer",
+                        num_partitions=num_partitions)
+
+    def kept_contrib(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.minimum(pc.coalesce(t["d"], pa.scalar(0, t["d"].type))
+                       .cast(pa.int64()).to_numpy(zero_copy_only=False), 1)
+        kept = np.maximum(0, c - 1 + d)
+        return pa.table({"g": t["g"], "component_id": t["component_id"],
+                         "after": pa.array(kept, pa.int64())})
+
+    contribs = concat_blocks(
+        deg.map_batches(term_contrib, batch_format="pyarrow"),
+        at_agg.map_batches(self_contrib, batch_format="pyarrow"),
+        iso.map_batches(iso_contrib, batch_format="pyarrow"),
+        pd_j.map_batches(kept_contrib, batch_format="pyarrow"))
+    after = bucket_agg(contribs, ["g", "component_id"],
+                       {"vertices_after": ("after", "sum")},
+                       num_partitions=num_partitions, combine=True)
+
+    # every component has a contrib row (terminals, or an isolated cycle),
+    # but keep the outer join + 0 fill as cheap insurance against empties
+    out = cogroup_join(snapshot(before), after, ("g", "component_id"),
+                       how="left_outer", num_partitions=num_partitions)
+    return out.map_batches(
+        lambda t: pa.table({
+            "g": t["g"], "component_id": t["component_id"],
+            "vertices_before": t["vertices_before"].cast(pa.int64()),
+            "vertices_after": pc.coalesce(
+                t["vertices_after"], pa.scalar(0, t["vertices_after"].type))
+            .cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def component_compress_stats(edges_g, labels, *, num_partitions: int = 8,
+                             max_group_rows: Optional[int] = MAX_GROUP_ROWS,
+                             force_distributed: Optional[bool] = None):
+    """G2 per component → (g, component_id, vertices_before, vertices_after).
+
+    Auto-routes: components all under ``max_group_rows`` edge rows run the
+    in-memory graph per ``map_groups`` task; otherwise the whole table goes
+    through ``compress_stats_distributed`` (identical counts, parity-tested).
+    ``force_distributed`` pins a path for A/B tests."""
+    e = snapshot(_labeled_edges(edges_g, labels, num_partitions))
+    if force_distributed is None:
+        force_distributed = (
+            max_group_rows is not None
+            and _biggest_component_rows(e, num_partitions) > max_group_rows)
+    if force_distributed:
+        return compress_stats_distributed(e, num_partitions=num_partitions)
 
     def fn(df):
         import pandas as pd
@@ -127,12 +403,13 @@ def component_compress_stats(edges_g, labels, *, num_partitions: int = 8):
             "vertices_after": [g.num_vertices()],
         })
 
-    rows = _grouped_rows(edges_g, labels, None, num_partitions)
+    rows = _grouped_rows(edges_g, labels, None, num_partitions, _e=e)
     return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
 
 
 def component_lines(edges_g, labels, nodes_ds, *, method: str = "random",
-                    num_partitions: int = 8):
+                    num_partitions: int = 8,
+                    max_group_rows: Optional[int] = MAX_GROUP_ROWS):
     """G4/G5 per component → path rows (g, component_id, line_idx, n_nodes,
     dist_ends_m — reference M11 sinuosity prop, main.rs:789-796)."""
 
@@ -158,11 +435,13 @@ def component_lines(edges_g, labels, nodes_ds, *, method: str = "random",
         return pd.DataFrame(rows, columns=["g", "component_id", "line_idx",
                                            "n_nodes", "dist_ends_m"])
 
-    rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions)
+    rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions,
+                         max_group_rows=max_group_rows, op="component_lines")
     return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
 
 
-def component_frames(edges_g, labels, nodes_ds, *, num_partitions: int = 8):
+def component_frames(edges_g, labels, nodes_ds, *, num_partitions: int = 8,
+                     max_group_rows: Optional[int] = MAX_GROUP_ROWS):
     """G8 per component → frame line rows (g, component_id, frame_idx, n_nodes)."""
 
     def fn(df):
@@ -176,12 +455,14 @@ def component_frames(edges_g, labels, nodes_ds, *, num_partitions: int = 8):
                          i, len(line)))
         return pd.DataFrame(rows, columns=["g", "component_id", "frame_idx", "n_nodes"])
 
-    rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions)
+    rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions,
+                         max_group_rows=max_group_rows, op="component_frames")
     return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
 
 
 def component_betweenness(edges_g, labels, nodes_ds, *, max_nodes: int = 2000,
-                          seed: int = 42, num_partitions: int = 8):
+                          seed: int = 42, num_partitions: int = 8,
+                          max_group_rows: Optional[int] = MAX_GROUP_ROWS):
     """G9 per component → per-edge (g, component_id, u, v, bc_value) with the
     reference's default 2000-node sampling cap (cli_args.rs:244-253)."""
 
@@ -203,12 +484,14 @@ def component_betweenness(edges_g, labels, nodes_ds, *, max_nodes: int = 2000,
                  a, b, int(v)) for (a, b), v in sorted(bc.items())]
         return pd.DataFrame(rows, columns=["g", "component_id", "u", "v", "bc_value"])
 
-    rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions)
+    rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions,
+                         max_group_rows=max_group_rows, op="component_betweenness")
     return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
 
 
 def component_dijkstra(edges_g, labels, *, len_mod: int = 13, chord_mod: int = 29,
-                       num_partitions: int = 8):
+                       num_partitions: int = 8,
+                       max_group_rows: Optional[int] = MAX_GROUP_ROWS):
     """G6 per component → single-source shortest-path distances from the MIN
     vertex to every vertex (g, component_id, node, dist_cm).
 
@@ -239,11 +522,13 @@ def component_dijkstra(edges_g, labels, *, len_mod: int = 13, chord_mod: int = 2
                 if d != float("inf")]
         return pd.DataFrame(rows, columns=["g", "component_id", "node", "dist_cm"])
 
-    rows = _grouped_rows(edges_g, labels, None, num_partitions)
+    rows = _grouped_rows(edges_g, labels, None, num_partitions,
+                         max_group_rows=max_group_rows, op="component_dijkstra")
     return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
 
 
-def component_astar(edges_g, labels, nodes_ds, *, num_partitions: int = 8):
+def component_astar(edges_g, labels, nodes_ds, *, num_partitions: int = 8,
+                    max_group_rows: Optional[int] = MAX_GROUP_ROWS):
     """G7 per component → A* path (haversine heuristic, dij.rs:84-202) from
     the MIN vertex to the MIDDLE vertex → (g, component_id, seq, node).
 
@@ -266,12 +551,14 @@ def component_astar(edges_g, labels, nodes_ds, *, num_partitions: int = 8):
             "node": np.asarray(path, dtype=np.int64),
         })
 
-    rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions)
+    rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions,
+                         max_group_rows=max_group_rows, op="component_astar")
     return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
 
 
 def component_spikes(edges_g, labels, *, pin_mod: int = 5,
-                     num_partitions: int = 8):
+                     num_partitions: int = 8,
+                     max_group_rows: Optional[int] = MAX_GROUP_ROWS):
     """G3 per component → the edges surviving iterative spike removal
     (undirected_graph.rs:718-754) with ``never_remove = node % pin_mod == 0``
     (the reference pins waterway sinks the same way, -down/main.rs G3 use).
@@ -294,12 +581,14 @@ def component_spikes(edges_g, labels, *, pin_mod: int = 5,
             "v": np.asarray([b for _, b in kept], dtype=np.int64),
         })
 
-    rows = _grouped_rows(edges_g, labels, None, num_partitions)
+    rows = _grouped_rows(edges_g, labels, None, num_partitions,
+                         max_group_rows=max_group_rows, op="component_spikes")
     return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
 
 
 def component_hull_dedup(edges_g, labels, nodes_ds, *, grid: int = 1_000_000,
-                         num_partitions: int = 8):
+                         num_partitions: int = 8,
+                         max_group_rows: Optional[int] = MAX_GROUP_ROWS):
     """D4 per component → hull-input position dedup stats after snapping
     positions to a ``grid`` lattice (forces duplicates so the dedup path is
     actually exercised): (g, component_id, n_vertices, n_unique_pos,
@@ -322,5 +611,6 @@ def component_hull_dedup(edges_g, labels, nodes_ds, *, grid: int = 1_000_000,
             "winner_sum": [int(sum(pts.values()))],
         })
 
-    rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions)
+    rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions,
+                         max_group_rows=max_group_rows, op="component_hull_dedup")
     return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")

@@ -3,7 +3,10 @@
 
 The reference applies these to in-memory ``Graph2`` objects per way-group
 (src/graph/undirected_graph.rs); after distributed CC each component fits in
-one block (giant components get a documented size guard). Components process in
+one block. Giant components get a pre-flight size probe in
+pipelines/group_ops.py (``MAX_GROUP_ROWS``): compression auto-routes to the
+distributed ``compress_stats_distributed`` formulation, the inherently
+one-graph-in-memory ops fail loudly. Components process in
 parallel as Ray tasks; each op below is a faithful re-creation:
 
 - G2 ``compress``            — src/graph/undirected_graph.rs:640-716: repeatedly

@@ -1,0 +1,114 @@
+"""Giant-component guard + distributed G2 compression (VERDICT r3 #2/#3).
+
+Parity target: ``component_compress_stats(force_distributed=True)`` must match
+the in-memory ``ComponentGraph.compress`` map_groups path over every shape the
+sequential algorithm distinguishes (undirected_graph.rs:640-716): plain chains,
+parallel chains between the same terminal pair (parallel-edge undo), chain +
+pre-existing direct edge, attached cycles, and isolated cycles.
+"""
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+
+def _edges_tbl(pairs, g=0):
+    u = [a for a, _ in pairs]
+    v = [b for _, b in pairs]
+    return pa.table({
+        "g": pa.array(np.full(len(pairs), g, np.int64)),
+        "u": pa.array(np.asarray(u, np.int64)),
+        "v": pa.array(np.asarray(v, np.int64)),
+        "inter_nids": pa.array([[] for _ in pairs], pa.list_(pa.int64())),
+    })
+
+
+# one table containing every compress shape, all in tag group 0
+_SHAPES = [
+    # A: plain chain 1-2-3-4 (after = 2)
+    (1, 2), (2, 3), (3, 4),
+    # B: two parallel chains 10-11-20 / 10-12-13-20 + spikes 10-14, 20-15
+    (10, 11), (11, 20), (10, 12), (12, 13), (13, 20), (10, 14), (20, 15),
+    # C: chain 30-32-31 + direct edge 30-31 + spikes 30-33, 31-34
+    (30, 32), (32, 31), (30, 31), (30, 33), (31, 34),
+    # D: attached cycle 40-41-42-40 + spike 40-43
+    (40, 41), (41, 42), (42, 40), (40, 43),
+    # E: isolated square cycle 50-51-52-53-50
+    (50, 51), (51, 52), (52, 53), (53, 50),
+]
+
+
+def _compress_both_paths(tbl, **kw):
+    from osm_lump_ways_ray.pipelines.group_ops import component_compress_stats
+    from osm_lump_ways_ray.stages.graph import connected_components
+
+    edges = ray.data.from_arrow(tbl)
+    labels = connected_components(edges, "u", "v", "g", num_partitions=4)
+
+    def rows(ds):
+        return sorted((r["g"], r["component_id"], r["vertices_before"],
+                       r["vertices_after"]) for r in ds.take_all())
+
+    mem = rows(component_compress_stats(edges, labels, num_partitions=4,
+                                        force_distributed=False, **kw))
+    dist = rows(component_compress_stats(edges, labels, num_partitions=4,
+                                         force_distributed=True, **kw))
+    return mem, dist
+
+
+def test_compress_distributed_parity_all_shapes():
+    mem, dist = _compress_both_paths(_edges_tbl(_SHAPES))
+    assert mem == dist
+    by_comp = {c: (b, a) for _g, c, b, a in mem}
+    assert by_comp[1] == (4, 2)      # plain chain
+    assert by_comp[10] == (7, 5)     # parallel chains keep 1 of 3 interiors
+    assert by_comp[30] == (5, 5)     # chain+direct: undo keeps the interior
+    assert by_comp[40] == (4, 4)     # attached cycle keeps 2 interiors
+    assert by_comp[50] == (4, 3)     # isolated cycle fixpoint = triangle
+
+
+def test_compress_distributed_parity_multi_group():
+    """Same node ids reused across two tag groups must not collide."""
+    t = pa.concat_tables([_edges_tbl(_SHAPES, g=0), _edges_tbl(_SHAPES, g=7)])
+    mem, dist = _compress_both_paths(t)
+    assert mem == dist
+    assert len({g for g, *_ in mem}) == 2
+
+
+def test_compress_auto_routes_above_budget():
+    """max_group_rows below the biggest component forces the distributed path
+    (and the result is identical to the in-memory one)."""
+    from osm_lump_ways_ray.pipelines.group_ops import component_compress_stats
+    from osm_lump_ways_ray.stages.graph import connected_components
+
+    tbl = _edges_tbl(_SHAPES)
+    edges = ray.data.from_arrow(tbl)
+    labels = connected_components(edges, "u", "v", "g", num_partitions=4)
+
+    def rows(ds):
+        return sorted(tuple(r.values()) for r in ds.take_all())
+
+    auto = rows(component_compress_stats(edges, labels, num_partitions=4,
+                                         max_group_rows=3))
+    mem = rows(component_compress_stats(edges, labels, num_partitions=4,
+                                        force_distributed=False))
+    assert auto == mem
+
+
+def test_guard_raises_for_inherently_in_memory_ops():
+    """Ops with no distributed formulation (frames, betweenness, ...) must
+    fail LOUDLY when a component exceeds the budget — not OOM a worker."""
+    from osm_lump_ways_ray.pipelines.group_ops import component_frames
+    from osm_lump_ways_ray.stages.graph import connected_components
+
+    tbl = _edges_tbl(_SHAPES)
+    edges = ray.data.from_arrow(tbl)
+    labels = connected_components(edges, "u", "v", "g", num_partitions=4)
+    nodes = ray.data.from_arrow(pa.table({
+        "node_id": pa.array(np.arange(0, 60, dtype=np.int64)),
+        "lat": pa.array(np.arange(0, 60, dtype=np.float64) * 0.001),
+        "lon": pa.array(np.arange(0, 60, dtype=np.float64) * 0.001),
+    }))
+    with pytest.raises(ValueError, match="component_frames"):
+        component_frames(edges, labels, nodes, num_partitions=4,
+                         max_group_rows=3).materialize()
