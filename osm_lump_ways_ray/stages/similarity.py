@@ -426,3 +426,66 @@ def embedding_lsh_neardup(emb_ds, *, threshold: float = 0.35,
     return bucket_agg(cand, ["u", "v"], {"_n": (None, "count")},
                       num_partitions=num_partitions) \
         .select_columns(["u", "v"])
+
+def embedding_neardup_blocked(emb_ds, *, threshold: float = 0.35,
+                              rows_per_block: int = 4096,
+                              id_col: str = "vec_id",
+                              emb_col: str = "embedding"):
+    """EXACT all-pairs cosine near-dup with NO driver collect and NO corpus
+    broadcast (VERDICT r3 #3/next-step #3 — replaces the ``take_all()`` +
+    Python pair loop in q_embedding_neardup).
+
+    Standard blocked cross-join: vectors hash into B ≈ n/rows_per_block
+    blocks; each vector is replicated to the B unordered block *pairs* it
+    participates in, and one ``map_groups`` task per pair computes the
+    cross-block (or within-block upper-triangle) cosine matrix. Every vector
+    pair co-occurs in exactly ONE task, so no output dedup is needed.
+
+    Scale profile: total compute stays O(n²) — inherent to an EXACT all-pairs
+    result — but per-task memory is 2·rows_per_block vectors and the driver
+    never sees a row. The sublinear scale path is ``embedding_lsh_neardup``;
+    this is the exact twin, routed to when exactness is required."""
+    n = emb_ds.count()
+    nblocks = max(1, -(-n // rows_per_block))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = ids.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h = ((u >> np.uint64(1)) % np.uint64(nblocks)).astype(np.int64)
+        outs = []
+        for j in range(nblocks):
+            outs.append(pa.table({
+                "bi": pa.array(np.minimum(h, j), pa.int64()),
+                "bj": pa.array(np.maximum(h, j), pa.int64()),
+                "_own": pa.array(h, pa.int64()),
+                id_col: batch[id_col],
+                emb_col: batch[emb_col],
+            }))
+        return pa.concat_tables(outs)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({"u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64())})
+        if len(ids) < 2:
+            return empty
+        bi = int(t["bi"][0].as_py())
+        bj = int(t["bj"][0].as_py())
+        own = t["_own"].to_numpy(zero_copy_only=False)
+        mat = _normalize(_stack_embeddings(t, emb_col))
+        if bi == bj:
+            iu = np.triu_indices(len(ids), k=1)
+            m = (mat @ mat.T)[iu] >= threshold
+            a, b = ids[iu[0][m]], ids[iu[1][m]]
+        else:
+            left, right = own == bi, own == bj
+            if not left.any() or not right.any():
+                return empty
+            sims = mat[left] @ mat[right].T
+            li, ri = np.nonzero(sims >= threshold)
+            a, b = ids[left][li], ids[right][ri]
+        return pa.table({"u": pa.array(np.minimum(a, b), pa.int64()),
+                         "v": pa.array(np.maximum(a, b), pa.int64())})
+
+    return emb_ds.map_batches(expand, batch_format="pyarrow") \
+        .groupby(["bi", "bj"]).map_groups(pairs, batch_format="pyarrow")

@@ -274,6 +274,35 @@ def knn_join_broadcast(ds, anchors: tuple, *, lat_col: str = "lat",
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
+def knn_join_auto(points_ds, anchors_ds, *, max_broadcast_anchors: int = 500_000,
+                  res: int = 3, lat_col: str = "lat", lon_col: str = "lon",
+                  id_col: str = "node_id", anchor_id_col: str = "anchor_id",
+                  num_partitions: int = 8, force_path: str | None = None):
+    """Auto-select broadcast vs partitioned kNN by ANCHOR COUNT (VERDICT r3
+    #5, mirroring lump.py's pillar broadcast/join auto-select): a small anchor
+    side is collected once — bounded by ``max_broadcast_anchors`` — and
+    shipped via ``ray.put``; a large side routes to the cell-partitioned
+    exact join with no driver collect at any size. Both paths emit
+    ``nearest_anchor`` per point (parity-tested in tests/test_spatial.py).
+    ``force_path`` in {"broadcast", "partitioned"} pins a path for tests."""
+    path = force_path
+    if path is None:
+        path = ("broadcast"
+                if anchors_ds.count() <= max_broadcast_anchors
+                else "partitioned")
+    if path == "broadcast":
+        rows = anchors_ds.take_all()  # bounded by max_broadcast_anchors
+        aid = np.array([r[anchor_id_col] for r in rows], dtype=np.int64)
+        alat = np.array([r[lat_col] for r in rows], dtype=np.int64)
+        alon = np.array([r[lon_col] for r in rows], dtype=np.int64)
+        return knn_join_broadcast(points_ds, (aid, alat, alon),
+                                  lat_col=lat_col, lon_col=lon_col)
+    return knn_join_partitioned(points_ds, anchors_ds, res=res,
+                                lat_col=lat_col, lon_col=lon_col,
+                                id_col=id_col, anchor_id_col=anchor_id_col,
+                                num_partitions=num_partitions)
+
+
 # ---------------------------------------------- partitioned (cell-grid) kNN join
 
 # conservative metres-per-degree lower bounds for the boundary-distance check

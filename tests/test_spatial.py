@@ -248,3 +248,71 @@ def test_embedding_lsh_subset_of_bruteforce(ray_session):
     # every planted pair collides in both bands → must be recalled
     planted = {(i, 40 + i) for i in range(5)}
     assert planted <= got_pairs
+
+
+def test_embedding_neardup_blocked_exact(ray_session):
+    """Blocked cross-join (one task per unordered block pair, VERDICT r3 #3)
+    must equal the in-process all-pairs set EXACTLY — at several block counts,
+    including rows_per_block < n (multi-block) and > n (single block)."""
+    import ray.data
+
+    from osm_lump_ways_ray.stages.similarity import (_normalize,
+                                                     embedding_neardup_blocked)
+
+    rng = np.random.RandomState(17)
+    mat = rng.randn(60, 12)
+    mat[10:15] = mat[:5] + rng.randn(5, 12) * 1e-3  # planted near-dups
+    ids = np.arange(60, dtype=np.int64) * 7 + 3     # non-dense ids
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([row.astype(np.float32) for row in mat],
+                              pa.list_(pa.float32())),
+    })
+    norm = _normalize(mat.astype(np.float32).astype(np.float64))
+    sims = norm @ norm.T
+    want = {(int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+            for i in range(60) for j in range(i + 1, 60)
+            if sims[i, j] >= 0.35}
+    assert len(want) >= 5
+    for rpb in (7, 25, 1000):
+        got = embedding_neardup_blocked(
+            ray.data.from_arrow(tbl), threshold=0.35,
+            rows_per_block=rpb).to_pandas()
+        assert set(zip(got.u, got.v)) == want, f"rows_per_block={rpb}"
+        assert len(got) == len(want), f"dup rows at rows_per_block={rpb}"
+
+
+def test_knn_join_auto_forced_path_parity(ray_session):
+    """knn_join_auto must give identical (node_id, nearest_anchor) via both
+    forced paths, and the count-based auto-select must pick each path at the
+    matching threshold."""
+    import ray.data
+
+    from osm_lump_ways_ray.stages.spatial import knn_join_auto
+
+    rng = np.random.RandomState(5)
+    n = 300
+    lat = (rng.uniform(-60, 60, n) * 1e7).astype(np.int64)
+    lon = (rng.uniform(-170, 170, n) * 1e7).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    is_anchor = ids % 11 == 0
+    pts = ray.data.from_arrow(pa.table({
+        "node_id": pa.array(ids[~is_anchor]),
+        "lat": pa.array(lat[~is_anchor]), "lon": pa.array(lon[~is_anchor])}))
+    anc = ray.data.from_arrow(pa.table({
+        "anchor_id": pa.array(ids[is_anchor]),
+        "lat": pa.array(lat[is_anchor]), "lon": pa.array(lon[is_anchor])}))
+
+    def pairs(ds):
+        return sorted((r["node_id"], r["nearest_anchor"])
+                      for r in ds.select_columns(
+                          ["node_id", "nearest_anchor"]).take_all())
+
+    bc = pairs(knn_join_auto(pts, anc, force_path="broadcast"))
+    pt = pairs(knn_join_auto(pts, anc, force_path="partitioned",
+                             num_partitions=4))
+    assert bc == pt
+    # auto picks broadcast under the threshold, partitioned above it
+    assert pairs(knn_join_auto(pts, anc, max_broadcast_anchors=1000)) == bc
+    assert pairs(knn_join_auto(pts, anc, max_broadcast_anchors=3,
+                               num_partitions=4)) == bc
