@@ -75,16 +75,37 @@ def cmd_lump(args) -> int:
                               split_by=(args.tag_group_by
                                         if args.split_files_by_group else None)))
 
+    if args.incl_wayids:
+        outputs = [Output(path=o.path, geometry=o.geometry,
+                          props=tuple(o.props) + ("all_wayids",),
+                          split_by=o.split_by) for o in outputs]
     pipe = Pipeline(filter=args.tag_filter, group_by=args.tag_group_by,
                     min_length_m=args.min_length_m,
+                    min_length=args.min_length,
                     max_length_m=args.max_length_m,
-                    only_longest_n=args.only_longest_n, outputs=tuple(outputs),
+                    only_longest_n=args.only_longest_n,
+                    only_these_way_groups=tuple(args.only_these_way_groups
+                                                or ()),
+                    only_these_way_groups_nodeid=tuple(
+                        args.only_these_way_groups_nodeid or ()),
+                    only_these_way_groups_divmod=args.only_these_way_groups_divmod,
+                    incl_wayids=args.incl_wayids,
+                    output_frames=args.output_frames,
+                    frames_group_min_length_m=args.frames_group_min_length_m,
+                    betweenness_output=args.betweenness_output,
+                    betweenness_min_value=args.betweenness_min_value,
+                    betweenness_max_nodes=args.betweenness_max_nodes,
+                    outputs=tuple(outputs),
                     num_partitions=args.num_partitions,
                     checkpoint_dir=args.checkpoint_dir)
     res = pipe.run(pages)
     n = res["components"].count()
-    print(json.dumps({"components": n, "metrics": res["metrics"],
-                      "written": res["written"]}))
+    summary = {"components": n, "metrics": res["metrics"],
+               "written": res["written"]}
+    for k in ("frames_written", "betweenness_written"):
+        if k in res:
+            summary[k] = res[k]
+    print(json.dumps(summary))
     if owned:
         ray.shutdown()
     return 0
@@ -105,6 +126,61 @@ def cmd_down(args) -> int:
                          num_partitions=args.num_partitions,
                          checkpoint_dir=args.checkpoint_dir)
     summary = {"metrics": res["metrics"]}
+
+    end_tag_vals = {}
+    if args.ends_membership or args.ends_tag:
+        import pyarrow as pa
+
+        from .stages.relational import cogroup_join
+
+        tag_cols = [c for c in edges.schema().names
+                    if c not in ("src", "dst", "length_m")]
+
+        def way_nodes(batch: pa.Table) -> pa.Table:
+            # each directed edge "passes through" both its endpoints
+            # (-down/main.rs:975-996 ORs way flags over ways touching the end)
+            cols = {"node": pa.concat_arrays([
+                batch["src"].combine_chunks().cast(pa.int64()),
+                batch["dst"].combine_chunks().cast(pa.int64())])}
+            for c in tag_cols:
+                cc = batch[c].combine_chunks()
+                cols[c] = pa.concat_arrays([cc, cc])
+            return pa.table(cols)
+
+        wn = edges.map_batches(way_nodes, batch_format="pyarrow")
+        ends_nodes = res["ends"].map_batches(
+            lambda b: pa.table({"node": b["end_nid"]}),
+            batch_format="pyarrow")
+        if args.ends_membership:
+            from .functions.tagfilter import parse_tag_filter
+            from .stages.relations import ends_membership
+
+            filters = [(s, parse_tag_filter(s)) for s in args.ends_membership]
+            flags = ends_membership(ends_nodes, wn, filters,
+                                    num_partitions=args.num_partitions) \
+                .rename_columns(["end_nid"]
+                                + [f"is_in:{s}" for s in args.ends_membership]
+                                + ["is_in_count"])
+            res["ends"] = cogroup_join(res["ends"], flags, ("end_nid",),
+                                       how="left_outer",
+                                       num_partitions=args.num_partitions)
+            summary["ends_membership"] = args.ends_membership
+        if args.ends_tag:
+            for key in args.ends_tag:
+                vals = cogroup_join(
+                    wn.select_columns(["node", key]), ends_nodes, ("node",),
+                    how="inner", num_partitions=args.num_partitions) \
+                    .groupby("node").map_groups(
+                        lambda t, k=key: pa.table({
+                            "node": pa.array([t["node"][0].as_py()],
+                                             pa.int64()),
+                            "val": pa.array([";".join(sorted(
+                                set(v for v in t[k].to_pylist()
+                                    if v is not None)))], pa.string())}),
+                        batch_format="pyarrow")
+                for r in vals.take_all():  # one row per END (CSV writer side)
+                    end_tag_vals.setdefault(int(r["node"]), {})[key] = r["val"]
+            summary["ends_tag"] = args.ends_tag
     if args.out_dir:
         os.makedirs(args.out_dir, exist_ok=True)
         for name in ("loops", "dag_edges", "flow_edges", "ends",
@@ -128,11 +204,14 @@ def cmd_down(args) -> int:
     if args.ends_csv:
         import pandas as pd
 
+        keys = list(args.ends_tag or ())
         ends = res["ends"].to_pandas()
         rows = [{"nid": int(r.end_nid), "upstream_m": float(r.end_upstream_m),
-                 "lat": 0.0, "lon": 0.0}
+                 "lat": 0.0, "lon": 0.0,
+                 "tags": [end_tag_vals.get(int(r.end_nid), {}).get(k)
+                          for k in keys]}
                 for r in ends.itertuples() if pd.notna(r.end_upstream_m)]
-        n = write_ends_csv(args.ends_csv, rows,
+        n = write_ends_csv(args.ends_csv, rows, ends_tag_keys=keys,
                            min_length_m=args.min_length_m)
         summary["ends_csv"] = {"path": args.ends_csv, "rows": n}
     print(json.dumps(summary))
@@ -156,8 +235,31 @@ def main(argv=None) -> int:
                     help="M2 filter DSL, e.g. 'name' or 'lang=en'")
     pl.add_argument("-g", "--tag-group-by", default="name")
     pl.add_argument("--min-length-m", type=float, default=None)
+    pl.add_argument("--min-length", default=None,
+                    help="DSL: 100 | 5km | 10%%longest | 2%%total | "
+                         "incl90%%total (way_group.rs:205-245; conflicts "
+                         "with --min-length-m)")
     pl.add_argument("--max-length-m", type=float, default=None)
     pl.add_argument("--only-longest-n", type=int, default=None)
+    pl.add_argument("--only-these-way-groups", type=int, action="append",
+                    help="K8 debug: keep groups containing this way id "
+                         "(repeatable)")
+    pl.add_argument("--only-these-way-groups-nodeid", type=int,
+                    action="append",
+                    help="K8 debug: keep groups containing this node id "
+                         "(repeatable)")
+    pl.add_argument("--only-these-way-groups-divmod", default=None,
+                    metavar="M/R", help="K8 debug: keep groups where "
+                                        "component_id %% M == R")
+    pl.add_argument("--incl-wayids", action="store_true",
+                    help="add all_wayids JSON-list property per feature")
+    pl.add_argument("--output-frames", default=None,
+                    help="write G8 frame lines (GeoJSONSeq) to this path")
+    pl.add_argument("--frames-group-min-length-m", type=float, default=None)
+    pl.add_argument("--betweenness-output", default=None,
+                    help="write G9 per-edge betweenness lines to this path")
+    pl.add_argument("--betweenness-min-value", type=int, default=0)
+    pl.add_argument("--betweenness-max-nodes", type=int, default=2000)
     pl.add_argument("--save-as-linestrings", action="store_true")
     pl.add_argument("--split-files-by-group", action="store_true")
     _add_common(pl)
@@ -176,6 +278,14 @@ def main(argv=None) -> int:
     pd.add_argument("--out-dir", default=None)
     pd.add_argument("--openmetrics", default=None)
     pd.add_argument("--ends-csv", default=None)
+    pd.add_argument("--ends-membership", action="append", default=None,
+                    help="tag-filter DSL over edge tag columns; adds "
+                         "is_in:<filter> flags per end (repeatable, "
+                         "-down cli_args.rs:215)")
+    pd.add_argument("--ends-tag", action="append", default=None,
+                    help="edge tag column; adds the per-end sorted "
+                         "';'-joined values to the ends CSV (repeatable, "
+                         "-down cli_args.rs:225)")
     pd.add_argument("--min-length-m", type=float, default=None)
     _add_common(pd)
     pd.set_defaults(fn=cmd_down)

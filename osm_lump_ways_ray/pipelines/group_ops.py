@@ -441,8 +441,11 @@ def component_lines(edges_g, labels, nodes_ds, *, method: str = "random",
 
 
 def component_frames(edges_g, labels, nodes_ds, *, num_partitions: int = 8,
-                     max_group_rows: Optional[int] = MAX_GROUP_ROWS):
-    """G8 per component → frame line rows (g, component_id, frame_idx, n_nodes)."""
+                     max_group_rows: Optional[int] = MAX_GROUP_ROWS,
+                     with_geometry: bool = False):
+    """G8 per component → frame line rows (g, component_id, frame_idx,
+    n_nodes[, lats, lons]). ``with_geometry`` adds the frame line's e7
+    fixed-point coordinates (the --output-frames writer path)."""
 
     def fn(df):
         import pandas as pd
@@ -451,9 +454,16 @@ def component_frames(edges_g, labels, nodes_ds, *, num_partitions: int = 8,
         g = _graph_of(edges)
         rows = []
         for i, line in enumerate(g.frames(pos)):
-            rows.append((int(df["g"].iloc[0]), int(df["component_id"].iloc[0]),
-                         i, len(line)))
-        return pd.DataFrame(rows, columns=["g", "component_id", "frame_idx", "n_nodes"])
+            rec = [int(df["g"].iloc[0]), int(df["component_id"].iloc[0]),
+                   i, len(line)]
+            if with_geometry:
+                rec.append([pos[n][0] for n in line])
+                rec.append([pos[n][1] for n in line])
+            rows.append(tuple(rec))
+        cols = ["g", "component_id", "frame_idx", "n_nodes"]
+        if with_geometry:
+            cols += ["lats", "lons"]
+        return pd.DataFrame(rows, columns=cols)
 
     rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions,
                          max_group_rows=max_group_rows, op="component_frames")

@@ -173,8 +173,19 @@ class Pipeline:
     filter: Optional[str] = None          # M2 DSL string, e.g. "waterway=river"
     group_by: str = "name"                # M4 tag group key
     min_length_m: Optional[float] = None  # K6
+    min_length: Optional[str] = None      # K6 percent DSL (way_group.rs:205-245)
     max_length_m: Optional[float] = None  # K6
     only_longest_n: Optional[int] = None  # K2
+    # K8 debug filters (cli_args.rs:161-172)
+    only_these_way_groups: Sequence[int] = ()
+    only_these_way_groups_nodeid: Sequence[int] = ()
+    only_these_way_groups_divmod: Optional[str] = None  # "M/R"
+    incl_wayids: bool = False             # cli_args.rs:186 all_wayids property
+    output_frames: Optional[str] = None   # G8 frames GeoJSONSeq (cli_args.rs:36)
+    frames_group_min_length_m: Optional[float] = None
+    betweenness_output: Optional[str] = None  # G9 (cli_args.rs:219-253)
+    betweenness_min_value: int = 0
+    betweenness_max_nodes: int = 2000
     outputs: Sequence[Output] = field(default_factory=tuple)
     num_partitions: int = 32
     checkpoint_dir: Optional[str] = None
@@ -217,6 +228,43 @@ class Pipeline:
                 return batch.filter(pa.array(mask))
 
             comps = comps.map_batches(keep, batch_format="pyarrow")
+
+        # K8 debug filters, applied before the length filters (reference
+        # order: main.rs:523-535 runs the nodeid retain right after grouping)
+        if self.only_these_way_groups_divmod:
+            a, b = (int(x) for x in
+                    self.only_these_way_groups_divmod.split("/"))
+            if a <= b:
+                raise ValueError("--only-these-way-groups-divmod M/R needs "
+                                 f"M > R (got {a}/{b}, main.rs:190-192)")
+
+            def dm(t: pa.Table) -> pa.Table:
+                c = t["component_id"].to_numpy(zero_copy_only=False)
+                return t.filter(pa.array(c % a == b))
+
+            comps = comps.map_batches(dm, batch_format="pyarrow")
+        keep_keys = self._debug_component_keys(res)
+        if keep_keys is not None:
+
+            def only(t: pa.Table) -> pa.Table:
+                g = t["g"].to_numpy(zero_copy_only=False)
+                c = t["component_id"].to_numpy(zero_copy_only=False)
+                m = np.fromiter(((int(a), int(b)) in keep_keys
+                                 for a, b in zip(g, c)), dtype=bool,
+                                count=len(t))
+                return t.filter(pa.array(m))
+
+            comps = comps.map_batches(only, batch_format="pyarrow")
+        if self.min_length is not None:
+            if self.min_length_m is not None:
+                raise ValueError("--min-length conflicts with --min-length-m "
+                                 "(cli_args.rs:108)")
+            from ..functions.minlength import (parse_min_length,
+                                               resolve_min_length_m)
+
+            thr = resolve_min_length_m(parse_min_length(self.min_length),
+                                       comps)
+            comps = comps.filter(lambda r: r["length_m"] >= thr)
         if self.min_length_m is not None:
             comps = comps.filter(
                 lambda r: r["length_m"] >= self.min_length_m)
@@ -226,7 +274,16 @@ class Pipeline:
         if self.only_longest_n is not None:
             comps = comps.sort("length_m", descending=True) \
                          .limit(self.only_longest_n)
+        if self.incl_wayids:
+            comps = snapshot(cogroup_join(
+                comps, self._component_wayids(res), ("g", "component_id"),
+                how="left_outer", num_partitions=self.num_partitions))
         res["components"] = comps
+
+        if self.output_frames:
+            res["frames_written"] = self._write_frames(res, comps)
+        if self.betweenness_output:
+            res["betweenness_written"] = self._write_betweenness(res)
 
         written = []
         if self.outputs:
@@ -280,3 +337,127 @@ class Pipeline:
                                                          **geo_kwargs))
         res["written"] = written
         return res
+
+    # ---------------------------------------------------- K8/G8/G9 plumbing
+
+    def _debug_component_keys(self, res):
+        """(g, component_id) keys matching --only-these-way-groups[-nodeid]
+        (main.rs:523-535). The id lists are tiny debug inputs, so each resolves
+        to ≤ len(list) component keys — the only rows ever collected."""
+        keys = None
+        if self.only_these_way_groups_nodeid:
+            want = set(int(x) for x in self.only_these_way_groups_nodeid)
+
+            def ln(t: pa.Table) -> pa.Table:
+                n = t["node"].to_numpy(zero_copy_only=False)
+                m = np.isin(n, np.fromiter(want, dtype=np.int64))
+                return t.filter(pa.array(m))
+
+            keys = set()
+            for r in res["labels"].map_batches(
+                    ln, batch_format="pyarrow").take_all():
+                keys.add((int(r["g"]), int(r["component_id"])))
+        if self.only_these_way_groups:
+            wantw = set(int(x) for x in self.only_these_way_groups)
+
+            def lw(t: pa.Table) -> pa.Table:
+                w = t["way_id"].to_numpy(zero_copy_only=False)
+                m = np.isin(w, np.fromiter(wantw, dtype=np.int64))
+                return t.filter(pa.array(m)).select(["g", "u"])
+
+            hits = res["edges"].map_batches(lw, batch_format="pyarrow")
+            from ..stages.relational import cogroup_join as _cj
+
+            lab = res["labels"].rename_columns(["g", "u", "component_id"])
+            wkeys = set()
+            for r in _cj(hits, lab, ("g", "u"), how="inner",
+                         num_partitions=self.num_partitions).take_all():
+                wkeys.add((int(r["g"]), int(r["component_id"])))
+            keys = wkeys if keys is None else (keys | wkeys)
+        return keys
+
+    def _component_wayids(self, res):
+        """--incl-wayids: per component the sorted distinct member way ids as
+        'w<id>' strings (cli_args.rs:186, JSON list property all_wayids)."""
+        from ..stages.relational import cogroup_join as _cj
+
+        we = res["edges"].select_columns(["g", "u", "way_id"])
+        lab = res["labels"].rename_columns(["g", "u", "component_id"])
+        j = _cj(we, lab, ("g", "u"), how="inner",
+                num_partitions=self.num_partitions)
+
+        def per_comp(t: pa.Table) -> pa.Table:
+            w = sorted(set(t["way_id"].to_numpy(zero_copy_only=False)
+                           .astype(np.int64).tolist()))
+            return pa.table({
+                "g": pa.array([t["g"][0].as_py()], pa.int64()),
+                "component_id": pa.array([t["component_id"][0].as_py()],
+                                         pa.int64()),
+                "all_wayids": pa.array([[f"w{x}" for x in w]],
+                                       pa.list_(pa.string())),
+            })
+
+        return j.groupby(["g", "component_id"]).map_groups(
+            per_comp, batch_format="pyarrow")
+
+    def _write_frames(self, res, comps):
+        """--output-frames: G8 frame lines as LineString GeoJSONSeq features;
+        --frames-group-min-length-m keeps only big-enough groups
+        (cli_args.rs:36-41)."""
+        from ..pipelines.group_ops import component_frames
+        from ..sources.geojson import write_features_single
+        from ..stages.relational import cogroup_join as _cj
+
+        frames = component_frames(res["edges"], res["labels"], res["nodes"],
+                                  num_partitions=self.num_partitions,
+                                  with_geometry=True)
+        sel = comps
+        if self.frames_group_min_length_m is not None:
+            sel = sel.filter(
+                lambda r: r["length_m"] >= self.frames_group_min_length_m)
+        rows = _cj(frames, sel.select_columns(["g", "component_id"]),
+                   ("g", "component_id"), how="inner",
+                   num_partitions=self.num_partitions)
+        return write_features_single(
+            rows, self.output_frames, geometry="linestring",
+            props_cols=["component_id", "frame_idx", "n_nodes"])
+
+    def _write_betweenness(self, res):
+        """--betweenness-output (+ --betweenness-min-value /
+        --betweenness-max-nodes, cli_args.rs:219-253): per-edge centrality as
+        LineString features (edge endpoints' positions joined back in)."""
+        from ..pipelines.group_ops import component_betweenness
+        from ..sources.geojson import write_features_single
+        from ..stages.relational import cogroup_join as _cj
+
+        bc = component_betweenness(res["edges"], res["labels"], res["nodes"],
+                                   max_nodes=self.betweenness_max_nodes,
+                                   num_partitions=self.num_partitions)
+        if self.betweenness_min_value:
+            thr = int(self.betweenness_min_value)
+            bc = bc.filter(lambda r: r["bc_value"] >= thr)
+        pos = res["nodes"].select_columns(["node_id", "lat", "lon"])
+        for side in ("u", "v"):
+            bc = _cj(bc,
+                     pos.rename_columns([side, f"lat_{side}", f"lon_{side}"]),
+                     (side,), how="inner",
+                     num_partitions=self.num_partitions)
+
+        def lines(t: pa.Table) -> pa.Table:
+            lu = t["lat_u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lv = t["lat_v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ou = t["lon_u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ov = t["lon_v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "component_id": t["component_id"], "u": t["u"], "v": t["v"],
+                "bc_value": t["bc_value"],
+                "lats": pa.array(np.stack([lu, lv], axis=1).tolist(),
+                                 pa.list_(pa.int64())),
+                "lons": pa.array(np.stack([ou, ov], axis=1).tolist(),
+                                 pa.list_(pa.int64())),
+            })
+
+        rows = bc.map_batches(lines, batch_format="pyarrow")
+        return write_features_single(
+            rows, self.betweenness_output, geometry="linestring",
+            props_cols=["component_id", "u", "v", "bc_value"])

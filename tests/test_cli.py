@@ -77,3 +77,137 @@ def test_cli_down_outputs(tmp_path, capsys, ray_session):
     rows = ends_csv.read_text().splitlines()
     assert rows[0].startswith("timestamp,iso_datetime,upstream_m")
     assert len(rows) == 3
+
+
+def test_cli_lump_min_length_dsl_and_debug_filters(tmp_path, capsys,
+                                                   ray_session):
+    """--min-length percent DSL + divmod/incl-wayids debug surface."""
+    out = tmp_path / "big.geojson"
+    rc = main(["lump", "--synth", "3000", "-o", str(out),
+               "--min-length", "10%longest", "--incl-wayids",
+               "--num-partitions", "4"])
+    assert rc == 0
+    fc = json.loads(out.read_text())
+    assert len(fc["features"]) > 0
+    lens = [f["properties"]["length_m"] for f in fc["features"]]
+    assert min(lens) >= 0.10 * max(lens)
+    # all_wayids: JSON list of "w<id>" strings per feature
+    wids = fc["features"][0]["properties"]["all_wayids"]
+    assert isinstance(wids, list) and all(w.startswith("w") for w in wids)
+
+    # baseline run without the filter has MORE (or equal) features
+    out_all = tmp_path / "all.geojson"
+    rc = main(["lump", "--synth", "3000", "-o", str(out_all),
+               "--num-partitions", "4"])
+    assert rc == 0
+    n_all = len(json.loads(out_all.read_text())["features"])
+    assert n_all >= len(fc["features"])
+
+    # divmod keeps only component_id % 2 == 0
+    out_dm = tmp_path / "dm.geojson"
+    rc = main(["lump", "--synth", "3000", "-o", str(out_dm),
+               "--only-these-way-groups-divmod", "2/0",
+               "--num-partitions", "4"])
+    assert rc == 0
+    dm = json.loads(out_dm.read_text())
+    assert all(f["properties"]["component_id"] % 2 == 0
+               for f in dm["features"])
+    assert 0 < len(dm["features"]) < n_all
+
+
+def test_cli_lump_min_length_incl_total(tmp_path, capsys, ray_session):
+    """incl90%total keeps the longest groups covering 90% of total length."""
+    out = tmp_path / "incl.geojson"
+    rc = main(["lump", "--synth", "3000", "-o", str(out),
+               "--min-length", "incl90%total", "--num-partitions", "4"])
+    assert rc == 0
+    kept = [f["properties"]["length_m"]
+            for f in json.loads(out.read_text())["features"]]
+    out_all = tmp_path / "all2.geojson"
+    main(["lump", "--synth", "3000", "-o", str(out_all),
+          "--num-partitions", "4"])
+    allv = sorted((f["properties"]["length_m"]
+                   for f in json.loads(out_all.read_text())["features"]),
+                  reverse=True)
+    total = sum(allv)
+    # reference semantics: threshold = length of the first group past 90%
+    cum, thr = 0.0, allv[0]
+    for v in allv:
+        cum += v
+        if cum > 0.9 * total:
+            thr = v
+            break
+    assert sorted(kept, reverse=True) == [v for v in allv if v >= thr]
+
+
+def test_cli_lump_only_these_way_groups_nodeid(tmp_path, capsys, ray_session):
+    """Keep only the group(s) containing a specific node id."""
+    out_all = tmp_path / "all3.geojson"
+    rc = main(["lump", "--synth", "3000", "-o", str(out_all),
+               "--incl-wayids", "--num-partitions", "4"])
+    assert rc == 0
+    fc = json.loads(out_all.read_text())
+    target = fc["features"][0]["properties"]
+    wid = int(target["all_wayids"][0][1:])
+
+    out = tmp_path / "one.geojson"
+    rc = main(["lump", "--synth", "3000", "-o", str(out),
+               "--only-these-way-groups", str(wid),
+               "--num-partitions", "4"])
+    assert rc == 0
+    one = json.loads(out.read_text())["features"]
+    assert len(one) >= 1
+    assert any(f["properties"]["component_id"] == target["component_id"]
+               for f in one)
+    assert len(one) < len(fc["features"])
+
+
+def test_cli_lump_frames_and_betweenness_outputs(tmp_path, capsys,
+                                                 ray_session):
+    frames = tmp_path / "frames.geojsonl"
+    bc = tmp_path / "betweenness.geojsonl"
+    rc = main(["lump", "--synth", "2000",
+               "--output-frames", str(frames),
+               "--betweenness-output", str(bc),
+               "--betweenness-min-value", "1",
+               "--num-partitions", "4"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["frames_written"]["n_features"] > 0
+    assert summary["betweenness_written"]["n_features"] > 0
+    fl = [json.loads(l) for l in frames.read_text().splitlines() if l.strip()]
+    assert all(f["geometry"]["type"] == "LineString" for f in fl)
+    assert all(f["properties"]["n_nodes"] ==
+               len(f["geometry"]["coordinates"]) for f in fl)
+    bl = [json.loads(l) for l in bc.read_text().splitlines() if l.strip()]
+    assert all(f["properties"]["bc_value"] >= 1 for f in bl)
+    assert all(len(f["geometry"]["coordinates"]) == 2 for f in bl)
+
+
+def test_cli_down_ends_membership_and_tag(tmp_path, capsys, ray_session):
+    """--ends-membership flags + --ends-tag values reach the outputs."""
+    src = np.array([1, 2, 3, 10, 11], dtype=np.int64)
+    dst = np.array([2, 3, 4, 11, 12], dtype=np.int64)
+    lang = ["en", "en", "de", "fr", "fr"]
+    epath = tmp_path / "edges.parquet"
+    pq.write_table(pa.table({
+        "src": pa.array(src), "dst": pa.array(dst),
+        "length_m": pa.array(np.full(len(src), 10.0)),
+        "lang": pa.array(lang, pa.string()),
+    }), epath)
+
+    out_dir = tmp_path / "down_out"
+    ends_csv = tmp_path / "ends.csv"
+    rc = main(["down", "-i", str(epath), "--out-dir", str(out_dir),
+               "--ends-csv", str(ends_csv),
+               "--ends-membership", "lang=de",
+               "--ends-tag", "lang", "--num-partitions", "4"])
+    assert rc == 0
+    ends = pq.read_table(os.path.join(out_dir, "ends")).to_pydict()
+    by_nid = {n: f for n, f in zip(ends["end_nid"], ends["is_in:lang=de"])}
+    assert by_nid[4] == 1 and by_nid[12] == 0  # 3→4 is de; 11→12 is fr
+    # CSV carries the per-end sorted ';'-joined lang values
+    rows = ends_csv.read_text().splitlines()
+    assert rows[0].endswith(",lang")
+    vals = {r.split(",")[4]: r.split(",")[7] for r in rows[1:]}
+    assert vals["4"] == "de" and vals["12"] == "fr"  # only edges TOUCHING the end

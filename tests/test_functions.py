@@ -123,3 +123,19 @@ def test_group_key_values_drop_unset():
     keys2, keep2 = group_key_values(view, [TagGrouper("name")], incl_unset_group=True)
     np.testing.assert_array_equal(keep2, [True, True, True])
     assert keys2[2] == "\x00"
+
+
+def test_parse_min_length_dsl_forms():
+    """All accepted forms of way_group.rs:205-245, case-insensitive."""
+    from osm_lump_ways_ray.functions.minlength import parse_min_length as p
+
+    assert p("250").kind == "length" and p("250").value == 250.0
+    assert p("5km") == p("5000m") == p("5000")
+    assert p("10%longest").kind == "percent_longest"
+    assert abs(p("10%longest").value - 0.10) < 1e-12
+    assert p("90%total").kind == "percent_total"
+    assert p("incl90%total").kind == "incl_total"
+    assert p("INCL90%TOTAL").kind == "incl_total"  # lowercased first
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        p("nonsense%")
