@@ -13,7 +13,11 @@ Prints ONE JSON line:
 - ``--scaling-nodes``: the NODE-emulation N→4N pair — one fresh 2-CPU Ray
   instance ("node") vs FOUR concurrent ones; efficiency = aggregate/(4×solo).
   One object store per node, the real cluster topology; measured 0.82-0.96
-  (BASELINE.md "node-emulation pair").
+  (BASELINE.md "node-emulation pair"). Median-of-5 @10M pages by default
+  ($GRAFT_SCALING_REPS / $GRAFT_SCALING_PAGES override).
+- the PLAIN run also embeds a median-of-3 node-emulation criterion @4M pages
+  so BENCH_r{N}.json carries {scaling_mode, efficiency} directly
+  ($GRAFT_BENCH_NO_SCALING=1 skips it).
 
 The headline kernel is the north-rule metric: pages → extract/verify → geocode
 → link → contract → grouped connected components → lengths → tile join, over a
@@ -177,6 +181,56 @@ def run_battery_isolated(sf_dir: str, num_cpus: int,
     return {name: qtimes[name] for name in QUERIES}
 
 
+def _node_scaling_sample(pages: str) -> dict:
+    """ONE node-emulation N→4N sample: a "node" is one fresh 2-CPU Ray
+    instance with its own object store and driver — exactly what each machine
+    of a real cluster contributes. Leg 1: ONE node; leg 2: FOUR concurrent
+    nodes each running the same job. Efficiency = aggregate/(4 × one-node).
+    Conservative vs a real cluster: the emulated nodes share one physical
+    DRAM bus; real nodes multiply that resource. No network exchange is
+    emulated — the CPU-count pair (--scaling) complements this by pushing
+    cross-partition shuffles through one plasma store."""
+    env = dict(os.environ, RAY_GRAFT_CPUS="2",
+               GRAFT_BENCH_HEADLINE_ONLY="1", GRAFT_PAGES_OVERRIDE=pages)
+
+    def _headline(out: str) -> dict:
+        return json.loads(out.strip().splitlines()[-1])
+
+    solo = _headline(subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        capture_output=True, text=True, check=True).stdout)
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+        for _ in range(4)]
+    nodes = [_headline(p.communicate()[0]) for p in procs]
+    agg = sum(n["rows_per_sec"] for n in nodes)
+    return {
+        "efficiency": round(agg / (4 * solo["rows_per_sec"]), 3),
+        "rows_per_sec_1node": solo["rows_per_sec"],
+        "rows_per_sec_4node_aggregate": round(agg, 1),
+        "per_node": [n["rows_per_sec"] for n in nodes],
+    }
+
+
+def node_scaling(pages: str, reps: int) -> dict:
+    """Median-of-``reps`` node-emulation criterion (VERDICT r3 #8: the judged
+    number lives in BENCH, not a BASELINE.md paragraph)."""
+    samples = [_node_scaling_sample(pages) for _ in range(reps)]
+    effs = sorted(s["efficiency"] for s in samples)
+    return {
+        "metric": "lump_node_scaling_efficiency",
+        "scaling_mode": "node-emulation",
+        "value": effs[len(effs) // 2] if reps % 2 else round(
+            (effs[reps // 2 - 1] + effs[reps // 2]) / 2, 3),
+        "unit": "ratio",
+        "pair": "1node(2cpu)->4nodes(2cpu each)",
+        "pages": int(pages),
+        "efficiency_samples": [s["efficiency"] for s in samples],
+        "samples": samples,
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -188,43 +242,9 @@ def main() -> int:
         return 0
 
     if "--scaling-nodes" in sys.argv:
-        # NODE-emulation pair (the closer stand-in for N → 4N CLUSTER sizes):
-        # a "node" is one fresh Ray instance with its own object store and
-        # driver — exactly what each machine of a real cluster contributes.
-        # Leg 1: ONE 2-CPU session. Leg 2: FOUR concurrent 2-CPU sessions
-        # (separate Ray instances) each running the same 4M-page job.
-        # Efficiency = aggregate 4-node throughput / (4 × one-node).
-        # Conservative vs a real cluster: the four emulated nodes share one
-        # physical DRAM bus; real nodes multiply that resource. The CPU-count
-        # pair (--scaling) complements it: one session exercises cross-
-        # partition shuffles through one plasma store, this mode does not
-        # emulate network exchange.
-        pages = os.environ.get("GRAFT_SCALING_PAGES", "4000000")
-        env = dict(os.environ, RAY_GRAFT_CPUS="2",
-                   GRAFT_BENCH_HEADLINE_ONLY="1", GRAFT_PAGES_OVERRIDE=pages)
-
-        def _headline(out: str) -> dict:
-            return json.loads(out.strip().splitlines()[-1])
-
-        solo = _headline(subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, check=True).stdout)
-        procs = [subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
-            for _ in range(4)]
-        nodes = [_headline(p.communicate()[0]) for p in procs]
-        agg = sum(n["rows_per_sec"] for n in nodes)
-        eff = agg / (4 * solo["rows_per_sec"])
-        print(json.dumps({
-            "metric": "lump_node_scaling_efficiency",
-            "value": round(eff, 3), "unit": "ratio",
-            "pair": "1node(2cpu)->4nodes(2cpu each)",
-            "pages": int(pages),
-            "rows_per_sec_1node": solo["rows_per_sec"],
-            "rows_per_sec_4node_aggregate": round(agg, 1),
-            "per_node": [n["rows_per_sec"] for n in nodes],
-        }))
+        pages = os.environ.get("GRAFT_SCALING_PAGES", "10000000")
+        reps = int(os.environ.get("GRAFT_SCALING_REPS", "5"))
+        print(json.dumps(node_scaling(pages, reps)))
         return 0
 
     if "--scaling" in sys.argv:
@@ -281,6 +301,17 @@ def main() -> int:
     import ray
 
     ray.shutdown()
+    if not headline_only and os.environ.get("GRAFT_BENCH_NO_SCALING") != "1":
+        # embed the scaling criterion in the default output so BENCH_r{N}.json
+        # carries {scaling_mode, efficiency} directly (VERDICT r3 #8);
+        # median-of-3 at 4M pages keeps the per-round bench bounded — the
+        # standalone --scaling-nodes run is the median-of-5 @10M version
+        sc = node_scaling(os.environ.get("GRAFT_SCALING_PAGES", "4000000"),
+                          int(os.environ.get("GRAFT_SCALING_REPS", "3")))
+        out["scaling_mode"] = sc["scaling_mode"]
+        out["efficiency"] = sc["value"]
+        out["scaling"] = {k: sc[k] for k in
+                          ("pair", "pages", "efficiency_samples", "samples")}
     print(json.dumps(out))
     return 0
 
