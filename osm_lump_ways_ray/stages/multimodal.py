@@ -3,10 +3,19 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed metadata;
 decode/resize/feature-extract run as actor-pool ``map_batches`` stages with
 SMALL batch sizes (large payloads × concurrency must fit worker heaps —
-ray_guide "Memory-aware"). The decode libraries (PIL/ffmpeg/torchvision) are
-NOT in this container, so the decode body is a clearly-marked deterministic
-FAKE (STUB) gated behind an import-try; everything Ray-side — schema, actor
-signature, batch sizing, output layout — is real and tested.
+ray_guide "Memory-aware").
+
+Two decode tiers:
+
+- **REAL** (``DecodeImage`` / ``decode_images``): uncompressed formats need
+  no codec library — 24-bit BMP and binary PPM (P6) parse with pure numpy
+  (header fields, bottom-up BGR rows, 4-byte padding), then real pixel math:
+  channel sums + nearest-neighbour resize + integer grayscale pooling,
+  value-exact vs a SQL oracle (queries.py ``multimodal_decode``).
+- **STUB** (``DecodeImageStub``): compressed formats (JPEG/PNG) and video
+  genuinely require PIL/ffmpeg, which are NOT in this container — the stub
+  derives deterministic fake metadata and is clearly marked; with PIL
+  present ``DecodeImage.decode`` falls through to it for real decode.
 """
 
 from __future__ import annotations
@@ -152,3 +161,166 @@ def multimodal_pipeline(docs_ds, *, concurrency=None, batch_size: int = 256):
     meta = meta.map_batches(resize_meta_batch, batch_format="pyarrow")
     meta = meta.map_batches(frame_sample_batch, batch_format="pyarrow")
     return meta.drop_columns(["n_chars"])
+
+
+# ------------------------------------------------- REAL decode (pure numpy)
+# PIL/ffmpeg are not in this container, but UNCOMPRESSED formats need no
+# codec library: BMP (BITMAPINFOHEADER, 24-bit) and PPM (P6) decode with
+# header parsing + a reshape. This is real pixel math over real bytes — the
+# import-gated stub above remains only for compressed formats (JPEG/PNG)
+# and video.
+
+def encode_bmp24(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 24-bit uncompressed BMP bytes (bottom-up rows,
+    BGR pixel order, rows padded to 4 bytes — the standard layout)."""
+    h, w, _ = arr.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    header = bytearray(54)
+    header[0:2] = b"BM"
+    header[2:6] = (54 + img_size).to_bytes(4, "little")
+    header[10:14] = (54).to_bytes(4, "little")
+    header[14:18] = (40).to_bytes(4, "little")
+    header[18:22] = w.to_bytes(4, "little")
+    header[22:26] = h.to_bytes(4, "little")         # positive → bottom-up
+    header[26:28] = (1).to_bytes(2, "little")
+    header[28:30] = (24).to_bytes(2, "little")
+    header[34:38] = img_size.to_bytes(4, "little")
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, :w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB→BGR
+    return bytes(header) + rows.tobytes()
+
+
+def decode_bmp24(buf: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → (H, W, 3) uint8 RGB."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bits = int.from_bytes(buf[28:30], "little")
+    comp = int.from_bytes(buf[30:34], "little")
+    if bits != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP decodes without PIL "
+            f"(got bits={bits}, compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(buf, dtype=np.uint8, count=row_bytes * h,
+                         offset=offset).reshape(h, row_bytes)
+    img = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
+    return img[::-1] if bottom_up else img
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval ≤ 255) → (H, W, 3) uint8 RGB."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval as whitespace/comment-separated
+    # ASCII tokens, then one whitespace byte, then raw RGB
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":
+            while buf[pos:pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM needs byte-pair handling")
+    return np.frombuffer(buf, dtype=np.uint8, count=w * h * 3,
+                         offset=pos).reshape(h, w, 3)
+
+
+def resize_nearest(img: np.ndarray, max_side: int) -> np.ndarray:
+    """Nearest-neighbour resize fitting inside ``max_side`` (aspect kept,
+    integer floor mapping src = dst * src_size // dst_size — reproducible in
+    SQL). Images already small enough pass through."""
+    h, w = img.shape[:2]
+    mx = max(h, w)
+    if mx <= max_side:
+        return img
+    rw = max(1, w * max_side // mx)
+    rh = max(1, h * max_side // mx)
+    yi = np.arange(rh, dtype=np.int64) * h // rh
+    xi = np.arange(rw, dtype=np.int64) * w // rw
+    return img[yi[:, None], xi[None, :]]
+
+
+class DecodeImage:
+    """REAL decode actor: binary BMP/PPM payloads → per-image stats + a
+    pooled feature row, all integer (value-exact against a SQL oracle that
+    recomputes the same pixel arithmetic). One actor decodes many batches;
+    a payload that is neither BMP nor P6 raises (use DecodeImageStub for
+    opaque/compressed payloads)."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "doc_id",
+                 max_side: int = 8):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.max_side = max_side
+
+    def decode(self, buf: bytes) -> np.ndarray:
+        if buf[:2] == b"BM":
+            return decode_bmp24(buf)
+        if buf[:2] == b"P6":
+            return decode_ppm(buf)
+        if HAVE_PIL:  # pragma: no cover - PIL absent in this container
+            import io
+
+            from PIL import Image
+
+            return np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
+        raise NotImplementedError(
+            "compressed image formats need PIL, which is not in this "
+            "container; BMP24/PPM-P6 decode natively")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        n = len(payloads)
+        w = np.empty(n, np.int64)
+        h = np.empty(n, np.int64)
+        sums = np.empty((n, 3), np.int64)
+        gray = np.empty(n, np.int64)
+        for i, buf in enumerate(payloads):
+            img = self.decode(buf)
+            h[i], w[i] = img.shape[:2]
+            sums[i] = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            small = resize_nearest(img, self.max_side)
+            # integer grayscale sum of the resized image: (r+g+b)//3 per px
+            gray[i] = (small.sum(axis=2, dtype=np.int64) // 3).sum()
+        return pa.table({
+            "doc_id": batch[self.id_col],
+            "width": pa.array(w, pa.int64()),
+            "height": pa.array(h, pa.int64()),
+            "n_pixels": pa.array(w * h, pa.int64()),
+            "sum_r": pa.array(sums[:, 0], pa.int64()),
+            "sum_g": pa.array(sums[:, 1], pa.int64()),
+            "sum_b": pa.array(sums[:, 2], pa.int64()),
+            "resized_graysum": pa.array(gray, pa.int64()),
+        })
+
+
+def decode_images(ds, *, payload_col: str = "payload",
+                  id_col: str = "doc_id", max_side: int = 8,
+                  concurrency=None, batch_size: int = 64):
+    """Actor-pool real-decode stage (small batches: payload bytes ×
+    concurrency must fit worker heaps)."""
+    import ray
+
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        concurrency = (1, max(2, ncpu))
+    return ds.map_batches(
+        DecodeImage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(payload_col=payload_col, id_col=id_col,
+                                   max_side=max_side))
