@@ -472,13 +472,25 @@ def component_frames(edges_g, labels, nodes_ds, *, num_partitions: int = 8,
 
 def component_betweenness(edges_g, labels, nodes_ds, *, max_nodes: int = 2000,
                           seed: int = 42, num_partitions: int = 8,
-                          max_group_rows: Optional[int] = MAX_GROUP_ROWS):
+                          max_group_rows: Optional[int] = MAX_GROUP_ROWS,
+                          source_chunks: int = 1):
     """G9 per component → per-edge (g, component_id, u, v, bc_value) with the
-    reference's default 2000-node sampling cap (cli_args.rs:244-253)."""
+    reference's default 2000-node sampling cap (cli_args.rs:244-253).
+
+    ``source_chunks > 1`` is the intra-component fan-out (the reference
+    chunks Dijkstra sources across a thread pool + writer thread,
+    main.rs:1029-1052): the component's rows replicate into ``source_chunks``
+    groups, each task deterministically re-derives the SAME sample and
+    processes only its source slice, and per-edge partials sum in one
+    bucketed aggregate. Replication × parallelism is the trade a
+    shared-memory thread pool gets for free; use it when ONE component
+    dominates the wall (the planet waterway graph). Parity with
+    ``source_chunks=1`` is exact (tests/test_group_ops.py)."""
 
     def fn(df):
         import pandas as pd
 
+        chunk = int(df["chunk"].iloc[0]) if "chunk" in df else 0
         edges, pos = _split_group(df)
         g = _graph_of(edges)
         # reference order (do_betweenness, main.rs:1060-1095): sample FIRST,
@@ -489,14 +501,33 @@ def component_betweenness(edges_g, labels, nodes_ds, *, max_nodes: int = 2000,
         g.compress(never_remove=lambda n: n in keep)
         if g.is_empty():
             return pd.DataFrame(columns=["g", "component_id", "u", "v", "bc_value"])
-        bc = g.betweenness(sample, pos)
+        src_idx = (None if source_chunks <= 1
+                   else range(chunk, len(sample), source_chunks))
+        bc = g.betweenness(sample, pos, source_indices=src_idx)
         rows = [(int(df["g"].iloc[0]), int(df["component_id"].iloc[0]),
                  a, b, int(v)) for (a, b), v in sorted(bc.items())]
         return pd.DataFrame(rows, columns=["g", "component_id", "u", "v", "bc_value"])
 
     rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions,
                          max_group_rows=max_group_rows, op="component_betweenness")
-    return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
+    if source_chunks <= 1:
+        return rows.groupby(["g", "component_id"]).map_groups(
+            fn, batch_format="pandas")
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        outs = []
+        for ch in range(source_chunks):
+            outs.append(batch.append_column(
+                "chunk", pa.array(np.full(len(batch), ch, np.int64),
+                                  pa.int64())))
+        return pa.concat_tables(outs)
+
+    partial = rows.map_batches(replicate, batch_format="pyarrow") \
+        .groupby(["g", "component_id", "chunk"]) \
+        .map_groups(fn, batch_format="pandas")
+    return bucket_agg(partial, ["g", "component_id", "u", "v"],
+                      {"bc_value": ("bc_value", "sum")},
+                      num_partitions=num_partitions, combine=True)
 
 
 def component_dijkstra(edges_g, labels, *, len_mod: int = 13, chord_mod: int = 29,

@@ -356,15 +356,24 @@ class ComponentGraph:
         return sorted(chosen)
 
     # ------------------------------------------------------------------ G9
-    def betweenness(self, nodes: List[int], pos) -> Dict[Tuple[int, int], int]:
+    def betweenness(self, nodes: List[int], pos,
+                    source_indices=None) -> Dict[Tuple[int, int], int]:
         """Sampled edge betweenness (undirected_graph.rs:552-638): integer-cm
         edge lengths, per-source Dijkstra (single-predecessor), backward
-        accumulation of path counts into per-edge u64."""
+        accumulation of path counts into per-edge u64.
+
+        ``source_indices`` restricts which positions of ``nodes`` act as the
+        Dijkstra source (each source still pairs with every LATER node of the
+        full list) — the unit of the intra-component fan-out: the pair set
+        partitions exactly across disjoint index subsets, so partial results
+        SUM to the full run (pipelines/group_ops.component_betweenness)."""
         edge_len_cm = {}
         for a, b in self.edges():
             edge_len_cm[(a, b)] = int(round(self.edge_length_m(a, b, pos) * 100))
         bc: Dict[Tuple[int, int], int] = {e: 0 for e in edge_len_cm}
-        for i, nid0 in enumerate(nodes):
+        idxs = range(len(nodes)) if source_indices is None else source_indices
+        for i in idxs:
+            nid0 = nodes[i]
             targets = nodes[i + 1:]
             if not targets:
                 break

@@ -112,3 +112,37 @@ def test_guard_raises_for_inherently_in_memory_ops():
     with pytest.raises(ValueError, match="component_frames"):
         component_frames(edges, labels, nodes, num_partitions=4,
                          max_group_rows=3).materialize()
+
+
+def test_betweenness_source_chunk_fanout_parity(ray_session):
+    """source_chunks=4 (intra-component fan-out + partial-sum reduce) must
+    equal the single-task run exactly — the pair set partitions across
+    disjoint source-index slices."""
+    from osm_lump_ways_ray.pipelines.group_ops import component_betweenness
+    from osm_lump_ways_ray.stages.graph import connected_components
+
+    rng = np.random.RandomState(3)
+    # a connected random graph: spanning chain + extra chords
+    n = 40
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    pairs += [(int(a), int(b)) for a, b in
+              rng.randint(0, n, size=(25, 2)) if a != b]
+    tbl = _edges_tbl(pairs)
+    edges = ray.data.from_arrow(tbl)
+    labels = connected_components(edges, "u", "v", "g", num_partitions=4)
+    nodes = ray.data.from_arrow(pa.table({
+        "node_id": pa.array(np.arange(n, dtype=np.int64)),
+        "lat": pa.array(rng.randint(-800, 800, n).astype(np.int64) * 10000),
+        "lon": pa.array(rng.randint(-1700, 1700, n).astype(np.int64) * 10000),
+    }))
+
+    def rows(ds):
+        return sorted((r["g"], r["component_id"], r["u"], r["v"],
+                       r["bc_value"]) for r in ds.take_all())
+
+    one = rows(component_betweenness(edges, labels, nodes, max_nodes=30,
+                                     num_partitions=4))
+    four = rows(component_betweenness(edges, labels, nodes, max_nodes=30,
+                                      num_partitions=4, source_chunks=4))
+    assert one == four
+    assert any(v > 0 for *_k, v in one)
