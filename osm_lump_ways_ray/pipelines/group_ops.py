@@ -143,6 +143,38 @@ def _grouped_rows(edges_g, labels, nodes_ds, num_partitions: int = 8,
         npos.map_batches(pos_rows, batch_format="pyarrow"))
 
 
+def _map_components_partitioned(rows, fn, *, num_partitions: int = 8):
+    """Apply a per-component pandas body over HASH PARTITIONS of components:
+    ``groupby((g, component)).map_groups`` pays one Python task invocation per
+    component (at 10^7 components that alone is the wall); here one task per
+    partition sorts its rows and run-splits component boundaries, calling
+    ``fn`` in-process per component (the degree_pillar/ways-assembly r3
+    lever applied to the whole G2-G9 family)."""
+    import pandas as pd
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        g = batch["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["component_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = ((g * 1_000_003 + c) * 0x9E3779B1) % num_partitions
+        return batch.append_column("_part", pa.array(part, pa.int64()))
+
+    def per_part(df):
+        df = df.sort_values(["g", "component_id"], kind="mergesort")
+        g = df["g"].to_numpy()
+        c = df["component_id"].to_numpy()
+        newk = np.r_[True, (g[1:] != g[:-1]) | (c[1:] != c[:-1])]
+        starts = np.flatnonzero(newk)
+        ends = np.r_[starts[1:], len(df)]
+        outs = [fn(df.iloc[s:e]) for s, e in zip(starts, ends)]
+        if not outs:
+            return pd.DataFrame()
+        # empty per-component results still carry columns → concat keeps schema
+        return pd.concat(outs, ignore_index=True)
+
+    return rows.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_part, batch_format="pandas")
+
+
 def _split_group(df):
     """(edges_df sorted, pos dict) from one kind-tagged component group."""
     edges = df[df["kind"] == 0].sort_values(["u", "v"])
@@ -374,20 +406,26 @@ def compress_stats_distributed(e, *, num_partitions: int = 8):
 
 def component_compress_stats(edges_g, labels, *, num_partitions: int = 8,
                              max_group_rows: Optional[int] = MAX_GROUP_ROWS,
-                             force_distributed: Optional[bool] = None):
+                             force_distributed: Optional[bool] = None,
+                             grouped_rows=None):
     """G2 per component → (g, component_id, vertices_before, vertices_after).
 
     Auto-routes: components all under ``max_group_rows`` edge rows run the
     in-memory graph per ``map_groups`` task; otherwise the whole table goes
     through ``compress_stats_distributed`` (identical counts, parity-tested).
-    ``force_distributed`` pins a path for A/B tests."""
-    e = snapshot(_labeled_edges(edges_g, labels, num_partitions))
+    ``force_distributed`` pins a path for A/B tests. ``grouped_rows`` reuses
+    a pre-built (edge-rows-only) kind-tagged table — the size probe and the
+    distributed route both read it directly."""
+    e = (grouped_rows if grouped_rows is not None
+         else snapshot(_labeled_edges(edges_g, labels, num_partitions)))
     if force_distributed is None:
         force_distributed = (
             max_group_rows is not None
             and _biggest_component_rows(e, num_partitions) > max_group_rows)
     if force_distributed:
-        return compress_stats_distributed(e, num_partitions=num_partitions)
+        return compress_stats_distributed(
+            e.select_columns(["g", "component_id", "u", "v"]),
+            num_partitions=num_partitions)
 
     def fn(df):
         import pandas as pd
@@ -403,13 +441,15 @@ def component_compress_stats(edges_g, labels, *, num_partitions: int = 8,
             "vertices_after": [g.num_vertices()],
         })
 
-    rows = _grouped_rows(edges_g, labels, None, num_partitions, _e=e)
-    return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
+    rows = (grouped_rows if grouped_rows is not None
+            else _grouped_rows(edges_g, labels, None, num_partitions, _e=e))
+    return _map_components_partitioned(rows, fn, num_partitions=num_partitions)
 
 
 def component_lines(edges_g, labels, nodes_ds, *, method: str = "random",
                     num_partitions: int = 8,
-                    max_group_rows: Optional[int] = MAX_GROUP_ROWS):
+                    max_group_rows: Optional[int] = MAX_GROUP_ROWS,
+                    grouped_rows=None):
     """G4/G5 per component → path rows (g, component_id, line_idx, n_nodes,
     dist_ends_m — reference M11 sinuosity prop, main.rs:789-796)."""
 
@@ -435,14 +475,15 @@ def component_lines(edges_g, labels, nodes_ds, *, method: str = "random",
         return pd.DataFrame(rows, columns=["g", "component_id", "line_idx",
                                            "n_nodes", "dist_ends_m"])
 
-    rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions,
-                         max_group_rows=max_group_rows, op="component_lines")
-    return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
+    rows = grouped_rows if grouped_rows is not None else _grouped_rows(
+        edges_g, labels, nodes_ds, num_partitions,
+        max_group_rows=max_group_rows, op="component_lines")
+    return _map_components_partitioned(rows, fn, num_partitions=num_partitions)
 
 
 def component_frames(edges_g, labels, nodes_ds, *, num_partitions: int = 8,
                      max_group_rows: Optional[int] = MAX_GROUP_ROWS,
-                     with_geometry: bool = False):
+                     with_geometry: bool = False, grouped_rows=None):
     """G8 per component → frame line rows (g, component_id, frame_idx,
     n_nodes[, lats, lons]). ``with_geometry`` adds the frame line's e7
     fixed-point coordinates (the --output-frames writer path)."""
@@ -465,15 +506,16 @@ def component_frames(edges_g, labels, nodes_ds, *, num_partitions: int = 8,
             cols += ["lats", "lons"]
         return pd.DataFrame(rows, columns=cols)
 
-    rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions,
-                         max_group_rows=max_group_rows, op="component_frames")
-    return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
+    rows = grouped_rows if grouped_rows is not None else _grouped_rows(
+        edges_g, labels, nodes_ds, num_partitions,
+        max_group_rows=max_group_rows, op="component_frames")
+    return _map_components_partitioned(rows, fn, num_partitions=num_partitions)
 
 
 def component_betweenness(edges_g, labels, nodes_ds, *, max_nodes: int = 2000,
                           seed: int = 42, num_partitions: int = 8,
                           max_group_rows: Optional[int] = MAX_GROUP_ROWS,
-                          source_chunks: int = 1):
+                          source_chunks: int = 1, grouped_rows=None):
     """G9 per component → per-edge (g, component_id, u, v, bc_value) with the
     reference's default 2000-node sampling cap (cli_args.rs:244-253).
 
@@ -508,8 +550,9 @@ def component_betweenness(edges_g, labels, nodes_ds, *, max_nodes: int = 2000,
                  a, b, int(v)) for (a, b), v in sorted(bc.items())]
         return pd.DataFrame(rows, columns=["g", "component_id", "u", "v", "bc_value"])
 
-    rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions,
-                         max_group_rows=max_group_rows, op="component_betweenness")
+    rows = grouped_rows if grouped_rows is not None else _grouped_rows(
+        edges_g, labels, nodes_ds, num_partitions,
+        max_group_rows=max_group_rows, op="component_betweenness")
     if source_chunks <= 1:
         return rows.groupby(["g", "component_id"]).map_groups(
             fn, batch_format="pandas")
@@ -532,7 +575,8 @@ def component_betweenness(edges_g, labels, nodes_ds, *, max_nodes: int = 2000,
 
 def component_dijkstra(edges_g, labels, *, len_mod: int = 13, chord_mod: int = 29,
                        num_partitions: int = 8,
-                       max_group_rows: Optional[int] = MAX_GROUP_ROWS):
+                       max_group_rows: Optional[int] = MAX_GROUP_ROWS,
+                       grouped_rows=None):
     """G6 per component → single-source shortest-path distances from the MIN
     vertex to every vertex (g, component_id, node, dist_cm).
 
@@ -563,13 +607,15 @@ def component_dijkstra(edges_g, labels, *, len_mod: int = 13, chord_mod: int = 2
                 if d != float("inf")]
         return pd.DataFrame(rows, columns=["g", "component_id", "node", "dist_cm"])
 
-    rows = _grouped_rows(edges_g, labels, None, num_partitions,
-                         max_group_rows=max_group_rows, op="component_dijkstra")
-    return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
+    rows = grouped_rows if grouped_rows is not None else _grouped_rows(
+        edges_g, labels, None, num_partitions,
+        max_group_rows=max_group_rows, op="component_dijkstra")
+    return _map_components_partitioned(rows, fn, num_partitions=num_partitions)
 
 
 def component_astar(edges_g, labels, nodes_ds, *, num_partitions: int = 8,
-                    max_group_rows: Optional[int] = MAX_GROUP_ROWS):
+                    max_group_rows: Optional[int] = MAX_GROUP_ROWS,
+                    grouped_rows=None):
     """G7 per component → A* path (haversine heuristic, dij.rs:84-202) from
     the MIN vertex to the MIDDLE vertex → (g, component_id, seq, node).
 
@@ -592,14 +638,16 @@ def component_astar(edges_g, labels, nodes_ds, *, num_partitions: int = 8,
             "node": np.asarray(path, dtype=np.int64),
         })
 
-    rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions,
-                         max_group_rows=max_group_rows, op="component_astar")
-    return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
+    rows = grouped_rows if grouped_rows is not None else _grouped_rows(
+        edges_g, labels, nodes_ds, num_partitions,
+        max_group_rows=max_group_rows, op="component_astar")
+    return _map_components_partitioned(rows, fn, num_partitions=num_partitions)
 
 
 def component_spikes(edges_g, labels, *, pin_mod: int = 5,
                      num_partitions: int = 8,
-                     max_group_rows: Optional[int] = MAX_GROUP_ROWS):
+                     max_group_rows: Optional[int] = MAX_GROUP_ROWS,
+                     grouped_rows=None):
     """G3 per component → the edges surviving iterative spike removal
     (undirected_graph.rs:718-754) with ``never_remove = node % pin_mod == 0``
     (the reference pins waterway sinks the same way, -down/main.rs G3 use).
@@ -622,14 +670,16 @@ def component_spikes(edges_g, labels, *, pin_mod: int = 5,
             "v": np.asarray([b for _, b in kept], dtype=np.int64),
         })
 
-    rows = _grouped_rows(edges_g, labels, None, num_partitions,
-                         max_group_rows=max_group_rows, op="component_spikes")
-    return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
+    rows = grouped_rows if grouped_rows is not None else _grouped_rows(
+        edges_g, labels, None, num_partitions,
+        max_group_rows=max_group_rows, op="component_spikes")
+    return _map_components_partitioned(rows, fn, num_partitions=num_partitions)
 
 
 def component_hull_dedup(edges_g, labels, nodes_ds, *, grid: int = 1_000_000,
                          num_partitions: int = 8,
-                         max_group_rows: Optional[int] = MAX_GROUP_ROWS):
+                         max_group_rows: Optional[int] = MAX_GROUP_ROWS,
+                         grouped_rows=None):
     """D4 per component → hull-input position dedup stats after snapping
     positions to a ``grid`` lattice (forces duplicates so the dedup path is
     actually exercised): (g, component_id, n_vertices, n_unique_pos,
@@ -652,6 +702,7 @@ def component_hull_dedup(edges_g, labels, nodes_ds, *, grid: int = 1_000_000,
             "winner_sum": [int(sum(pts.values()))],
         })
 
-    rows = _grouped_rows(edges_g, labels, nodes_ds, num_partitions,
-                         max_group_rows=max_group_rows, op="component_hull_dedup")
-    return rows.groupby(["g", "component_id"]).map_groups(fn, batch_format="pandas")
+    rows = grouped_rows if grouped_rows is not None else _grouped_rows(
+        edges_g, labels, nodes_ds, num_partitions,
+        max_group_rows=max_group_rows, op="component_hull_dedup")
+    return _map_components_partitioned(rows, fn, num_partitions=num_partitions)

@@ -1679,7 +1679,9 @@ def q_component_compress(sf_dir: str):
     from ..pipelines.group_ops import component_compress_stats
 
     edges_g, labels, _nodes = _chain_graph_and_positions(sf_dir)
-    return component_compress_stats(edges_g, labels, num_partitions=8) \
+    return component_compress_stats(
+        edges_g, labels, num_partitions=8,
+        grouped_rows=_chain_grouped_rows(sf_dir, False)) \
         .select_columns(["component_id", "vertices_before", "vertices_after"])
 
 
@@ -1694,7 +1696,9 @@ def q_component_lines(sf_dir: str):
     from ..pipelines.group_ops import component_lines
 
     edges_g, labels, nodes_ds = _chain_graph_and_positions(sf_dir)
-    return component_lines(edges_g, labels, nodes_ds, num_partitions=8) \
+    return component_lines(
+        edges_g, labels, nodes_ds, num_partitions=8,
+        grouped_rows=_chain_grouped_rows(sf_dir, True)) \
         .select_columns(["component_id", "line_idx", "n_nodes"])
 
 
@@ -1709,7 +1713,9 @@ def q_component_frames(sf_dir: str):
     from ..pipelines.group_ops import component_frames
 
     edges_g, labels, nodes_ds = _chain_graph_and_positions(sf_dir)
-    return component_frames(edges_g, labels, nodes_ds, num_partitions=8)
+    return component_frames(
+        edges_g, labels, nodes_ds, num_partitions=8,
+        grouped_rows=_chain_grouped_rows(sf_dir, True))
 
 
 # hull membership recomputed independently in SQL: point p of a component is a
@@ -1763,8 +1769,9 @@ def q_betweenness(sf_dir: str):
     from ..pipelines.group_ops import component_betweenness
 
     edges_g, labels, nodes_ds = _chain_graph_and_positions(sf_dir)
-    return component_betweenness(edges_g, labels, nodes_ds,
-                                 max_nodes=50, num_partitions=8)
+    return component_betweenness(
+        edges_g, labels, nodes_ds, max_nodes=50, num_partitions=8,
+        grouped_rows=_chain_grouped_rows(sf_dir, True))
 
 
 SQL_BETWEENNESS = _CHAIN_RUNS_UND_SQL + """
@@ -1902,17 +1909,33 @@ def q_all_wayids(sf_dir: str):
         ["u", "component_id"])
     e = hash_join(edges, lab, ("u",), how="inner", num_partitions=8)
 
-    def per_comp(df):
+    # partition-level assembly (one Python call per HASH PARTITION, not per
+    # component — the degree_pillar r3 lever): sort the partition by
+    # (component_id, u), run-split on component boundaries
+    def add_part(batch: pa.Table) -> pa.Table:
+        c = batch["component_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_part", pa.array((c * 0x9E3779B1 % 8).astype(np.int64)))
+
+    def per_partition(df):
         import pandas as pd
 
-        wayids = sorted(set(int(x) for x in df["u"]))
-        return pd.DataFrame({
-            "component_id": [int(df["component_id"].iloc[0])],
-            "all_wayids": [";".join(f"w{w}" for w in wayids)],
-            "n_wayids": [len(wayids)],
-        })
+        df = df.sort_values(["component_id", "u"], kind="mergesort")
+        c = df["component_id"].to_numpy(dtype=np.int64)
+        u = df["u"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        ends = np.r_[starts[1:], len(c)]
+        comp, joined, counts = [], [], []
+        for s, t in zip(starts, ends):
+            w = np.unique(u[s:t])
+            comp.append(int(c[s]))
+            joined.append(";".join(f"w{x}" for x in w))
+            counts.append(len(w))
+        return pd.DataFrame({"component_id": comp, "all_wayids": joined,
+                             "n_wayids": counts})
 
-    return e.groupby("component_id").map_groups(per_comp, batch_format="pandas")
+    return e.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_partition, batch_format="pandas")
 
 
 SQL_ALL_WAYIDS = """
@@ -2377,7 +2400,8 @@ def q_crow_lines(sf_dir: str):
 
     edges_g, labels, nodes_ds = _chain_graph_and_positions(sf_dir)
     out = component_lines(edges_g, labels, nodes_ds, method="crow",
-                          num_partitions=8)
+                          num_partitions=8,
+                          grouped_rows=_chain_grouped_rows(sf_dir, True))
 
     def project(batch: pa.Table) -> pa.Table:
         de = batch["dist_ends_m"].to_numpy(zero_copy_only=False)
@@ -2521,7 +2545,9 @@ def q_dijkstra(sf_dir: str):
     from ..pipelines.group_ops import component_dijkstra
 
     edges_g, labels, _nodes = _chain_graph_and_positions(sf_dir)
-    return component_dijkstra(edges_g, labels, num_partitions=8) \
+    return component_dijkstra(
+        edges_g, labels, num_partitions=8,
+        grouped_rows=_chain_grouped_rows(sf_dir, False)) \
         .select_columns(["component_id", "node", "dist_cm"])
 
 
@@ -2572,7 +2598,9 @@ def q_astar(sf_dir: str):
     from ..pipelines.group_ops import component_astar
 
     edges_g, labels, nodes_ds = _chain_graph_and_positions(sf_dir)
-    return component_astar(edges_g, labels, nodes_ds, num_partitions=8) \
+    return component_astar(
+        edges_g, labels, nodes_ds, num_partitions=8,
+        grouped_rows=_chain_grouped_rows(sf_dir, True)) \
         .select_columns(["component_id", "seq", "node"])
 
 
@@ -2590,7 +2618,9 @@ def q_spike_removal(sf_dir: str):
     from ..pipelines.group_ops import component_spikes
 
     edges_g, labels, _nodes = _chain_graph_and_positions(sf_dir)
-    return component_spikes(edges_g, labels, pin_mod=3, num_partitions=8) \
+    return component_spikes(
+        edges_g, labels, pin_mod=3, num_partitions=8,
+        grouped_rows=_chain_grouped_rows(sf_dir, False)) \
         .select_columns(["component_id", "u", "v"])
 
 
@@ -2614,8 +2644,9 @@ def q_hull_dedup(sf_dir: str):
     from ..pipelines.group_ops import component_hull_dedup
 
     edges_g, labels, nodes_ds = _chain_graph_and_positions(sf_dir)
-    return component_hull_dedup(edges_g, labels, nodes_ds, grid=_HULL_GRID,
-                                num_partitions=8) \
+    return component_hull_dedup(
+        edges_g, labels, nodes_ds, grid=_HULL_GRID, num_partitions=8,
+        grouped_rows=_chain_grouped_rows(sf_dir, True)) \
         .select_columns(["component_id", "n_vertices", "n_unique_pos",
                          "winner_sum"])
 
@@ -2668,6 +2699,23 @@ SELECT LEAST(doc_id % 1000, (doc_id * 37) % 1000) AS mn,
        COUNT(*) AS n
 FROM documents GROUP BY 1, 2
 """
+
+
+
+def _chain_grouped_rows(sf_dir: str, with_nodes: bool):
+    """Session-cached kind-tagged grouped rows for the G2-G9 family: the
+    labeled-edge join (+ the per-component position join for ops needing
+    geometry) is identical across 9 battery queries — build it once
+    (the per-query fixed cost was ~1-2 s each, VERDICT r3 perf table)."""
+    from ..pipelines.group_ops import _grouped_rows
+    from ..stages.relational import snapshot
+
+    def build():
+        edges_g, labels, nodes_ds = _chain_graph_and_positions(sf_dir)
+        return snapshot(_grouped_rows(
+            edges_g, labels, nodes_ds if with_nodes else None, 8))
+
+    return cached_ds(("chain_grouped_rows", with_nodes, sf_dir), build)
 
 
 def _chain_line_rows(sf_dir: str):
@@ -3633,3 +3681,35 @@ def _determinized(fn):
 
 
 QUERIES = {name: _determinized(fn) for name, fn in QUERIES.items()}
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact n-gram-Jaccard near-dup pairs via the shingle inverted index
+    (the sketch-free third dedup family; stages/dedup.ngram_jaccard_pairs).
+    Threshold 5·|A∩B| ≥ 4·|A∪B| (jaccard ≥ 0.8), same planted-dup corpus
+    the MinHash/SimHash queries cluster."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(docs, shingle_k=3, threshold=(4, 5))
+    return out.sort(["n_common", "n_union", "u", "v"])
+
+
+SQL_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id, list_distinct(CASE
+      WHEN len(string_split(text, ' ')) < 3 THEN [text]
+      ELSE [array_to_string((string_split(text, ' '))[i:i+2], ' ')
+            for i in generate_series(1, len(string_split(text, ' ')) - 2)]
+    END) AS s
+  FROM documents
+)
+SELECT a.doc_id AS u, b.doc_id AS v,
+       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+       CAST(len(list_distinct(a.s || b.s)) AS BIGINT) AS n_union
+FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+WHERE 5 * len(list_intersect(a.s, b.s)) >= 4 * len(list_distinct(a.s || b.s))
+"""
+
+QUERIES.update({"ngram_jaccard": q_ngram_jaccard})
+ORACLES.update({"ngram_jaccard": SQL_NGRAM_JACCARD})

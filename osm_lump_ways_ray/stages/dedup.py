@@ -581,3 +581,96 @@ def exact_dedup(docs_ds, *, id_col: str = "doc_id", text_col: str = "text"):
     hashed = docs_ds.map_batches(add_hash, batch_format="pyarrow")
     return hashed.groupby("text_md5").aggregate(
         Min("doc", alias_name="keep_id"), Count(alias_name="n_dups"))
+
+
+def ngram_jaccard_pairs(docs_ds, *, shingle_k: int = 3, threshold=(4, 5),
+                        id_col: str = "doc_id", text_col: str = "text",
+                        num_partitions: int = 16):
+    """EXACT n-gram-Jaccard near-dup pairs via the shingle INVERTED INDEX —
+    the third dedup family next to MinHash-LSH (probabilistic banding) and
+    SimHash (hamming bands): no sketch at all, the intersection is computed
+    by a distributed self-join on shingles.
+
+    (shingle, doc) rows → per-shingle co-occurring doc pairs (bucketed by
+    shingle hash; singleton shingles — the vast majority — cost nothing) →
+    one grouped count = |A∩B| per pair → join per-doc distinct-shingle sizes
+    → integer threshold ``num·|A∪B| ≤ den·|A∩B|``. Skew note: a shingle
+    shared by s docs emits s·(s-1)/2 pair rows — stopword-like shingles are
+    the classic hot key; cap or drop them upstream for web-scale corpora
+    (the seeded battery corpus has none).
+
+    Emits (u, v, n_common, n_union), u < v. Word-shingle hashing reuses the
+    vectorized MinHash machinery (collision-free at test scale — the same
+    contract the MinHash verify relies on)."""
+    from .relational import bucket_agg, cogroup_join, snapshot
+
+    num, den = threshold if isinstance(threshold, tuple) else (threshold, 1)
+
+    def sh_rows(batch: pa.Table) -> pa.Table:
+        sh, starts = _shingle_hashes_batch(batch[text_col], shingle_k)
+        counts = np.r_[starts[1:], len(sh)] - starts
+        doc = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(doc, counts)
+        # per-doc DISTINCT shingles (each doc lives wholly in one row, so
+        # batch-local dedup is global dedup)
+        key = np.stack([doc_of.astype(np.uint64), sh], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table({
+            "sh": pa.array(uniq[:, 1].astype(np.int64), pa.int64()),
+            "doc": pa.array(uniq[:, 0].astype(np.int64), pa.int64()),
+        })
+
+    shr = snapshot(docs_ds.map_batches(sh_rows, batch_format="pyarrow"))
+    sizes = bucket_agg(shr, ["doc"], {"n_sh": (None, "count")},
+                       num_partitions=num_partitions, combine=True)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        s = batch["sh"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_part", pa.array((s.view(np.uint64) % np.uint64(num_partitions))
+                              .astype(np.int64), pa.int64()))
+
+    def pairs_of_part(df):
+        import pandas as pd
+
+        df = df.sort_values(["sh", "doc"], kind="mergesort")
+        s = df["sh"].to_numpy()
+        d = df["doc"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        ends = np.r_[starts[1:], len(s)]
+        us, vs = [], []
+        for a, b in zip(starts, ends):
+            if b - a < 2:
+                continue
+            run = d[a:b]  # already doc-sorted within the shingle
+            iu = np.triu_indices(b - a, 1)
+            us.append(run[iu[0]])
+            vs.append(run[iu[1]])
+        if not us:
+            return pd.DataFrame({"u": np.array([], np.int64),
+                                 "v": np.array([], np.int64)})
+        return pd.DataFrame({"u": np.concatenate(us),
+                             "v": np.concatenate(vs)})
+
+    cand = shr.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(pairs_of_part, batch_format="pandas")
+    common = snapshot(bucket_agg(cand, ["u", "v"],
+                                 {"n_common": (None, "count")},
+                                 num_partitions=num_partitions, combine=True))
+    j = cogroup_join(common, sizes.rename_columns(["u", "n_sh_u"]), ("u",),
+                     how="inner", num_partitions=num_partitions)
+    j = cogroup_join(j, sizes.rename_columns(["v", "n_sh_v"]), ("v",),
+                     how="inner", num_partitions=num_partitions)
+
+    def thresh(t: pa.Table) -> pa.Table:
+        c = t["n_common"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = t["n_sh_u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["n_sh_v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        union = a + b - c
+        keep = den * c >= num * union
+        return pa.table({"u": t["u"].take(pa.array(np.flatnonzero(keep))),
+                         "v": t["v"].take(pa.array(np.flatnonzero(keep))),
+                         "n_common": pa.array(c[keep], pa.int64()),
+                         "n_union": pa.array(union[keep], pa.int64())})
+
+    return j.map_batches(thresh, batch_format="pyarrow")

@@ -311,16 +311,26 @@ class DecodeImage:
 def decode_images(ds, *, payload_col: str = "payload",
                   id_col: str = "doc_id", max_side: int = 8,
                   concurrency=None, batch_size: int = 64):
-    """Actor-pool real-decode stage (small batches: payload bytes ×
-    concurrency must fit worker heaps)."""
-    import ray
+    """Real-decode stage (small batches: payload bytes × concurrency must fit
+    worker heaps). DecodeImage holds no model state, so the default is
+    STATELESS tasks with a per-worker-process cached instance (no actor-pool
+    spin-up cost — the contract stage's r1 lesson); pass ``concurrency`` to
+    pin an explicit actor pool instead."""
+    if concurrency is not None:
+        return ds.map_batches(
+            DecodeImage, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs=dict(payload_col=payload_col,
+                                       id_col=id_col, max_side=max_side))
 
-    if concurrency is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 4)) \
-            if ray.is_initialized() else 4
-        concurrency = (1, max(2, ncpu))
-    return ds.map_batches(
-        DecodeImage, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs=dict(payload_col=payload_col, id_col=id_col,
+    from ..state.worker_cache import cached_state
+
+    def stage(batch: pa.Table) -> pa.Table:
+        worker = cached_state(
+            ("decode_image", payload_col, id_col, max_side),
+            lambda _k: DecodeImage(payload_col=payload_col, id_col=id_col,
                                    max_side=max_side))
+        return worker(batch)
+
+    return ds.map_batches(stage, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -121,3 +121,37 @@ def test_simhash_hamming_clusters_planted_dups(ray_session):
     clusters = dict(zip(out["node"], out["component_id"]))
     # docs 0/1 share almost all tokens → tiny hamming distance → clustered
     assert clusters.get(0) == 0 and clusters.get(1) == 0
+
+
+def test_ngram_jaccard_pairs_exact_vs_inprocess(ray_session):
+    """Inverted-index distributed Jaccard == in-process shingle-set math."""
+    import itertools
+
+    import ray.data
+
+    from osm_lump_ways_ray.stages.dedup import (_shingle_set,
+                                                ngram_jaccard_pairs)
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+        "a completely different document about rivers",
+        "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+        "tiny",                                          # < k words
+        "tiny",                                          # dup of the short one
+    ]
+    tbl = pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                    "text": pa.array(texts, pa.string())})
+    got = {(r["u"], r["v"]): (r["n_common"], r["n_union"])
+           for r in ngram_jaccard_pairs(
+               ray.data.from_arrow(tbl), shingle_k=3,
+               threshold=(1, 2)).take_all()}  # jaccard >= 0.5
+    want = {}
+    sets = [_shingle_set(t, 3) for t in texts]
+    for i, j in itertools.combinations(range(len(texts)), 2):
+        c = len(sets[i] & sets[j])
+        un = len(sets[i] | sets[j])
+        if 2 * c >= un and c > 0:
+            want[(i, j)] = (c, un)
+    assert got == want
+    assert (0, 3) in got and (4, 5) in got and (0, 1) in got
