@@ -565,3 +565,49 @@ def key_skew_report(ds, key_col: str, *, k: int = 10, num_partitions: int = 16):
     counts = bucket_agg(partial, key_col, {"n": ("n", "sum")},
                         num_partitions=num_partitions)
     return counts.sort(["n", key_col], descending=[True, False]).limit(k)
+
+
+def map_groups_partitioned(ds, fn, key_cols, *, num_partitions: int = 8):
+    """``groupby(key_cols).map_groups(fn, pandas)`` without the one-Python-
+    task-per-group cost: keys hash into ``num_partitions`` groups, each task
+    sorts its partition and run-splits group boundaries, calling ``fn``
+    in-process per group (same contract: ``fn`` sees exactly one group's
+    rows). At 10^7 groups the per-group task overhead IS the wall — this is
+    the ways-assembly lever generalized (pages.assemble_ways_partition)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    keys = list(key_cols) if isinstance(key_cols, (list, tuple)) else [key_cols]
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(len(batch), dtype=np.uint64)
+        for c in keys:
+            v = batch[c].to_numpy(zero_copy_only=False)
+            if v.dtype.kind not in "iu":
+                import pandas as _pd
+
+                h = _pd.util.hash_array(v).astype(np.uint64)
+            else:
+                h = v.astype(np.int64).view(np.uint64)
+            acc = acc * np.uint64(1_000_003) + h
+        part = ((acc * np.uint64(0x9E3779B1))
+                % np.uint64(num_partitions)).astype(np.int64)
+        return batch.append_column("_part", pa.array(part, pa.int64()))
+
+    def per_part(df):
+        df = df.sort_values(keys, kind="mergesort").drop(columns=["_part"])
+        arrs = [df[c].to_numpy() for c in keys]
+        newk = np.zeros(len(df), dtype=bool)
+        newk[0:1] = True
+        for a in arrs:
+            newk[1:] |= a[1:] != a[:-1]
+        starts = np.flatnonzero(newk)
+        ends = np.r_[starts[1:], len(df)]
+        outs = [fn(df.iloc[s:e]) for s, e in zip(starts, ends)]
+        if not outs:
+            return pd.DataFrame()
+        return pd.concat(outs, ignore_index=True)
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(per_part, batch_format="pandas")

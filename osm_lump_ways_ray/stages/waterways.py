@@ -30,7 +30,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 import pyarrow as pa
 
-from .relational import cogroup_join, snapshot
+from .relational import cogroup_join, map_groups_partitioned, snapshot
 from .scc import strongly_connected_components
 from .graph import connected_components
 
@@ -156,7 +156,8 @@ def loop_features(edges_ds, nodes_ds, polygons=None, *,
             "area": [area],
         })
 
-    return cyc.groupby("scc_id").map_groups(per_loop, batch_format="pandas")
+    return map_groups_partitioned(cyc, per_loop, "scc_id",
+                                  num_partitions=num_partitions)
 
 
 # ------------------------------------------------------------------- G14/G16
@@ -303,7 +304,8 @@ def biggest_end_and_grouped_paths(dag_with_flow_ds, *,
                      "from_upstream_m", "to_upstream_m", "avg_upstream_m"])
         return pd.concat([nrows, prows], ignore_index=True)
 
-    return e.groupby("component").map_groups(fn, batch_format="pandas")
+    return map_groups_partitioned(e, fn, "component",
+                                  num_partitions=num_partitions)
 
 
 def _biggest_end_grouped_distributed(dag_with_flow_ds, e, sizes, *,
@@ -364,8 +366,8 @@ def _biggest_end_grouped_distributed(dag_with_flow_ds, e, sizes, *,
             columns=["kind", "node", "end_nid", "n_nodes", "dist_m",
                      "from_upstream_m", "to_upstream_m", "avg_upstream_m"])
 
-    prows = e_small.groupby("component").map_groups(fn_paths,
-                                                    batch_format="pandas")
+    prows = map_groups_partitioned(e_small, fn_paths, "component",
+                                   num_partitions=num_partitions)
     return concat_blocks(nrows, prows)
 
 
@@ -822,8 +824,9 @@ def tag_groups_full(dag_flow_edges_ds, *, num_partitions: int = 8):
         ["src", "component"])
     e = cogroup_join(dag_flow_edges_ds, lab, ("src",), how="inner",
                      num_partitions=num_partitions)
-    rows = snapshot(e.groupby("component").map_groups(
-        _tag_group_full_component, batch_format="pandas"))
+    rows = snapshot(map_groups_partitioned(
+        e, _tag_group_full_component, "component",
+        num_partitions=num_partitions))
 
     # globalize root ranks: one row per root (sink) group, ranked by
     # (upstream desc, gid asc) without leaving the cluster
@@ -867,8 +870,8 @@ def tag_groups(dag_edges_ds, *, num_partitions: int = 8):
         ["src", "component"])
     e = cogroup_join(dag_edges_ds, lab, ("src",), how="inner",
                      num_partitions=num_partitions)
-    return e.groupby("component").map_groups(_tag_group_component,
-                                             batch_format="pandas")
+    return map_groups_partitioned(e, _tag_group_component, "component",
+                                  num_partitions=num_partitions)
 
 
 # ---------------------------------------------------------------------- G19/G20
@@ -927,8 +930,8 @@ def longest_source_mouth(dag_edges_ds, *, top_n: Optional[int] = None,
         ["src", "component"])
     e = cogroup_join(dag_edges_ds, lab, ("src",), how="inner",
                      num_partitions=num_partitions)
-    out = e.groupby("component").map_groups(_longest_source_mouth_component,
-                                            batch_format="pandas")
+    out = map_groups_partitioned(e, _longest_source_mouth_component,
+                                 "component", num_partitions=num_partitions)
     if top_n is not None:
         out = out.sort("river_system_length_m", descending=True).limit(top_n)
     return out
@@ -981,5 +984,5 @@ def through_path_length(dag_edges_ds, *, num_partitions: int = 8):
         ["src", "component"])
     e = cogroup_join(dag_edges_ds, lab, ("src",), how="inner",
                      num_partitions=num_partitions)
-    return e.groupby("component").map_groups(_through_path_component,
-                                             batch_format="pandas")
+    return map_groups_partitioned(e, _through_path_component, "component",
+                                  num_partitions=num_partitions)
