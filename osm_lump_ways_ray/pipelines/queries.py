@@ -3713,3 +3713,169 @@ WHERE 5 * len(list_intersect(a.s, b.s)) >= 4 * len(list_distinct(a.s || b.s))
 
 QUERIES.update({"ngram_jaccard": q_ngram_jaccard})
 ORACLES.update({"ngram_jaccard": SQL_NGRAM_JACCARD})
+
+
+# ═════════════════════════════════════ URL hygiene family (web-corpus stage 1)
+
+_URL_PARTS_SQL = """
+parts AS (
+  SELECT doc_id, url,
+         LOWER(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         LOWER(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1) AS port,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) AS path
+  FROM raw
+), canon AS (
+  SELECT doc_id, host, scheme || '://' || host ||
+         CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                   OR (scheme = 'http' AND port = '80')
+              THEN '' ELSE ':' || port END || path AS curl
+  FROM parts
+)
+"""
+
+
+def _synth_pages(sf_dir: str):
+    """documents + deterministic dirty url column (stages/web.synth_urls_batch
+    — the SQL oracle rebuilds the identical string)."""
+    from ..stages.web import synth_urls_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+    return docs.map_batches(synth_urls_batch, batch_format="pyarrow")
+
+
+def q_url_dedup(sf_dir: str):
+    """Canonical-URL dedup over a dirty synthetic url column (upper-case
+    scheme/host, explicit default port, tracking query, fragment): parse via
+    one RE2 pass, canonicalize, keep min doc_id per canonical url. The
+    recrawl-collapsing first stage of a Common-Crawl pipeline."""
+    from ..stages.web import url_dedup
+
+    return url_dedup(_synth_pages(sf_dir)).sort("curl")
+
+
+SQL_URL_DEDUP = f"""
+WITH raw AS (
+  SELECT doc_id, {{synth}} AS url FROM documents
+), {_URL_PARTS_SQL.strip()}
+SELECT curl, CAST(COUNT(*) AS BIGINT) AS n_pages, MIN(doc_id) AS keep_id
+FROM canon GROUP BY curl
+"""
+
+
+def q_url_host_stats(sf_dir: str):
+    """Per-host rollup (host-level filtering signal): page count, distinct
+    canonical urls, min doc id — two-level combiner-backed aggregation so the
+    host shuffle is bounded by distinct canonical urls."""
+    from ..stages.web import host_stats
+
+    return host_stats(_synth_pages(sf_dir)).sort("host")
+
+
+SQL_URL_HOST_STATS = f"""
+WITH raw AS (
+  SELECT doc_id, {{synth}} AS url FROM documents
+), {_URL_PARTS_SQL.strip()}
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_canonical,
+       MIN(doc_id) AS keep_id
+FROM canon GROUP BY host
+"""
+
+
+def q_oov_rate(sf_dir: str):
+    """Per-document OOV counts vs the corpus top-100 vocabulary (quality
+    signal): combiner wordcount → bounded vocab broadcast → one is_in kernel
+    pass per batch."""
+    from ..stages.text import oov_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return oov_stats(docs, vocab_k=100)
+
+
+SQL_OOV_RATE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    ORDER BY n DESC, tok ASC LIMIT 100)
+)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id
+"""
+
+
+def q_bigram_topk(sf_dir: str):
+    """Corpus top-25 bigrams (phrase-mining / n-gram-LM counting kernel):
+    within-doc consecutive-token pairs via one shifted element-wise join per
+    batch, map-side combined, tiny global SUM + sort."""
+    from ..stages.text import bigram_topk
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    # re-sort the 25-row result into canonical (bigram-ascending) order —
+    # the driver hashes the returned frame, the top-k CUT is what's tested
+    return bigram_topk(docs, k=25).sort("bigram")
+
+
+SQL_BIGRAM_TOPK = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), b AS (
+  SELECT toks[i] || ' ' || toks[i+1] AS bigram
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS g(i)
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY bigram
+ORDER BY n DESC, bigram ASC LIMIT 25
+"""
+
+
+def q_ngram_containment(sf_dir: str):
+    """Asymmetric shingle-containment near-dup pairs (C(A,B) = |A∩B|/|A| ≥
+    0.9, directed): the swallowed-document detector symmetric Jaccard misses.
+    Shares the exact inverted-index core with ngram_jaccard."""
+    from ..stages.dedup import ngram_containment_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_containment_pairs(docs, shingle_k=3, threshold=(9, 10))
+    return out.sort(["dst", "n_common", "n_src", "src"])
+
+
+SQL_NGRAM_CONTAINMENT = """
+WITH sh AS (
+  SELECT doc_id, list_distinct(CASE
+      WHEN len(string_split(text, ' ')) < 3 THEN [text]
+      ELSE [array_to_string((string_split(text, ' '))[i:i+2], ' ')
+            for i in generate_series(1, len(string_split(text, ' ')) - 2)]
+    END) AS s
+  FROM documents
+)
+SELECT a.doc_id AS src, b.doc_id AS dst,
+       CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+       CAST(len(a.s) AS BIGINT) AS n_src
+FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+WHERE 10 * len(list_intersect(a.s, b.s)) >= 9 * len(a.s)
+"""
+
+
+def _fill_synth(sql: str) -> str:
+    from ..stages.web import synth_urls_sql
+
+    return sql.replace("{synth}", synth_urls_sql())
+
+
+QUERIES.update({
+    "url_dedup": q_url_dedup,
+    "url_host_stats": q_url_host_stats,
+    "oov_rate": q_oov_rate,
+    "bigram_topk": q_bigram_topk,
+    "ngram_containment": q_ngram_containment,
+})
+ORACLES.update({
+    "url_dedup": _fill_synth(SQL_URL_DEDUP),
+    "url_host_stats": _fill_synth(SQL_URL_HOST_STATS),
+    "oov_rate": SQL_OOV_RATE,
+    "bigram_topk": SQL_BIGRAM_TOPK,
+    "ngram_containment": SQL_NGRAM_CONTAINMENT,
+})

@@ -583,28 +583,18 @@ def exact_dedup(docs_ds, *, id_col: str = "doc_id", text_col: str = "text"):
         Min("doc", alias_name="keep_id"), Count(alias_name="n_dups"))
 
 
-def ngram_jaccard_pairs(docs_ds, *, shingle_k: int = 3, threshold=(4, 5),
-                        id_col: str = "doc_id", text_col: str = "text",
-                        num_partitions: int = 16):
-    """EXACT n-gram-Jaccard near-dup pairs via the shingle INVERTED INDEX —
-    the third dedup family next to MinHash-LSH (probabilistic banding) and
-    SimHash (hamming bands): no sketch at all, the intersection is computed
-    by a distributed self-join on shingles.
-
+def _shingle_pair_counts(docs_ds, *, shingle_k: int, id_col: str,
+                         text_col: str, num_partitions: int):
+    """Shared inverted-index core of the exact (sketch-free) near-dup family:
     (shingle, doc) rows → per-shingle co-occurring doc pairs (bucketed by
     shingle hash; singleton shingles — the vast majority — cost nothing) →
-    one grouped count = |A∩B| per pair → join per-doc distinct-shingle sizes
-    → integer threshold ``num·|A∪B| ≤ den·|A∩B|``. Skew note: a shingle
-    shared by s docs emits s·(s-1)/2 pair rows — stopword-like shingles are
-    the classic hot key; cap or drop them upstream for web-scale corpora
-    (the seeded battery corpus has none).
+    one grouped count = |A∩B| per pair → join per-doc distinct-shingle sizes.
+    Returns a Dataset of (u, v, n_common, n_sh_u, n_sh_v) with u < v.
 
-    Emits (u, v, n_common, n_union), u < v. Word-shingle hashing reuses the
-    vectorized MinHash machinery (collision-free at test scale — the same
-    contract the MinHash verify relies on)."""
+    Skew note: a shingle shared by s docs emits s·(s-1)/2 pair rows —
+    stopword-like shingles are the classic hot key; cap or drop them upstream
+    for web-scale corpora (the seeded battery corpus has none)."""
     from .relational import bucket_agg, cogroup_join, snapshot
-
-    num, den = threshold if isinstance(threshold, tuple) else (threshold, 1)
 
     def sh_rows(batch: pa.Table) -> pa.Table:
         sh, starts = _shingle_hashes_batch(batch[text_col], shingle_k)
@@ -659,8 +649,25 @@ def ngram_jaccard_pairs(docs_ds, *, shingle_k: int = 3, threshold=(4, 5),
                                  num_partitions=num_partitions, combine=True))
     j = cogroup_join(common, sizes.rename_columns(["u", "n_sh_u"]), ("u",),
                      how="inner", num_partitions=num_partitions)
-    j = cogroup_join(j, sizes.rename_columns(["v", "n_sh_v"]), ("v",),
-                     how="inner", num_partitions=num_partitions)
+    return cogroup_join(j, sizes.rename_columns(["v", "n_sh_v"]), ("v",),
+                        how="inner", num_partitions=num_partitions)
+
+
+def ngram_jaccard_pairs(docs_ds, *, shingle_k: int = 3, threshold=(4, 5),
+                        id_col: str = "doc_id", text_col: str = "text",
+                        num_partitions: int = 16):
+    """EXACT n-gram-Jaccard near-dup pairs via the shingle INVERTED INDEX —
+    the third dedup family next to MinHash-LSH (probabilistic banding) and
+    SimHash (hamming bands): no sketch at all, the intersection is computed
+    by a distributed self-join on shingles (``_shingle_pair_counts``), then
+    the integer threshold ``num·|A∪B| ≤ den·|A∩B|``.
+
+    Emits (u, v, n_common, n_union), u < v. Word-shingle hashing reuses the
+    vectorized MinHash machinery (collision-free at test scale — the same
+    contract the MinHash verify relies on)."""
+    num, den = threshold if isinstance(threshold, tuple) else (threshold, 1)
+    j = _shingle_pair_counts(docs_ds, shingle_k=shingle_k, id_col=id_col,
+                             text_col=text_col, num_partitions=num_partitions)
 
     def thresh(t: pa.Table) -> pa.Table:
         c = t["n_common"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -672,5 +679,38 @@ def ngram_jaccard_pairs(docs_ds, *, shingle_k: int = 3, threshold=(4, 5),
                          "v": t["v"].take(pa.array(np.flatnonzero(keep))),
                          "n_common": pa.array(c[keep], pa.int64()),
                          "n_union": pa.array(union[keep], pa.int64())})
+
+    return j.map_batches(thresh, batch_format="pyarrow")
+
+
+def ngram_containment_pairs(docs_ds, *, shingle_k: int = 3, threshold=(9, 10),
+                            id_col: str = "doc_id", text_col: str = "text",
+                            num_partitions: int = 16):
+    """EXACT asymmetric shingle-CONTAINMENT pairs (Broder's C(A,B) =
+    |S(A)∩S(B)| / |S(A)|): catches documents swallowed whole by a larger one
+    — quote pages, boilerplate-wrapped copies — which symmetric Jaccard
+    misses because the union is dominated by the big side. Same inverted-
+    index core as ``ngram_jaccard_pairs``; each undirected pair is tested in
+    BOTH directions against ``num/den``.
+
+    Emits DIRECTED rows (src, dst, n_common, n_src): src is contained in dst."""
+    num, den = threshold if isinstance(threshold, tuple) else (threshold, 1)
+    j = _shingle_pair_counts(docs_ds, shingle_k=shingle_k, id_col=id_col,
+                             text_col=text_col, num_partitions=num_partitions)
+
+    def thresh(t: pa.Table) -> pa.Table:
+        c = t["n_common"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = t["n_sh_u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["n_sh_v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fwd = den * c >= num * a     # u contained in v
+        rev = den * c >= num * b     # v contained in u
+        return pa.table({
+            "src": pa.array(np.r_[u[fwd], v[rev]], pa.int64()),
+            "dst": pa.array(np.r_[v[fwd], u[rev]], pa.int64()),
+            "n_common": pa.array(np.r_[c[fwd], c[rev]], pa.int64()),
+            "n_src": pa.array(np.r_[a[fwd], b[rev]], pa.int64()),
+        })
 
     return j.map_batches(thresh, batch_format="pyarrow")

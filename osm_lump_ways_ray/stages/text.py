@@ -277,3 +277,95 @@ def json_int_field(ds, col: str, key: str, out: str):
         return batch.append_column(out, vals)
 
     return ds.map_batches(extract, batch_format="pyarrow")
+
+
+# ──────────────────────────────────────────── OOV rate vs corpus vocabulary
+
+def oov_stats(docs_ds, *, vocab_k: int = 100, id_col: str = "doc_id",
+              text_col: str = "text"):
+    """Per-document out-of-vocabulary stats vs the corpus top-``vocab_k``
+    vocabulary: (doc_id, n_tokens, n_oov) — the CCNet-style quality signal
+    ("how much of this page is junk relative to the corpus' head vocab").
+
+    Two passes over the corpus: (1) ``vocab_topk`` (map-side combined
+    wordcount — the shuffle is bounded by per-block vocab, not token count);
+    (2) the vocabulary — k rows, bounded by construction — is broadcast once
+    via ``ray.put`` and each batch scores itself with one Arrow ``is_in``
+    C-kernel pass + a segment sum. No per-row Python in either pass."""
+    import pyarrow.compute as pc
+    import ray
+
+    top = vocab_topk(docs_ds, k=vocab_k)
+    vocab = pa.array(sorted(r["token"] for r in top.take_all()), pa.string())
+    vref = ray.put(vocab)
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..state.worker_cache import cached_state
+
+        vs = cached_state((vref.hex(), "oov_vocab"), lambda _k: ray.get(vref))
+        words = pc.split_pattern(batch[text_col], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(words)
+        oov = pc.cast(pc.invert(pc.is_in(flat, value_set=vs)), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        csum = np.concatenate([[0], np.cumsum(oov)])
+        n_oov = csum[ends] - csum[starts]
+        return pa.table({
+            "doc_id": batch[id_col],
+            "n_tokens": pa.array(counts, pa.int64()),
+            "n_oov": pa.array(n_oov.astype(np.int64), pa.int64()),
+        })
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+# ─────────────────────────────────────────────── bigram (co-occurrence) topk
+
+def bigram_partial_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Per-batch PARTIAL bigram counts: consecutive-token pairs within each
+    doc, built by one element-wise join of the flattened token array against
+    its own 1-shift (a doc-boundary mask drops cross-doc pairs). Same
+    combiner contract as ``vocab_partial_batch``."""
+    import pyarrow.compute as pc
+
+    words = pc.split_pattern(batch[text_col], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    counts = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n = len(flat)
+    if n < 2:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "c": pa.array([], pa.int64())})
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    same_doc = doc_of[:-1] == doc_of[1:]
+    big = pc.binary_join_element_wise(flat.slice(0, n - 1), flat.slice(1), " ")
+    big = big.filter(pa.array(same_doc))
+    part = pa.table({"bigram": big}).group_by("bigram").aggregate([
+        ("bigram", "count")])
+    return part.rename_columns(["bigram", "c"])
+
+
+def bigram_topk(docs_ds, k: int = 25, *, text_col: str = "text"):
+    """Corpus top-``k`` bigrams (ties bigram-ascending): partial counts per
+    batch → small global SUM → sort+limit — the n-gram LM / phrase-mining
+    counting kernel at wordcount cost."""
+    from ray.data.aggregate import Sum
+
+    counts = docs_ds.map_batches(
+        lambda b: bigram_partial_batch(b, text_col=text_col),
+        batch_format="pyarrow").groupby("bigram").aggregate(
+            Sum("c", alias_name="n"))
+    top = counts.sort(["n", "bigram"], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda b: pa.table({"bigram": b["bigram"],
+                            "n": b["n"].cast(pa.int64())}),
+        batch_format="pyarrow")

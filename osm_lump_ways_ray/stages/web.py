@@ -1,0 +1,124 @@
+"""URL-level web-corpus operators: parse → canonicalize → dedup → host rollup.
+
+The first stage of every Common-Crawl-style pipeline is URL hygiene: parse
+the url, canonicalize it (case-fold scheme/host, drop default ports, strip
+query tracking junk and fragments), collapse recrawls of the same canonical
+url, and roll up per-host stats for host-level filtering. All of it is
+Arrow-kernel vectorized (``pc.extract_regex`` is RE2 — the same engine as
+DuckDB's ``regexp_extract``, so the oracle reproduces the parse exactly);
+the shuffles are hash-bucketed with map-side combiners.
+
+Scale shape (100 TB): the parse/canonicalize stages are stateless
+``map_batches`` over zero-copy Arrow; ``url_dedup`` shuffles one (curl,
+doc) row per page pre-combined to one row per (curl) per block;
+``host_stats`` is a two-level rollup — (host, curl) first, then host — so
+the second shuffle moves one row per distinct canonical url, never per page.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# RE2 on BOTH sides (Arrow extract_regex / DuckDB regexp_extract); optional
+# groups that don't participate match as '' in both engines.
+URL_RE = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/:?#]+)"
+          r"(?::(?P<port>[0-9]+))?(?P<path>/[^?#]*)?")
+
+_DEFAULT_PORTS = (("https", "443"), ("http", "80"))
+
+
+def parse_urls_batch(batch: pa.Table, *, url_col: str = "url") -> pa.Table:
+    """url → (scheme, host, port, path) columns; one RE2 pass per batch."""
+    st = pc.extract_regex(batch[url_col], pattern=URL_RE)
+    return (batch.append_column("scheme", pc.utf8_lower(
+                pc.struct_field(st, "scheme")))
+                 .append_column("host", pc.utf8_lower(
+                pc.struct_field(st, "host")))
+                 .append_column("port", pc.struct_field(st, "port"))
+                 .append_column("path", pc.struct_field(st, "path")))
+
+
+def canonical_url_batch(batch: pa.Table, *, url_col: str = "url") -> pa.Table:
+    """Adds ``curl``: scheme://host[:port]/path with scheme+host case-folded,
+    default ports dropped, query string and fragment stripped (the classic
+    recrawl-collapsing canonicalization)."""
+    t = parse_urls_batch(batch, url_col=url_col)
+    scheme, host = t["scheme"], t["host"]
+    port = t["port"]
+    drop = pc.equal(port, "")
+    for sch, p in _DEFAULT_PORTS:
+        drop = pc.or_(drop, pc.and_(pc.equal(scheme, sch), pc.equal(port, p)))
+    port_part = pc.if_else(drop, "",
+                           pc.binary_join_element_wise(":", port, ""))
+    curl = pc.binary_join_element_wise(
+        scheme, "://", host, port_part, t["path"], "")
+    return t.append_column("curl", curl)
+
+
+def url_dedup(pages_ds, *, url_col: str = "url", id_col: str = "doc_id",
+              num_partitions: int = 16):
+    """Canonical-URL dedup: (curl, n_pages, keep_id=min id). The shuffle is
+    hash-bucketed on curl with map-side combine — one surviving row per
+    distinct canonical url per block leaves the node."""
+    from .relational import bucket_agg
+
+    def stage(batch: pa.Table) -> pa.Table:
+        t = canonical_url_batch(batch, url_col=url_col)
+        return pa.table({"curl": t["curl"], "doc": t[id_col]})
+
+    rows = pages_ds.map_batches(stage, batch_format="pyarrow")
+    return bucket_agg(rows, ["curl"],
+                      {"n_pages": (None, "count"), "keep_id": ("doc", "min")},
+                      num_partitions=num_partitions, combine=True)
+
+
+def host_stats(pages_ds, *, url_col: str = "url", id_col: str = "doc_id",
+               num_partitions: int = 16):
+    """Per-host rollup: (host, n_pages, n_canonical, keep_id). Two-level
+    aggregation — (host, curl) partials first, then host — so the host
+    shuffle is bounded by DISTINCT canonical urls, not page count, and a
+    hot host (the classic web-corpus skew key) still combines map-side."""
+    from .relational import bucket_agg
+
+    def stage(batch: pa.Table) -> pa.Table:
+        t = canonical_url_batch(batch, url_col=url_col)
+        return pa.table({"host": t["host"], "curl": t["curl"],
+                         "doc": t[id_col]})
+
+    rows = pages_ds.map_batches(stage, batch_format="pyarrow")
+    per_curl = bucket_agg(rows, ["host", "curl"],
+                          {"n_pages": (None, "count"),
+                           "keep_id": ("doc", "min")},
+                          num_partitions=num_partitions, combine=True)
+    return bucket_agg(per_curl, ["host"],
+                      {"n_pages": ("n_pages", "sum"),
+                       "n_canonical": (None, "count"),
+                       "keep_id": ("keep_id", "min")},
+                      num_partitions=num_partitions, combine=True)
+
+
+# ─────────────────────────── deterministic raw-url synthesis (battery input)
+# The documents table carries no url column; the battery synthesizes one
+# deterministically from (source, lang, doc_id) — dirty on purpose (upper-case
+# scheme/host, explicit default port, tracking query, fragment) so the
+# canonicalizer has real work. The SQL oracle rebuilds the identical string.
+
+def synth_urls_batch(batch: pa.Table, *, path_mod: int = 25,
+                     id_col: str = "doc_id") -> pa.Table:
+    d = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    pathk = pa.array((d % path_mod).astype("U"), pa.string())
+    qid = pa.array((d % 7).astype("U"), pa.string())
+    url = pc.binary_join_element_wise(
+        "HTTPS://", pc.utf8_upper(batch["source"]), ".Example.ORG:443/",
+        batch["lang"], "/p/", pathk, "?utm_source=feed&id=", qid, "#frag", "")
+    return batch.append_column("url", url)
+
+
+def synth_urls_sql(path_mod: int = 25) -> str:
+    """The documents→raw-url construction as a SQL expression (oracle twin)."""
+    return ("'HTTPS://' || UPPER(source) || '.Example.ORG:443/' || lang "
+            f"|| '/p/' || CAST(doc_id % {path_mod} AS VARCHAR) "
+            "|| '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| '#frag'")

@@ -1,0 +1,117 @@
+"""URL-hygiene stage tests (stages/web.py): RE2 parse, canonicalization
+rules (case-fold, default-port drop, query/fragment strip), distributed
+dedup + host rollup, plus the r4 text additions (OOV stats, bigram counts)
+and the containment near-dup variant — all on hand-checkable fixtures."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from osm_lump_ways_ray.stages.web import (
+    canonical_url_batch,
+    host_stats,
+    parse_urls_batch,
+    synth_urls_batch,
+    url_dedup,
+)
+
+
+def test_parse_urls_batch_parts():
+    b = pa.table({"url": [
+        "HTTPS://Site.Example.ORG:443/a/b?q=1#f",
+        "http://h.example:8080/x",
+        "https://bare.example",
+    ]})
+    out = parse_urls_batch(b)
+    assert out["scheme"].to_pylist() == ["https", "http", "https"]
+    assert out["host"].to_pylist() == ["site.example.org", "h.example",
+                                       "bare.example"]
+    assert out["port"].to_pylist() == ["443", "8080", ""]
+    assert out["path"].to_pylist() == ["/a/b", "/x", ""]
+
+
+def test_canonical_url_rules():
+    b = pa.table({"url": [
+        "HTTPS://A.Example:443/p?utm=1#z",   # default https port dropped
+        "http://a.example:80/p",             # default http port dropped
+        "http://a.example:8080/p?x=1",       # non-default port kept
+        "https://a.example/p#only-frag",     # fragment stripped
+    ]})
+    out = canonical_url_batch(b)
+    assert out["curl"].to_pylist() == [
+        "https://a.example/p",
+        "http://a.example/p",
+        "http://a.example:8080/p",
+        "https://a.example/p",
+    ]
+
+
+def test_url_dedup_and_host_stats():
+    rows = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "url": [
+            "HTTPS://A.Example:443/p",    # same canonical as row 2
+            "https://a.example/p",
+            "https://a.example/q",
+            "https://b.example/p",
+        ],
+    })
+    ds = ray.data.from_arrow(rows)
+    dd = {r["curl"]: (r["n_pages"], r["keep_id"])
+          for r in url_dedup(ds).take_all()}
+    assert dd == {"https://a.example/p": (2, 1),
+                  "https://a.example/q": (1, 3),
+                  "https://b.example/p": (1, 4)}
+    hs = {r["host"]: (r["n_pages"], r["n_canonical"], r["keep_id"])
+          for r in host_stats(ds).take_all()}
+    assert hs == {"a.example": (3, 2, 1), "b.example": (1, 1, 4)}
+
+
+def test_synth_urls_deterministic_and_dirty():
+    b = pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "source": ["src3"], "lang": ["de"]})
+    u = synth_urls_batch(b)["url"].to_pylist()[0]
+    assert u == ("HTTPS://SRC3.Example.ORG:443/de/p/7"
+                 "?utm_source=feed&id=0#frag")
+    # canonicalizer has real work on every component
+    c = canonical_url_batch(synth_urls_batch(b))["curl"].to_pylist()[0]
+    assert c == "https://src3.example.org/de/p/7"
+
+
+def test_oov_stats_counts():
+    from osm_lump_ways_ray.stages.text import oov_stats
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        # vocab_k=2 top tokens are 'a' (3×) and 'b' (2×); 'z'/'q' are OOV
+        "text": ["a a b z", "a b q q"],
+    }))
+    out = {r["doc_id"]: (r["n_tokens"], r["n_oov"])
+           for r in oov_stats(docs, vocab_k=2).take_all()}
+    assert out == {1: (4, 1), 2: (4, 2)}
+
+
+def test_bigram_topk_counts_within_doc_only():
+    from osm_lump_ways_ray.stages.text import bigram_topk
+
+    docs = ray.data.from_arrow(pa.table({
+        "text": ["x y x y", "y x"],   # 'x y'×2, 'y x'×2 (cross-doc pair NOT counted)
+    }))
+    out = {r["bigram"]: r["n"] for r in bigram_topk(docs, k=10).take_all()}
+    assert out == {"x y": 2, "y x": 2}
+
+
+def test_ngram_containment_directed():
+    from osm_lump_ways_ray.stages.dedup import ngram_containment_pairs
+
+    small = "w1 w2 w3 w4"                   # 2 shingles, both inside big
+    big = "w0 w1 w2 w3 w4 w5 w6 w7 w8"      # 7 shingles
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": [small, big],
+    }))
+    rows = ngram_containment_pairs(docs, shingle_k=3,
+                                   threshold=(1, 1)).take_all()
+    # only small→big at full containment; big→small fails (2/7 < 1)
+    assert [(r["src"], r["dst"], r["n_common"], r["n_src"])
+            for r in rows] == [(1, 2, 2, 2)]
