@@ -42,3 +42,99 @@ def md5_hex(value) -> str:
 
 def md5_hex_array(values) -> np.ndarray:
     return np.array([md5_hex(v) for v in values], dtype=object)
+
+
+# ───────────────────────── vectorized single-block md5 (RFC 1321, ≤55 bytes)
+# The synth/geocode stages hash one SHORT ascii string per row (ids, urls —
+# always < 56 bytes), i.e. a single md5 compression-function block. Running
+# the 64 rounds as numpy uint32 vector ops over the whole batch removes the
+# last per-row Python loops from the derive phase (measured: the two hashlib
+# loops were ~⅓ of the 10M-page headline wall). Values are BIT-IDENTICAL to
+# hashlib.md5 (parity-tested in tests/test_functions.py).
+
+_MD5_INIT = (0x67452301, 0xEFCDAB89, 0x98BADCFE, 0x10325476)
+_MD5_S = np.array([7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4
+                  + [4, 11, 16, 23] * 4 + [6, 10, 15, 21] * 4, dtype=np.uint32)
+_MD5_K = np.array([int(abs(__import__("math").sin(i + 1)) * (1 << 32))
+                   & 0xFFFFFFFF for i in range(64)], dtype=np.uint32)
+_MD5_G = np.array([i for i in range(16)]
+                  + [(5 * i + 1) % 16 for i in range(16, 32)]
+                  + [(3 * i + 5) % 16 for i in range(32, 48)]
+                  + [(7 * i) % 16 for i in range(48, 64)], dtype=np.int64)
+
+
+def _md5_single_block(m16: np.ndarray) -> np.ndarray:
+    """64 md5 rounds over ``m16`` (n, 16) little-endian uint32 padded blocks →
+    (n, 16) uint8 digests. All-numpy; uint32 wraparound is the modulus."""
+    n = len(m16)
+    a = np.full(n, _MD5_INIT[0], np.uint32)
+    b = np.full(n, _MD5_INIT[1], np.uint32)
+    c = np.full(n, _MD5_INIT[2], np.uint32)
+    d = np.full(n, _MD5_INIT[3], np.uint32)
+    with np.errstate(over="ignore"):
+        for i in range(64):
+            if i < 16:
+                f = (b & c) | (~b & d)
+            elif i < 32:
+                f = (d & b) | (~d & c)
+            elif i < 48:
+                f = b ^ c ^ d
+            else:
+                f = c ^ (b | ~d)
+            x = a + f + _MD5_K[i] + m16[:, _MD5_G[i]]
+            s = _MD5_S[i]
+            x = (x << s) | (x >> np.uint32(32 - s))
+            a, d, c, b = d, c, b, b + x
+        a += np.uint32(_MD5_INIT[0])
+        b += np.uint32(_MD5_INIT[1])
+        c += np.uint32(_MD5_INIT[2])
+        d += np.uint32(_MD5_INIT[3])
+    out = np.empty((len(m16), 4), dtype="<u4")
+    out[:, 0], out[:, 1], out[:, 2], out[:, 3] = a, b, c, d
+    return out.view(np.uint8).reshape(n, 16)
+
+
+def _md5_blocks_of(msgs: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """(n, w) uint8 message matrix (zero-padded) + byte lengths (≤ 55) →
+    (n, 16) little-endian uint32 single md5 blocks (0x80 marker + bit count)."""
+    n, w = msgs.shape
+    assert lens.max(initial=0) <= 55, "single-block md5 needs ≤ 55 bytes"
+    block = np.zeros((n, 64), np.uint8)
+    block[:, :w] = msgs
+    block[np.arange(n), lens] = 0x80
+    block[:, 56:64] = (lens.astype("<u8") * 8).view(np.uint8).reshape(n, 8)
+    return block.view("<u4")
+
+
+def md5_digests_ascii(strings_arrow) -> np.ndarray:
+    """(n, 16) uint8 md5 digests of an Arrow string/binary array of SHORT
+    (≤ 55 byte) values, entirely vectorized: the value bytes are gathered
+    from the Arrow data buffer with one fancy index, padded, and pushed
+    through the vectorized compression function."""
+    import pyarrow as pa
+
+    arr = strings_arrow
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 16), np.uint8)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset: arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lens = offsets[1:] - offsets[:-1]
+    w = int(lens.max(initial=0))
+    idx = offsets[:-1, None] + np.arange(w, dtype=np.int64)[None, :]
+    np.minimum(idx, len(data) - 1, out=idx)
+    msgs = data[idx]
+    msgs[np.arange(w)[None, :] >= lens[:, None]] = 0
+    return _md5_single_block(_md5_blocks_of(msgs, lens))
+
+
+def hash64_from_digests(dig: np.ndarray) -> np.ndarray:
+    """digest matrix → hash64 semantics (big-endian first 8 bytes, 63-bit
+    positive, 0 → 1) as int64."""
+    h = dig[:, :8].copy().view(">u8").reshape(-1).astype(np.uint64)
+    h &= np.uint64(_I63)
+    h[h == 0] = 1
+    return h.astype(np.int64)

@@ -127,21 +127,34 @@ def synth_pages_batch(batch: pa.Table, seed: int) -> pa.Table:
             [pa.array([], t) for t in (pa.string(), pa.timestamp("us"),
                                        pa.binary(), pa.string(), pa.string())],
             schema=PAGES_SCHEMA)
-    h = np.fromiter((hash64(f"{seed}:{int(i)}") for i in ids),
-                    dtype=np.uint64, count=n)
+    ids_str = pc.cast(pa.array(ids, pa.int64()), pa.string())
+    # row hash via the VECTORIZED single-block md5 (functions/hashing.py):
+    # identical values to hash64(f"{seed}:{i}"), no per-row Python
+    from ..functions.hashing import hash64_from_digests, md5_digests_ascii
+
+    seed_keys = pc.binary_join_element_wise(f"{seed}:", ids_str, "")
+    h = hash64_from_digests(md5_digests_ascii(seed_keys)).view(np.uint64)
     nwords = (20 + h % np.uint64(180)).astype(np.int64)
+    # in-place LCG matrix + power-of-two mask: the broadcast-with-temporaries
+    # form cost 24× in allocator/DRAM traffic, and uint64 `% 64` is a 20×
+    # software modulo where `& 63` is one SIMD op (r4 measured; this stage was
+    # ~60 % of the 10M-page derive wall)
+    states = np.empty((n, _MAX_WORDS), np.uint64)
     with np.errstate(over="ignore"):  # uint64 wraparound IS the LCG modulus
-        states = h[:, None] * _APOW[None, :] + _CACC[None, :]
-    widx = ((states >> np.uint64(32)) % np.uint64(64)).astype(np.int32)
+        np.multiply(h[:, None], _APOW[None, :], out=states)
+        states += _CACC[None, :]
+    states >>= np.uint64(32)
+    states &= np.uint64(63)  # == % 64 (word-table size is a power of two)
     mask = np.arange(_MAX_WORDS, dtype=np.int64)[None, :] < nwords[:, None]
-    flat_w = widx[mask]  # row-major → per-row word runs stay contiguous
+    # gather BEFORE narrowing: the masked rows skip the dead half of the
+    # matrix, so the int32 conversion touches only real words
+    flat_w = states[mask].astype(np.int32)  # row-major → runs stay contiguous
     offs = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(nwords, out=offs[1:])
     words_list = pa.ListArray.from_arrays(
         pa.array(offs, pa.int32()),
         pc.take(_WORDS_PA, pa.array(flat_w, pa.int32())))
     texts = pc.binary_join(words_list, " ")
-    ids_str = pc.cast(pa.array(ids, pa.int64()), pa.string())
     site_str = pc.cast(pa.array((h % np.uint64(1000)).astype(np.int64)),
                        pa.string())
     urls = pc.binary_join_element_wise(
@@ -242,20 +255,21 @@ def geocode_batch(batch: pa.Table, cell_res: int = 7) -> pa.Table:
 
     ONE md5 per row (r2): node_id from digest bytes 0-7 (same value as before),
     lat/lon from bytes 8-11 / 12-15 — the round-1 version hashed three times
-    per row, tripling the geocode stage's only real cost."""
-    import hashlib
+    per row, tripling the geocode stage's only real cost. r4: the per-row
+    hashlib loop became the vectorized single-block md5 (urls are < 56 bytes;
+    bit-identical, parity-tested)."""
+    from ..functions.hashing import hash64_from_digests, md5_digests_ascii
 
-    urls = batch["url"].to_pylist()
-    node_id = np.empty(len(urls), dtype=np.int64)
-    lat = np.empty(len(urls), dtype=np.int64)
-    lon = np.empty(len(urls), dtype=np.int64)
-    i63 = (1 << 63) - 1
-    for j, u in enumerate(urls):
-        d = hashlib.md5(u.encode("utf-8")).digest()
-        h = int.from_bytes(d[:8], "big") & i63
-        node_id[j] = h if h > 0 else 1
-        lat[j] = int.from_bytes(d[8:12], "big") % 1_800_000_001 - 900_000_000
-        lon[j] = (int.from_bytes(d[12:16], "big") * 977) % 3_600_000_001 - 1_800_000_000
+    url_col = batch["url"]
+    if isinstance(url_col, pa.ChunkedArray):
+        url_col = url_col.combine_chunks()
+    dig = md5_digests_ascii(url_col)
+    node_id = hash64_from_digests(dig)
+    b8_11 = dig[:, 8:12].copy().view(">u4").reshape(-1).astype(np.int64)
+    b12_15 = dig[:, 12:16].copy().view(">u4").reshape(-1).astype(np.uint64)
+    lat = b8_11 % 1_800_000_001 - 900_000_000
+    lon = ((b12_15 * np.uint64(977)) % np.uint64(3_600_000_001)).astype(
+        np.int64) - 1_800_000_000
     cells = cell_id_fp(lat, lon, cell_res)
     return (
         batch.append_column("node_id", pa.array(node_id, pa.int64()))
