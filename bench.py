@@ -80,11 +80,22 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
     # measured 4.7 s vs 40 ms) — a single sample can land 2-3× off; min-of-2
     # is the standard noise shield and both samples are reported
     runs = []
+    phases = None
     for _ in range(2):
         t0 = time.monotonic()
         res = lump(synth_pages_dataset(n_pages, seed=42),
                    num_partitions=num_partitions, verify_extract=True)
-        runs.append(round(time.monotonic() - t0, 3))
+        wall = round(time.monotonic() - t0, 3)
+        runs.append(wall)
+        if phases is None or wall <= min(runs):
+            phases = res["metrics"]
+        # release run-1's materialized datasets before run 2: holding them
+        # pins several GB in the object store and measurably degrades the
+        # second rep (r4: [30.5, 65.5] held vs [29.2, 36.6] released)
+        res = None
+        import gc
+
+        gc.collect()
     headline = min(runs)
     out = {
         "metric": "lump_wall_sec",
@@ -95,7 +106,7 @@ def run_bench(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
         "num_cpus": num_cpus,
         "pages": n_pages,
         "rows_per_sec": round(n_pages / headline, 1),
-        "phase_metrics": res["metrics"],
+        "phase_metrics": phases,
     }
 
     if queries:

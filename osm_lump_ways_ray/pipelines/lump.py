@@ -196,15 +196,16 @@ def tile_stats(labels_ds, nodes_ds, *, num_partitions: int = 32):
                              num_partitions=num_partitions))
 
     def partial(batch: pa.Table) -> pa.Table:
-        key = np.stack([
-            batch["cell"].to_numpy(zero_copy_only=False),
-            batch["component_id"].to_numpy(zero_copy_only=False),
-        ], axis=1)
-        uniq, counts = np.unique(key, axis=0, return_counts=True)
+        from ..stages.graph import _unique_pairs
+
+        uniq, inv = _unique_pairs(
+            batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64),
+            batch["component_id"].to_numpy(zero_copy_only=False).astype(np.int64))
         return pa.table({
             "cell": pa.array(uniq[:, 0], pa.int64()),
             "component_id": pa.array(uniq[:, 1], pa.int64()),
-            "n": pa.array(counts, pa.int64()),
+            "n": pa.array(np.bincount(inv, minlength=len(uniq)).astype(np.int64),
+                          pa.int64()),
         })
 
     from ..stages.relational import bucket_agg
