@@ -602,12 +602,16 @@ def _shingle_pair_counts(docs_ds, *, shingle_k: int, id_col: str,
         doc = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         doc_of = np.repeat(doc, counts)
         # per-doc DISTINCT shingles (each doc lives wholly in one row, so
-        # batch-local dedup is global dedup)
-        key = np.stack([doc_of.astype(np.uint64), sh], axis=1)
-        uniq = np.unique(key, axis=0)
+        # batch-local dedup is global dedup); rank-encoded pair-unique — the
+        # axis-0 np.unique sorts void views, ~1.6× slower (r4, same swap as
+        # the CC base case). sh viewed as int64 flips sort order for values
+        # ≥ 2^63 but preserves the SET — downstream is order-insensitive.
+        from .graph import _unique_pairs
+
+        uniq, _ = _unique_pairs(doc_of, sh.view(np.int64))
         return pa.table({
-            "sh": pa.array(uniq[:, 1].astype(np.int64), pa.int64()),
-            "doc": pa.array(uniq[:, 0].astype(np.int64), pa.int64()),
+            "sh": pa.array(uniq[:, 1], pa.int64()),
+            "doc": pa.array(uniq[:, 0], pa.int64()),
         })
 
     shr = snapshot(docs_ds.map_batches(sh_rows, batch_format="pyarrow"))

@@ -24,28 +24,40 @@ _BPE_ISH = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
 
 
 def token_stats_batch(batch: pa.Table) -> pa.Table:
-    """Per-row token counts: whitespace tokens + a BPE-ish regex token count."""
-    texts = batch["text"].to_pylist()
-    ws = np.fromiter((len(t.split(" ")) for t in texts), dtype=np.int64, count=len(texts))
-    bpe = np.fromiter((len(_BPE_ISH.findall(t)) for t in texts), dtype=np.int64,
-                      count=len(texts))
-    return batch.append_column("ws_tokens", pa.array(ws, pa.int64())) \
-                .append_column("bpe_tokens", pa.array(bpe, pa.int64()))
+    """Per-row token counts: whitespace tokens + a BPE-ish regex token count.
+    Both are Arrow C kernels (r4): list_value_length over a split, and
+    count_substring_regex (RE2 — same alternation semantics as re.findall
+    for this disjoint-class pattern)."""
+    import pyarrow.compute as pc
+
+    ws = pc.list_value_length(pc.split_pattern(batch["text"], " ")) \
+        .cast(pa.int64())
+    bpe = pc.count_substring_regex(
+        batch["text"], _BPE_ISH.pattern).cast(pa.int64())
+    return batch.append_column("ws_tokens", ws) \
+                .append_column("bpe_tokens", bpe)
 
 
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Quality heuristics: length, stopword count, stopword ratio (×1e6 int so
-    the oracle compare is exact integer arithmetic, no float hashing)."""
-    texts = batch["text"].to_pylist()
-    n = len(texts)
-    nchars = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
-    ntok = np.empty(n, dtype=np.int64)
-    nstop = np.empty(n, dtype=np.int64)
-    stop = set(STOPWORDS)
-    for i, t in enumerate(texts):
-        toks = t.split(" ")
-        ntok[i] = len(toks)
-        nstop[i] = sum(1 for w in toks if w in stop)
+    the oracle compare is exact integer arithmetic, no float hashing).
+    Vectorized (r4): one split + is_in kernel pass + segment sum — the same
+    shape as ``oov_stats``; no per-row Python."""
+    import pyarrow.compute as pc
+
+    words = pc.split_pattern(batch["text"], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    nchars = pc.utf8_length(batch["text"]).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    ntok = pc.list_value_length(words).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(words)
+    is_stop = pc.cast(pc.is_in(flat, value_set=pa.array(STOPWORDS)),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+    ends = np.cumsum(ntok)
+    csum = np.concatenate([[0], np.cumsum(is_stop)])
+    nstop = csum[ends] - csum[ends - ntok]
     ratio_ppm = nstop * 1_000_000 // ntok
     return batch.append_column("n_chars_txt", pa.array(nchars, pa.int64())) \
                 .append_column("n_tokens", pa.array(ntok, pa.int64())) \
