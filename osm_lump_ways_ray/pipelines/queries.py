@@ -3879,3 +3879,86 @@ ORACLES.update({
     "bigram_topk": SQL_BIGRAM_TOPK,
     "ngram_containment": SQL_NGRAM_CONTAINMENT,
 })
+
+
+# ══════════════════════════════════ distributed SSSP (G6/G7 scale path, r4)
+
+def q_sssp(sf_dir: str):
+    """Multi-source shortest paths over a step+skip DAG derived from the
+    decade chains (skip edges make relaxation real: the window-sum shortcut
+    that suffices for flow_upstream is wrong here). Runs the fully
+    distributed Bellman-Ford round engine (stages/graph.sssp_rounds) — the
+    giant-component scale path of the Dijkstra/A* family; sources (in-degree
+    0) are found with a distributed anti-join, nothing touches the driver."""
+    from ..stages.graph import sssp
+    from ..stages.relational import cogroup_join, concat_blocks, snapshot
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def ok_rows(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (nc % 7 != 0) & (d % 10 != 9)
+        return pa.table({"d": pa.array(d[keep], pa.int64())})
+
+    ok = snapshot(docs.map_batches(ok_rows, batch_format="pyarrow"))
+    step = ok.map_batches(
+        lambda b: (lambda d: pa.table({
+            "src": pa.array(d + 1), "dst": pa.array(d + 2),
+            "w": pa.array(d % 13 + 1)}))(
+            b["d"].to_numpy(zero_copy_only=False).astype(np.int64)),
+        batch_format="pyarrow")
+    # skip edge d+1 → d+3 exists when d AND d+1 are both ok (stays inside the
+    # run) and d % 3 == 0 — the cross-row test is a distributed self-join
+    nxt = ok.map_batches(
+        lambda b: pa.table({"k": pc.add(b["d"], pa.scalar(1, pa.int64())),
+                            "d": b["d"]}), batch_format="pyarrow")
+    cur = ok.map_batches(lambda b: pa.table({"k": b["d"]}),
+                         batch_format="pyarrow")
+    both = cogroup_join(nxt, cur, ("k",), how="inner", num_partitions=4)
+    skip = both.map_batches(
+        lambda b: (lambda d: (lambda kept: pa.table({
+            "src": pa.array(kept + 1), "dst": pa.array(kept + 3),
+            "w": pa.array(kept % 17 + 2)}))(d[d % 3 == 0]))(
+            b["d"].to_numpy(zero_copy_only=False).astype(np.int64)),
+        batch_format="pyarrow")
+    edges = snapshot(concat_blocks(step, skip))
+    from ..stages.relational import bucket_agg
+
+    endpoints = concat_blocks(
+        edges.map_batches(lambda b: pa.table({"node": b["src"]}),
+                          batch_format="pyarrow"),
+        edges.map_batches(lambda b: pa.table({"node": b["dst"]}),
+                          batch_format="pyarrow"))
+    nodes = bucket_agg(endpoints, ["node"], {"n": (None, "count")},
+                       num_partitions=4, combine=True) \
+        .select_columns(["node"])
+    dsts = edges.map_batches(lambda b: pa.table({"node": b["dst"]}),
+                             batch_format="pyarrow")
+    sources = cogroup_join(nodes, dsts, ("node",), how="left_anti",
+                           num_partitions=4)
+    out = sssp(edges, sources, num_partitions=4)  # auto-routes (G13 pattern)
+    return out.sort(["dist", "node"])
+
+
+SQL_SSSP = """
+WITH RECURSIVE ok AS (
+  SELECT doc_id AS d FROM documents WHERE n_chars % 7 <> 0 AND doc_id % 10 <> 9
+), step AS (
+  SELECT d + 1 AS src, d + 2 AS dst, d % 13 + 1 AS w FROM ok
+), skip AS (
+  SELECT a.d + 1 AS src, a.d + 3 AS dst, a.d % 17 + 2 AS w
+  FROM ok a JOIN ok b ON b.d = a.d + 1 WHERE a.d % 3 = 0
+), e AS (SELECT * FROM step UNION ALL SELECT * FROM skip),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+sources AS (SELECT node FROM nodes WHERE node NOT IN (SELECT dst FROM e)),
+walk(node, dist) AS (
+  SELECT node, CAST(0 AS BIGINT) AS dist FROM sources
+  UNION
+  SELECT e.dst, walk.dist + e.w FROM walk JOIN e ON e.src = walk.node
+)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY node
+"""
+
+QUERIES.update({"sssp": q_sssp})
+ORACLES.update({"sssp": SQL_SSSP})

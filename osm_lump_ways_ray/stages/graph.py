@@ -840,3 +840,140 @@ def pagerank_int(edges_ds, nodes_ds, *, iterations: int = 3,
     return ranks.map_batches(
         lambda b: pa.table({"node": b["node"], "rank_micro": b["r"]}),
         batch_format="pyarrow")
+
+
+def sssp_rounds(edges_ds, sources_ds, *, src_col: str = "src",
+                dst_col: str = "dst", weight_col: str = "w",
+                num_partitions: int = 8, max_rounds: int = 64):
+    """Distributed multi-source shortest paths (min over all sources) via
+    level-synchronous Bellman-Ford rounds — the giant-component scale path
+    for the Dijkstra/A* family (G6/G7 run one in-memory graph per component;
+    a planet-scale component needs this round shape instead, the same
+    auto-route pattern as G13's levelflow).
+
+    Per round: frontier ⋈ edges (cogroup hash join) → relaxed candidates →
+    map-side-combined grouped MIN → join against current distances → the
+    improved rows become the next frontier and fold into ``dist`` via an
+    idempotent MIN re-aggregate (no driver state; counts are the only values
+    that reach the driver). Terminates when a round improves nothing.
+
+    ASSUMPTION (documented, reference parity: the in-memory Dijkstra walks
+    the whole component anyway): round count = shortest-path HOP diameter of
+    the graph — bounded for road/waterway networks; raise ``max_rounds`` for
+    pathological chains. Weights must be non-negative integers (exact
+    min-plus arithmetic; the oracle compares bit-for-bit).
+
+    Returns (node, dist) for every REACHABLE node; sources have dist 0.
+    """
+    from .relational import bucket_agg, cogroup_join, concat_blocks, snapshot
+
+    def init0(batch: pa.Table) -> pa.Table:
+        col = batch.column_names[0]
+        return pa.table({
+            "node": batch[col].cast(pa.int64()),
+            "dist": pa.array(np.zeros(len(batch), np.int64), pa.int64()),
+        })
+
+    edges = snapshot(edges_ds.map_batches(
+        lambda b: pa.table({"src": b[src_col].cast(pa.int64()),
+                            "dst": b[dst_col].cast(pa.int64()),
+                            "w": b[weight_col].cast(pa.int64())}),
+        batch_format="pyarrow"))
+    dist = snapshot(sources_ds.map_batches(init0, batch_format="pyarrow"))
+    frontier = dist
+    for _ in range(max_rounds):
+        f_src = frontier.map_batches(
+            lambda b: pa.table({"src": b["node"], "fdist": b["dist"]}),
+            batch_format="pyarrow")
+        relaxed = cogroup_join(edges, f_src, ("src",), how="inner",
+                               num_partitions=num_partitions)
+        cand = relaxed.map_batches(
+            lambda b: pa.table({
+                "node": b["dst"],
+                "nd": pa.array(
+                    b["fdist"].to_numpy(zero_copy_only=False)
+                    + b["w"].to_numpy(zero_copy_only=False), pa.int64()),
+            }), batch_format="pyarrow")
+        cand_min = bucket_agg(cand, ["node"], {"nd": ("nd", "min")},
+                              num_partitions=num_partitions, combine=True)
+        probe = cogroup_join(cand_min, dist, ("node",), how="left_outer",
+                             num_partitions=num_partitions)
+
+        def improved_only(b: pa.Table) -> pa.Table:
+            nd = b["nd"].to_numpy(zero_copy_only=False).astype(np.int64)
+            # unmatched rows (first time a node is reached) -> +inf sentinel
+            old = pc.fill_null(b["dist"], pa.scalar(np.iinfo(np.int64).max,
+                                                    pa.int64())) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = pa.array(np.flatnonzero(nd < old))
+            return pa.table({"node": b["node"].take(idx),
+                             "dist": b["nd"].take(idx)})
+
+        improved = snapshot(probe.map_batches(improved_only,
+                                              batch_format="pyarrow"))
+        if improved.count() == 0:
+            break
+        dist = snapshot(bucket_agg(concat_blocks(dist, improved), ["node"],
+                                   {"dist": ("dist", "min")},
+                                   num_partitions=num_partitions,
+                                   combine=True))
+        frontier = improved
+    return dist
+
+
+def _sssp_local_arrays(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
+                       sources: np.ndarray):
+    """Driver base case: vectorized Bellman-Ford over dense-indexed arrays
+    (np.minimum.at rounds to fixpoint — each round one C scatter over the
+    edge list; rounds = hop diameter). Returns (nodes, dist) for reachable
+    nodes only. Exact same results as ``sssp_rounds`` (parity-tested)."""
+    nodes = np.unique(np.concatenate([src, dst, sources]))
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    INF = np.iinfo(np.int64).max // 2
+    dist = np.full(len(nodes), INF, np.int64)
+    dist[np.searchsorted(nodes, sources)] = 0
+    while True:
+        new = dist.copy()
+        with np.errstate(over="ignore"):
+            np.minimum.at(new, di, dist[si] + w)
+        if np.array_equal(new, dist):
+            break
+        dist = new
+    reach = dist < INF
+    return nodes[reach], dist[reach]
+
+
+def sssp(edges_ds, sources_ds, *, src_col: str = "src", dst_col: str = "dst",
+         weight_col: str = "w", num_partitions: int = 8,
+         max_rounds: int = 64, max_local_edges: int = 200_000,
+         force: Optional[str] = None):
+    """Auto-routed multi-source shortest paths (same pattern as G13's
+    upstream_flow base case): graphs at or under ``max_local_edges`` run the
+    driver-side vectorized Bellman-Ford in one pass; larger graphs run the
+    fully distributed ``sssp_rounds``. ``force`` in {"local", "distributed"}
+    pins a path for parity tests."""
+    import ray.data
+
+    path = force
+    if path is None:
+        path = ("local" if edges_ds.count() <= max_local_edges
+                else "distributed")
+    if path == "distributed":
+        return sssp_rounds(edges_ds, sources_ds, src_col=src_col,
+                           dst_col=dst_col, weight_col=weight_col,
+                           num_partitions=num_partitions,
+                           max_rounds=max_rounds)
+    et = pa.concat_tables(list(
+        edges_ds.select_columns([src_col, dst_col, weight_col])
+        .iter_batches(batch_format="pyarrow")))
+    st = pa.concat_tables(list(sources_ds.iter_batches(batch_format="pyarrow")))
+    nodes, dist = _sssp_local_arrays(
+        et[src_col].to_numpy(zero_copy_only=False).astype(np.int64),
+        et[dst_col].to_numpy(zero_copy_only=False).astype(np.int64),
+        et[weight_col].to_numpy(zero_copy_only=False).astype(np.int64),
+        st[st.column_names[0]].to_numpy(zero_copy_only=False).astype(np.int64))
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "dist": pa.array(dist, pa.int64()),
+    }))

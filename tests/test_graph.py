@@ -259,3 +259,33 @@ def test_pagerank_int_hand_computed(ray_session):
     #        = 150000+977500 = 1127500
     #        S(1)=r1(3)=1850000 → 150000+1572500=1722500; node2 → 150000
     assert got == {1: 1722500, 2: 150000, 3: 1127500}
+
+
+def test_sssp_local_distributed_parity():
+    """sssp auto-route parity (G13-style): both paths produce identical
+    (node, dist) rows on a DAG with shortcut edges."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.stages.graph import sssp
+
+    rng = np.random.default_rng(7)
+    n = 60
+    src = np.arange(1, n)          # chain 1→2→…→n
+    dst = src + 1
+    w = (src % 13 + 1).astype(np.int64)
+    sk = np.flatnonzero(src % 5 == 0)   # shortcuts i → i+3
+    edges = pa.table({
+        "src": pa.array(np.r_[src, src[sk]], pa.int64()),
+        "dst": pa.array(np.r_[dst, dst[sk] + 2], pa.int64()),
+        "w": pa.array(np.r_[w, (src[sk] % 7 + 1)], pa.int64()),
+    })
+    e = ray.data.from_arrow(edges)
+    s = ray.data.from_arrow(pa.table({"node": pa.array([1, 20], pa.int64())}))
+    loc = {r["node"]: r["dist"]
+           for r in sssp(e, s, force="local").take_all()}
+    dist = {r["node"]: r["dist"]
+            for r in sssp(e, s, force="distributed",
+                          num_partitions=2).take_all()}
+    assert loc == dist and loc[1] == 0 and loc[20] == 0 and len(loc) > 50
