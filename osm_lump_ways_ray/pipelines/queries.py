@@ -3962,3 +3962,77 @@ SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY node
 
 QUERIES.update({"sssp": q_sssp})
 ORACLES.update({"sssp": SQL_SSSP})
+
+
+# ═══════════════════════════ star-schema 3-table join (TPC-H Q3 shape, r4)
+
+_Q3_CUTOFF_US = 865_123_200_000_000  # 1997-06-01T00:00:00Z in epoch micros
+
+
+def q_star_join_revenue(sf_dir: str):
+    """customer ⋈ orders ⋈ lineitem revenue top-10 (TPC-H Q3 shape): the
+    classic selective-dimension → fact-table star join. All three reads are
+    column-pruned with row filters applied at the map stage; lineitem revenue
+    is quantized to integer cents PER ROW (float-parity policy) and combined
+    map-side per l_orderkey before the shuffle, so the fact-table all-to-all
+    moves one row per (block, orderkey) — the right 100-TB shape."""
+    from ..stages.relational import bucket_agg, cogroup_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(
+            lambda b: pa.table({"o_custkey": b.filter(pc.equal(
+                b["c_mktsegment"], "BUILDING"))["c_custkey"]}),
+            batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(
+            lambda b: (lambda f: pa.table({"o_custkey": f["o_custkey"],
+                                           "o_orderkey": f["o_orderkey"]}))(
+                b.filter(pc.less(b["o_orderdate"].cast(pa.int64()),
+                                 pa.scalar(_Q3_CUTOFF_US, pa.int64())))),
+            batch_format="pyarrow")
+    owned = cogroup_join(orders, cust, ("o_custkey",), how="inner",
+                         num_partitions=8).select_columns(["o_orderkey"])
+
+    def li_cents(b: pa.Table) -> pa.Table:
+        keep = pc.greater(b["l_shipdate"].cast(pa.int64()),
+                          pa.scalar(_Q3_CUTOFF_US, pa.int64()))
+        f = b.filter(keep)
+        ep = f["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = f["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1.0 - dc) * 100 + 0.5).astype(np.int64)
+        return pa.table({"o_orderkey": f["l_orderkey"],
+                         "cents": pa.array(cents, pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"]) \
+        .map_batches(li_cents, batch_format="pyarrow")
+    rev = bucket_agg(li, ["o_orderkey"], {"revenue_cents": ("cents", "sum")},
+                     num_partitions=8, combine=True)
+    out = cogroup_join(owned, rev, ("o_orderkey",), how="inner",
+                       num_partitions=8)
+    top = out.sort(["revenue_cents", "o_orderkey"],
+                   descending=[True, False]).limit(10)
+    # canonical order for the driver hash: sorted-col (o_orderkey) ascending
+    return top.sort("o_orderkey")
+
+
+SQL_STAR_JOIN_REVENUE = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+           AS cents
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-06-01'
+), top AS (
+  SELECT o.o_orderkey, CAST(SUM(li.cents) AS BIGINT) AS revenue_cents
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN li ON li.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1997-06-01'
+  GROUP BY o.o_orderkey ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
+)
+SELECT o_orderkey, revenue_cents FROM top
+"""
+
+QUERIES.update({"star_join_revenue": q_star_join_revenue})
+ORACLES.update({"star_join_revenue": SQL_STAR_JOIN_REVENUE})
