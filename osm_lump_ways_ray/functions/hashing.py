@@ -63,14 +63,12 @@ _MD5_G = np.array([i for i in range(16)]
                   + [(7 * i) % 16 for i in range(48, 64)], dtype=np.int64)
 
 
-def _md5_single_block(m16: np.ndarray) -> np.ndarray:
-    """64 md5 rounds over ``m16`` (n, 16) little-endian uint32 padded blocks →
-    (n, 16) uint8 digests. All-numpy; uint32 wraparound is the modulus."""
-    n = len(m16)
-    a = np.full(n, _MD5_INIT[0], np.uint32)
-    b = np.full(n, _MD5_INIT[1], np.uint32)
-    c = np.full(n, _MD5_INIT[2], np.uint32)
-    d = np.full(n, _MD5_INIT[3], np.uint32)
+def _md5_compress(m16: np.ndarray, state):
+    """One md5 compression over ``m16`` (n, 16) little-endian uint32 blocks,
+    chained from ``state`` (4 uint32 arrays) → new state. All-numpy; uint32
+    wraparound is the modulus."""
+    a0, b0, c0, d0 = state
+    a, b, c, d = a0, b0, c0, d0
     with np.errstate(over="ignore"):
         for i in range(64):
             if i < 16:
@@ -85,13 +83,22 @@ def _md5_single_block(m16: np.ndarray) -> np.ndarray:
             s = _MD5_S[i]
             x = (x << s) | (x >> np.uint32(32 - s))
             a, d, c, b = d, c, b, b + x
-        a += np.uint32(_MD5_INIT[0])
-        b += np.uint32(_MD5_INIT[1])
-        c += np.uint32(_MD5_INIT[2])
-        d += np.uint32(_MD5_INIT[3])
-    out = np.empty((len(m16), 4), dtype="<u4")
+        return (a0 + a, b0 + b, c0 + c, d0 + d)
+
+
+def _md5_init_state(n: int):
+    return tuple(np.full(n, v, np.uint32) for v in _MD5_INIT)
+
+
+def _state_to_digest(state) -> np.ndarray:
+    a, b, c, d = state
+    out = np.empty((len(a), 4), dtype="<u4")
     out[:, 0], out[:, 1], out[:, 2], out[:, 3] = a, b, c, d
-    return out.view(np.uint8).reshape(n, 16)
+    return out.view(np.uint8).reshape(len(a), 16)
+
+
+def _md5_single_block(m16: np.ndarray) -> np.ndarray:
+    return _state_to_digest(_md5_compress(m16, _md5_init_state(len(m16))))
 
 
 def _md5_blocks_of(msgs: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -104,6 +111,20 @@ def _md5_blocks_of(msgs: np.ndarray, lens: np.ndarray) -> np.ndarray:
     block[np.arange(n), lens] = 0x80
     block[:, 56:64] = (lens.astype("<u8") * 8).view(np.uint8).reshape(n, 8)
     return block.view("<u4")
+
+
+def _md5_two_blocks(msgs: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Two-block path for 56..119-byte messages: raw first block, padded
+    second, chained compression. Same bit-identical contract."""
+    n, w = msgs.shape
+    assert lens.max(initial=0) <= 119, "two-block md5 needs ≤ 119 bytes"
+    buf = np.zeros((n, 128), np.uint8)
+    buf[:, :w] = msgs
+    buf[np.arange(n), lens] = 0x80
+    buf[:, 120:128] = (lens.astype("<u8") * 8).view(np.uint8).reshape(n, 8)
+    state = _md5_compress(buf[:, :64].copy().view("<u4"), _md5_init_state(n))
+    return _state_to_digest(_md5_compress(buf[:, 64:].copy().view("<u4"),
+                                          state))
 
 
 def md5_digests_ascii(strings_arrow) -> np.ndarray:
@@ -128,7 +149,36 @@ def md5_digests_ascii(strings_arrow) -> np.ndarray:
     np.minimum(idx, len(data) - 1, out=idx)
     msgs = data[idx]
     msgs[np.arange(w)[None, :] >= lens[:, None]] = 0
-    return _md5_single_block(_md5_blocks_of(msgs, lens))
+    if w <= 55:
+        return _md5_single_block(_md5_blocks_of(msgs, lens))
+    out = np.empty((n, 16), np.uint8)
+    short = lens <= 55
+    if short.any():
+        ws = int(lens[short].max(initial=0))
+        out[short] = _md5_single_block(
+            _md5_blocks_of(msgs[short][:, :max(ws, 1)], lens[short]))
+    mid = ~short & (lens <= 119)
+    if mid.any():
+        out[mid] = _md5_two_blocks(msgs[mid][:, :min(w, 119)], lens[mid])
+    rest = lens > 119
+    if rest.any():  # arbitrary length: hashlib loop on just those rows
+        for i in np.flatnonzero(rest):
+            out[i] = np.frombuffer(
+                hashlib.md5(msgs[i, :lens[i]].tobytes()).digest(), np.uint8)
+    return out
+
+
+_HEXCHARS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def md5_hex_of_digests(dig: np.ndarray) -> np.ndarray:
+    """(n, 16) digest matrix → numpy array of 32-char lowercase hex strings
+    (vectorized nibble lookup)."""
+    n = len(dig)
+    hx = np.empty((n, 32), np.uint8)
+    hx[:, 0::2] = _HEXCHARS[dig >> 4]
+    hx[:, 1::2] = _HEXCHARS[dig & 0x0F]
+    return hx.view("S32").reshape(n).astype("U32")
 
 
 def hash64_from_digests(dig: np.ndarray) -> np.ndarray:

@@ -66,25 +66,33 @@ def quality_batch(batch: pa.Table) -> pa.Table:
 
 
 def langid_batch(batch: pa.Table) -> pa.Table:
-    """Marker-word language guess (first match wins, 'other' fallback)."""
-    texts = batch["text"].to_pylist()
-    out = []
-    for t in texts:
-        padded = " " + t + " "
-        for lang, marker in LANG_MARKERS:
-            if marker in padded:
-                out.append(lang)
-                break
-        else:
-            out.append("other")
-    return batch.append_column("detected_lang", pa.array(out, pa.string()))
+    """Marker-word language guess (first match wins, 'other' fallback).
+    Vectorized (r4): one match_substring C-kernel pass per marker +
+    np.select — no per-row Python."""
+    import pyarrow.compute as pc
+
+    padded = pa.table({"t": batch["text"]})  # keep chunk layout
+    padded = pc.binary_join_element_wise(" ", padded["t"], " ", "")
+    hits = [pc.match_substring(padded, marker)
+            .to_numpy(zero_copy_only=False).astype(bool)
+            for _, marker in LANG_MARKERS]
+    out = np.select(hits, [lang for lang, _ in LANG_MARKERS],
+                    default="other")
+    return batch.append_column("detected_lang",
+                               pa.array(out.astype("U"), pa.string()))
 
 
 def fingerprint_batch(batch: pa.Table, prefix_len: int = 64) -> pa.Table:
     """Document fingerprint: md5 of the first ``prefix_len`` chars (rolling-hash
-    analog with exact SQL parity via ``md5(substr(text, 1, 64))``)."""
-    texts = batch["text"].to_pylist()
-    fp = [md5_hex(t[:prefix_len]) for t in texts]
+    analog with exact SQL parity via ``md5(substr(text, 1, 64))``). Vectorized
+    (r4): Arrow substring slice + the two-block numpy md5 + nibble-lookup hex
+    — no per-row Python."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_digests_ascii, md5_hex_of_digests
+
+    prefix = pc.utf8_slice_codeunits(batch["text"], 0, prefix_len)
+    fp = md5_hex_of_digests(md5_digests_ascii(prefix))
     return batch.append_column("fingerprint", pa.array(fp, pa.string()))
 
 

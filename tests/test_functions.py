@@ -139,3 +139,30 @@ def test_parse_min_length_dsl_forms():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         p("nonsense%")
+
+
+def test_vectorized_md5_parity_vs_hashlib():
+    """md5_digests_ascii / md5_hex_of_digests are bit-identical to hashlib
+    across the single-block (≤55), two-block (56-119) and fallback (>119)
+    paths, including empty strings and non-ascii utf8."""
+    import hashlib
+    import random
+
+    import pyarrow as pa
+
+    from osm_lump_ways_ray.functions.hashing import (
+        hash64, hash64_from_digests, md5_digests_ascii, md5_hex_of_digests)
+
+    rng = random.Random(3)
+    vals = ["", "x", "a" * 55, "b" * 56, "c" * 64, "d" * 119, "e" * 120,
+            "f" * 300, "naïve café — ünïcode"]
+    vals += ["".join(rng.choice("abc XYZ123:/.") for _ in range(rng.randint(0, 150)))
+             for _ in range(200)]
+    dig = md5_digests_ascii(pa.array(vals, pa.string()))
+    hexes = md5_hex_of_digests(dig)
+    h64 = hash64_from_digests(dig)
+    for i, v in enumerate(vals):
+        b = v.encode("utf-8")
+        assert dig[i].tobytes() == hashlib.md5(b).digest()
+        assert hexes[i] == hashlib.md5(b).hexdigest()
+        assert h64[i] == hash64(v)
