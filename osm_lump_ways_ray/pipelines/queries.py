@@ -4036,3 +4036,51 @@ SELECT o_orderkey, revenue_cents FROM top
 
 QUERIES.update({"star_join_revenue": q_star_join_revenue})
 ORACLES.update({"star_join_revenue": SQL_STAR_JOIN_REVENUE})
+
+
+# ═══════════════════════════════ real audio decode (RIFF/WAVE PCM16, r4)
+
+def q_audio_decode(sf_dir: str):
+    """REAL audio decode (no audio lib needed): per doc a deterministic int16
+    waveform is encoded into actual RIFF/WAVE PCM16 bytes, then the
+    DecodeAudio actor pool walks the chunk list back (fmt validation,
+    word-aligned sizes, little-endian PCM) and emits integer features —
+    genuine bytes→samples math, value-exact against the SQL oracle that
+    recomputes the same sample arithmetic from doc_id."""
+    from ..stages.multimodal import decode_audio, encode_wav_pcm16
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for di in d:
+            k = np.arange(di % 50 + 10, dtype=np.int64)
+            v = (di * 31 + k * 2654435761) % 65536 - 32768
+            payloads.append(encode_wav_pcm16(v.astype(np.int16), 16000))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    enc = docs.map_batches(synth, batch_format="pyarrow")
+    # canonical row order (name-sorted columns): abs_max first, doc_id ties
+    return decode_audio(enc).sort(["abs_max", "doc_id"])
+
+
+SQL_AUDIO_DECODE = """
+WITH s AS (
+  SELECT doc_id, k, (doc_id * 31 + k * 2654435761) % 65536 - 32768 AS v
+  FROM documents, LATERAL unnest(generate_series(0, doc_id % 50 + 9)) AS g(k)
+), lagged AS (
+  SELECT doc_id, v, LAG(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv FROM s
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(SUM(v) AS BIGINT) AS sum_s,
+       CAST(MAX(ABS(v)) AS BIGINT) AS abs_max,
+       CAST(SUM(CASE WHEN pv IS NOT NULL AND pv * v < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_x
+FROM lagged GROUP BY doc_id
+"""
+
+QUERIES.update({"audio_decode": q_audio_decode})
+ORACLES.update({"audio_decode": SQL_AUDIO_DECODE})

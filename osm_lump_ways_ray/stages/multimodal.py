@@ -334,3 +334,104 @@ def decode_images(ds, *, payload_col: str = "payload",
 
     return ds.map_batches(stage, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+# ───────────────────────────────── real audio decode: RIFF/WAVE PCM16 mono
+# Same contract as the BMP/PPM image path: a REAL container format encoded
+# and parsed at the byte level (header walk, chunk sizes, little-endian PCM)
+# — no audio library needed, and the SQL oracle recomputes the feature math
+# from the synthesis params directly.
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono samples → canonical RIFF/WAVE PCM bytes."""
+    import struct
+
+    data = np.ascontiguousarray(samples.astype("<i2")).tobytes()
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                    sample_rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav_pcm16(buf: bytes):
+    """RIFF chunk walk (no fixed offsets assumed) → (int16 samples, rate).
+    Validates PCM (format 1), mono, 16-bit; raises on anything else."""
+    import struct
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE buffer")
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+        body = buf[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16])
+            if fmt != 1:
+                raise ValueError(f"not PCM (fmt={fmt})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if data is None or rate is None:
+        raise ValueError("missing fmt/data chunk")
+    if channels != 1 or bits != 16:
+        raise ValueError(f"expected mono PCM16, got {channels}ch {bits}bit")
+    return np.frombuffer(data, dtype="<i2").astype(np.int64), rate
+
+
+class DecodeAudio:
+    """Actor-pool callable: WAV payload column → integer audio features
+    (n_samples, sample_rate, sum_s, abs_max, zero_x). Zero crossings are
+    strict sign flips (product < 0). Per-item container parse, batched
+    through the pool — the audio twin of DecodeImage."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "doc_id"):
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        n = len(payloads)
+        ns = np.empty(n, np.int64)
+        rt = np.empty(n, np.int64)
+        sm = np.empty(n, np.int64)
+        mx = np.empty(n, np.int64)
+        zx = np.empty(n, np.int64)
+        for i, buf in enumerate(payloads):
+            s, rate = decode_wav_pcm16(buf)
+            ns[i] = len(s)
+            rt[i] = rate
+            sm[i] = int(s.sum())
+            mx[i] = int(np.abs(s).max(initial=0))
+            zx[i] = int(np.count_nonzero(s[1:] * s[:-1] < 0))
+        return pa.table({
+            "doc_id": batch[self.id_col],
+            "n_samples": pa.array(ns, pa.int64()),
+            "sample_rate": pa.array(rt, pa.int64()),
+            "sum_s": pa.array(sm, pa.int64()),
+            "abs_max": pa.array(mx, pa.int64()),
+            "zero_x": pa.array(zx, pa.int64()),
+        })
+
+
+def decode_audio(ds, *, payload_col: str = "payload", id_col: str = "doc_id",
+                 concurrency=None, batch_size: int = 256):
+    """WAV-decode stage: explicit actor pool when ``concurrency`` is given,
+    else stateless tasks + per-worker cache (state/worker_cache.py)."""
+    if concurrency is not None:
+        return ds.map_batches(
+            DecodeAudio, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs=dict(payload_col=payload_col,
+                                       id_col=id_col))
+    from ..state.worker_cache import cached_state
+
+    def stage(batch: pa.Table) -> pa.Table:
+        worker = cached_state(("decode_audio", payload_col, id_col),
+                              lambda _k: DecodeAudio(payload_col=payload_col,
+                                                     id_col=id_col))
+        return worker(batch)
+
+    return ds.map_batches(stage, batch_format="pyarrow",
+                          batch_size=batch_size)

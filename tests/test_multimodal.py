@@ -75,3 +75,45 @@ def test_decode_image_mixed_formats_one_batch():
     assert out["sum_r"].to_pylist() == [81, 81]
     with pytest.raises(NotImplementedError):
         d.decode(b"\x89PNG\r\n")  # compressed needs PIL
+
+
+def test_wav_roundtrip_and_stdlib_parity():
+    """encode_wav_pcm16 produces a container the stdlib wave module accepts;
+    decode_wav_pcm16 round-trips samples exactly and rejects non-PCM."""
+    import io
+    import wave
+
+    import numpy as np
+    import pytest
+
+    from osm_lump_ways_ray.stages.multimodal import (decode_wav_pcm16,
+                                                     encode_wav_pcm16)
+
+    s = np.array([0, 1, -1, 32767, -32768, 12345], np.int16)
+    buf = encode_wav_pcm16(s, 8000)
+    w = wave.open(io.BytesIO(buf))
+    assert (w.getnchannels(), w.getsampwidth(), w.getframerate(),
+            w.getnframes()) == (1, 2, 8000, 6)
+    dec, rate = decode_wav_pcm16(buf)
+    assert rate == 8000 and (dec == s.astype(np.int64)).all()
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"RIFFxxxxNOPE" + buf[12:])
+
+
+def test_decode_audio_features():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.stages.multimodal import (DecodeAudio,
+                                                     encode_wav_pcm16)
+
+    s = np.array([5, -3, 4, 0, -2], np.int16)   # crossings: 5/-3, -3/4 → 2
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([encode_wav_pcm16(s, 16000)],
+                                      pa.binary())})
+    out = DecodeAudio()(t)
+    assert out["n_samples"].to_pylist() == [5]
+    assert out["sum_s"].to_pylist() == [4]
+    assert out["abs_max"].to_pylist() == [5]
+    assert out["zero_x"].to_pylist() == [2]
