@@ -4084,3 +4084,42 @@ FROM lagged GROUP BY doc_id
 
 QUERIES.update({"audio_decode": q_audio_decode})
 ORACLES.update({"audio_decode": SQL_AUDIO_DECODE})
+
+
+# ═══════════════════════ int8 embedding quantization (storage pass, r4)
+
+def q_embedding_quantize(sf_dir: str):
+    """Per-vector symmetric int8 quantization summary (the 4× storage pass):
+    one stateless vectorized map over zero-copy stacked float32 lists."""
+    from ..stages.similarity import quantize_embeddings_int8
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = quantize_embeddings_int8(emb).drop_columns(["codes"])
+    return out.sort(["max_code", "min_code", "n_dims", "scale_micro",
+                     "sum_codes", "vec_id"])
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH el AS (
+  SELECT vec_id, UNNEST(embedding) AS v FROM embeddings
+), am AS (
+  SELECT vec_id, MAX(ABS(v)) AS absmax, COUNT(*) AS n_dims FROM el
+  GROUP BY vec_id
+), codes AS (
+  SELECT el.vec_id,
+         CAST(FLOOR(el.v * 127.0 / (CASE WHEN am.absmax = 0 THEN 1
+                                         ELSE am.absmax END) + 0.5)
+              AS BIGINT) AS q
+  FROM el JOIN am USING (vec_id)
+)
+SELECT c.vec_id, CAST(MAX(am.n_dims) AS BIGINT) AS n_dims,
+       CAST(FLOOR(CAST(MAX(am.absmax) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+         AS scale_micro,
+       CAST(SUM(c.q) AS BIGINT) AS sum_codes,
+       CAST(MIN(c.q) AS BIGINT) AS min_code,
+       CAST(MAX(c.q) AS BIGINT) AS max_code
+FROM codes c JOIN am ON am.vec_id = c.vec_id GROUP BY c.vec_id
+"""
+
+QUERIES.update({"embedding_quantize": q_embedding_quantize})
+ORACLES.update({"embedding_quantize": SQL_EMBEDDING_QUANTIZE})

@@ -489,3 +489,37 @@ def embedding_neardup_blocked(emb_ds, *, threshold: float = 0.35,
 
     return emb_ds.map_batches(expand, batch_format="pyarrow") \
         .groupby(["bi", "bj"]).map_groups(pairs, batch_format="pyarrow")
+
+
+def quantize_embeddings_int8(embeddings_ds, *, emb_col: str = "embedding",
+                             id_col: str = "vec_id"):
+    """Symmetric per-vector int8 scalar quantization — the storage-reduction
+    pass of an embedding pipeline (4× smaller vectors; the IVF/LSH stages can
+    run over the codes). code = floor(v · 127 / absmax + 0.5) in float64
+    (both engines promote float32 values identically, so the DuckDB oracle is
+    value-exact). Emits per-vector summary stats as the verifiable surface:
+    (vec_id, n_dims, scale_micro, sum_codes, min_code, max_code); the codes
+    themselves ride along as a list<int8> column for downstream stages.
+
+    One stateless vectorized map — no shuffle, no state."""
+    def stage(batch: pa.Table) -> pa.Table:
+        mat = _stack_embeddings(batch, emb_col).astype(np.float64)
+        n, dim = mat.shape
+        absmax = np.abs(mat).max(axis=1)
+        safe = np.where(absmax == 0, 1.0, absmax)
+        q = np.floor(mat * 127.0 / safe[:, None] + 0.5).astype(np.int64)
+        codes = pa.FixedSizeListArray.from_arrays(
+            pa.array(q.astype(np.int8).ravel(), pa.int8()), dim)
+        return pa.table({
+            "vec_id": batch[id_col],
+            "codes": codes,
+            "n_dims": pa.array(np.full(n, dim, np.int64), pa.int64()),
+            "scale_micro": pa.array(
+                np.floor(absmax * 1_000_000 + 0.5).astype(np.int64),
+                pa.int64()),
+            "sum_codes": pa.array(q.sum(axis=1), pa.int64()),
+            "min_code": pa.array(q.min(axis=1), pa.int64()),
+            "max_code": pa.array(q.max(axis=1), pa.int64()),
+        })
+
+    return embeddings_ds.map_batches(stage, batch_format="pyarrow")
