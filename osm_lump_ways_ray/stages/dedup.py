@@ -584,7 +584,8 @@ def exact_dedup(docs_ds, *, id_col: str = "doc_id", text_col: str = "text"):
 
 
 def _shingle_pair_counts(docs_ds, *, shingle_k: int, id_col: str,
-                         text_col: str, num_partitions: int):
+                         text_col: str, num_partitions: int,
+                         max_docs_per_shingle=None):
     """Shared inverted-index core of the exact (sketch-free) near-dup family:
     (shingle, doc) rows → per-shingle co-occurring doc pairs (bucketed by
     shingle hash; singleton shingles — the vast majority — cost nothing) →
@@ -592,8 +593,11 @@ def _shingle_pair_counts(docs_ds, *, shingle_k: int, id_col: str,
     Returns a Dataset of (u, v, n_common, n_sh_u, n_sh_v) with u < v.
 
     Skew note: a shingle shared by s docs emits s·(s-1)/2 pair rows —
-    stopword-like shingles are the classic hot key; cap or drop them upstream
-    for web-scale corpora (the seeded battery corpus has none)."""
+    stopword-like shingles are the classic hot key — ``max_docs_per_shingle``
+    is the skew guard: shingles shared by more than that many docs are
+    DROPPED before the pair emit (a shingle in s docs carries ~no signal for
+    s ≫ threshold, the standard web-dedup stopword-shingle cut; None keeps
+    exactness — the seeded battery corpus has no hot shingles)."""
     from .relational import bucket_agg, cogroup_join, snapshot
 
     def sh_rows(batch: pa.Table) -> pa.Table:
@@ -636,6 +640,8 @@ def _shingle_pair_counts(docs_ds, *, shingle_k: int, id_col: str,
         for a, b in zip(starts, ends):
             if b - a < 2:
                 continue
+            if max_docs_per_shingle is not None and b - a > max_docs_per_shingle:
+                continue  # hot-shingle cut (documented skew guard)
             run = d[a:b]  # already doc-sorted within the shingle
             iu = np.triu_indices(b - a, 1)
             us.append(run[iu[0]])
@@ -659,7 +665,8 @@ def _shingle_pair_counts(docs_ds, *, shingle_k: int, id_col: str,
 
 def ngram_jaccard_pairs(docs_ds, *, shingle_k: int = 3, threshold=(4, 5),
                         id_col: str = "doc_id", text_col: str = "text",
-                        num_partitions: int = 16):
+                        num_partitions: int = 16,
+                        max_docs_per_shingle=None):
     """EXACT n-gram-Jaccard near-dup pairs via the shingle INVERTED INDEX —
     the third dedup family next to MinHash-LSH (probabilistic banding) and
     SimHash (hamming bands): no sketch at all, the intersection is computed
@@ -671,7 +678,8 @@ def ngram_jaccard_pairs(docs_ds, *, shingle_k: int = 3, threshold=(4, 5),
     contract the MinHash verify relies on)."""
     num, den = threshold if isinstance(threshold, tuple) else (threshold, 1)
     j = _shingle_pair_counts(docs_ds, shingle_k=shingle_k, id_col=id_col,
-                             text_col=text_col, num_partitions=num_partitions)
+                             text_col=text_col, num_partitions=num_partitions,
+                             max_docs_per_shingle=max_docs_per_shingle)
 
     def thresh(t: pa.Table) -> pa.Table:
         c = t["n_common"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -689,7 +697,8 @@ def ngram_jaccard_pairs(docs_ds, *, shingle_k: int = 3, threshold=(4, 5),
 
 def ngram_containment_pairs(docs_ds, *, shingle_k: int = 3, threshold=(9, 10),
                             id_col: str = "doc_id", text_col: str = "text",
-                            num_partitions: int = 16):
+                            num_partitions: int = 16,
+                            max_docs_per_shingle=None):
     """EXACT asymmetric shingle-CONTAINMENT pairs (Broder's C(A,B) =
     |S(A)∩S(B)| / |S(A)|): catches documents swallowed whole by a larger one
     — quote pages, boilerplate-wrapped copies — which symmetric Jaccard
@@ -700,7 +709,8 @@ def ngram_containment_pairs(docs_ds, *, shingle_k: int = 3, threshold=(9, 10),
     Emits DIRECTED rows (src, dst, n_common, n_src): src is contained in dst."""
     num, den = threshold if isinstance(threshold, tuple) else (threshold, 1)
     j = _shingle_pair_counts(docs_ds, shingle_k=shingle_k, id_col=id_col,
-                             text_col=text_col, num_partitions=num_partitions)
+                             text_col=text_col, num_partitions=num_partitions,
+                             max_docs_per_shingle=max_docs_per_shingle)
 
     def thresh(t: pa.Table) -> pa.Table:
         c = t["n_common"].to_numpy(zero_copy_only=False).astype(np.int64)

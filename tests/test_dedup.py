@@ -155,3 +155,30 @@ def test_ngram_jaccard_pairs_exact_vs_inprocess(ray_session):
             want[(i, j)] = (c, un)
     assert got == want
     assert (0, 3) in got and (4, 5) in got and (0, 1) in got
+
+
+def test_ngram_hot_shingle_cap():
+    """max_docs_per_shingle drops pairs that ONLY co-occur via a hot
+    (stopword-like) shingle, while true near-dups survive."""
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.stages.dedup import ngram_jaccard_pairs
+
+    hot = "the quick brown"           # shared by ALL docs (hot shingle)
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [f"{hot} alpha beta gamma", f"{hot} alpha beta gamma",
+                 f"{hot} x y z"],
+    }))
+    # uncapped: docs 1,2 are near-dups (jaccard 1.0); doc 3 shares only the
+    # hot shingle (jaccard too low) — threshold keeps just (1,2)
+    full = ngram_jaccard_pairs(docs, shingle_k=3, threshold=(4, 5)).take_all()
+    assert [(r["u"], r["v"]) for r in full] == [(1, 2)]
+    # capped at 2 docs/shingle: the 3-doc hot shingle is cut, but (1,2)
+    # still meet through their 2-doc shingles — intersection shrinks by 1,
+    # so relax the threshold to see them survive the cut
+    capped = ngram_jaccard_pairs(docs, shingle_k=3, threshold=(1, 2),
+                                 max_docs_per_shingle=2).take_all()
+    assert [(r["u"], r["v"]) for r in capped] == [(1, 2)]
+    assert capped[0]["n_common"] == full[0]["n_common"] - 1
