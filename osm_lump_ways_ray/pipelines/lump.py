@@ -179,17 +179,39 @@ def segment_lengths_carried(edges_g):
     return edges_g.map_batches(lens, batch_format="pyarrow")
 
 
-def tile_stats(labels_ds, nodes_ds, *, num_partitions: int = 32):
+def tile_stats(labels_ds, nodes_ds, *, num_partitions: int = 32,
+               pillar_ref=None):
     """The H3-analog tile join: component labels ⋈ node cells → per-cell stats.
 
     Skew note: per-batch partial aggregation runs BEFORE the groupby, so a hot
     cell (the `tile_hotcell` fixture: 90% of nodes in one cell) contributes one
     partial row per batch, not one shuffled row per node — the all-to-all stays
-    balanced without explicit salting."""
+    balanced without explicit salting.
+
+    ``pillar_ref`` (r4): labels only contain PILLAR nodes (the contracted
+    graph's vertices), so when the broadcast pillar array is already in the
+    object store the cells side is pre-filtered map-side by binary search —
+    the join shuffle drops from every node to pillar nodes (~5× at 10M
+    pages). Semantically a no-op: the inner join discarded those rows anyway."""
     from ray.data.aggregate import Count, Sum
 
     cells = nodes_ds.select_columns(["node_id", "cell"]).rename_columns(
         ["node", "cell"])
+    if pillar_ref is not None:
+        import ray
+
+        from ..state.worker_cache import cached_state
+
+        def keep_pillars(batch: pa.Table) -> pa.Table:
+            pil = cached_state((pillar_ref.hex(), "tile_pillars"),
+                               lambda _k: ray.get(pillar_ref))
+            n = batch["node"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(pil, n)
+            np.minimum(idx, max(len(pil) - 1, 0), out=idx)
+            hit = pil[idx] == n if len(pil) else np.zeros(len(n), bool)
+            return batch.filter(pa.array(hit))
+
+        cells = cells.map_batches(keep_pillars, batch_format="pyarrow")
     from ..stages.relational import snapshot
 
     lab = snapshot(hash_join(labels_ds, cells, ("node",), how="inner",
@@ -373,6 +395,7 @@ def lump(pages_ds, *, cell_res: int = 7, num_partitions: int = 32,
     else:
         from ..stages.graph import contract_ways_joined
 
+        pillar_ref = None  # joined path: no broadcast array exists
         edges = contract_ways_joined(ways, carry_cols=[group_tag, "lang"],
                                      num_partitions=num_partitions,
                                      pillars_ds=pillars_ds)
@@ -441,7 +464,8 @@ def lump(pages_ds, *, cell_res: int = 7, num_partitions: int = 32,
     metrics["t_lengths_s"] = round(time.monotonic() - t3, 3)
 
     t4 = time.monotonic()
-    tiles = tile_stats(labels, nodes_ds, num_partitions=num_partitions).materialize()
+    tiles = tile_stats(labels, nodes_ds, num_partitions=num_partitions,
+                       pillar_ref=pillar_ref).materialize()
     metrics["tiles"] = tiles.count()
     metrics["t_tiles_s"] = round(time.monotonic() - t4, 3)
     metrics["t_total_s"] = round(time.monotonic() - t0, 3)
