@@ -4123,3 +4123,34 @@ FROM codes c JOIN am ON am.vec_id = c.vec_id GROUP BY c.vec_id
 
 QUERIES.update({"embedding_quantize": q_embedding_quantize})
 ORACLES.update({"embedding_quantize": SQL_EMBEDDING_QUANTIZE})
+
+
+# ════════════════════════════════ grouped vocabulary top-k (per-lang, r4)
+
+def q_vocab_by_lang(sf_dir: str):
+    """Top-5 tokens per language (grouped wordcount + per-group rank):
+    combiner-backed (lang, token) shuffle, hash-partitioned group ranking."""
+    from ..stages.text import vocab_topk_by_group
+
+    docs = _read(sf_dir, "documents", columns=["lang", "text"])
+    out = vocab_topk_by_group(docs, k=5)
+    return out.sort(["lang", "n", "rank", "token"])
+
+
+SQL_VOCAB_BY_LANG = """
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+), c AS (
+  SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY lang, token
+), r AS (
+  SELECT lang, token, n,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n DESC, token ASC) AS rank
+  FROM c
+)
+SELECT lang, token, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+QUERIES.update({"vocab_by_lang": q_vocab_by_lang})
+ORACLES.update({"vocab_by_lang": SQL_VOCAB_BY_LANG})

@@ -389,3 +389,42 @@ def bigram_topk(docs_ds, k: int = 25, *, text_col: str = "text"):
         lambda b: pa.table({"bigram": b["bigram"],
                             "n": b["n"].cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def vocab_topk_by_group(docs_ds, k: int = 5, *, group_col: str = "lang",
+                        text_col: str = "text", num_partitions: int = 8):
+    """Per-group vocabulary top-``k`` (top domains/tokens per language — the
+    grouped flavour of the wordcount kernel): per-batch (group, token)
+    partials → combiner-backed bucketed SUM → per-group rank via the
+    hash-partitioned group runner (one task per PARTITION, not per group).
+    Ties break token-ascending. Emits (group, token, n, rank)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .relational import bucket_agg, map_groups_partitioned
+
+    def partials(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch[text_col], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        grp = batch[group_col].take(pa.array(
+            np.repeat(np.arange(len(counts), dtype=np.int64), counts)))
+        part = pa.table({group_col: grp, "token": pc.list_flatten(words)}) \
+            .group_by([group_col, "token"]).aggregate([("token", "count")])
+        return part.rename_columns([group_col, "token", "c"])
+
+    counts = bucket_agg(
+        docs_ds.map_batches(partials, batch_format="pyarrow"),
+        [group_col, "token"], {"n": ("c", "sum")},
+        num_partitions=num_partitions, combine=True)
+
+    def topk(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["n", "token"], ascending=[False, True],
+                            kind="mergesort").head(k).copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[[group_col, "token", "n", "rank"]]
+
+    return map_groups_partitioned(counts, topk, group_col,
+                                  num_partitions=num_partitions)
