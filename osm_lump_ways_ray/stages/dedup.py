@@ -619,6 +619,12 @@ def _shingle_pair_counts(docs_ds, *, shingle_k: int, id_col: str,
         })
 
     shr = snapshot(docs_ds.map_batches(sh_rows, batch_format="pyarrow"))
+    if shr.count() == 0:  # empty corpus → empty pair table, stable schema
+        import ray.data
+
+        z = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table({
+            "u": z, "v": z, "n_common": z, "n_sh_u": z, "n_sh_v": z}))
     sizes = bucket_agg(shr, ["doc"], {"n_sh": (None, "count")},
                        num_partitions=num_partitions, combine=True)
 

@@ -1001,10 +1001,16 @@ def sssp(edges_ds, sources_ds, *, src_col: str = "src", dst_col: str = "dst",
                            dst_col=dst_col, weight_col=weight_col,
                            num_partitions=num_partitions,
                            max_rounds=max_rounds)
-    et = pa.concat_tables(list(
-        edges_ds.select_columns([src_col, dst_col, weight_col])
-        .iter_batches(batch_format="pyarrow")))
-    st = pa.concat_tables(list(sources_ds.iter_batches(batch_format="pyarrow")))
+    def _collect(ds, cols):
+        tabs = list(ds.iter_batches(batch_format="pyarrow"))
+        if not tabs:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        return pa.concat_tables(tabs)
+
+    et = _collect(edges_ds.select_columns([src_col, dst_col, weight_col]),
+                  (src_col, dst_col, weight_col))
+    st_ds = sources_ds
+    st = _collect(st_ds, ("node",))
     nodes, dist = _sssp_local_arrays(
         et[src_col].to_numpy(zero_copy_only=False).astype(np.int64),
         et[dst_col].to_numpy(zero_copy_only=False).astype(np.int64),

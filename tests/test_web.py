@@ -115,3 +115,42 @@ def test_ngram_containment_directed():
     # only small→big at full containment; big→small fails (2/7 < 1)
     assert [(r["src"], r["dst"], r["n_common"], r["n_src"])
             for r in rows] == [(1, 2, 2, 2)]
+
+
+def test_new_ops_empty_input():
+    """Empty-table robustness (the ADVICE-r3 crash class): every r4 operator
+    returns an empty result instead of raising on a zero-row dataset."""
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.stages.dedup import ngram_containment_pairs
+    from osm_lump_ways_ray.stages.graph import sssp
+    from osm_lump_ways_ray.stages.similarity import quantize_embeddings_int8
+    from osm_lump_ways_ray.stages.text import bigram_topk, vocab_topk_by_group
+
+    empty_docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+    }))
+    empty_pages = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "url": pa.array([], pa.string()),
+    }))
+    empty_emb = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }))
+    from osm_lump_ways_ray.stages.web import host_stats, url_dedup
+
+    assert url_dedup(empty_pages).count() == 0
+    assert host_stats(empty_pages).count() == 0
+    assert bigram_topk(empty_docs).count() == 0
+    assert vocab_topk_by_group(empty_docs).count() == 0
+    assert ngram_containment_pairs(empty_docs).count() == 0
+    assert quantize_embeddings_int8(empty_emb).count() == 0
+    e = ray.data.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                      "dst": pa.array([], pa.int64()),
+                                      "w": pa.array([], pa.int64())}))
+    s = ray.data.from_arrow(pa.table({"node": pa.array([], pa.int64())}))
+    assert sssp(e, s, force="local").count() == 0
