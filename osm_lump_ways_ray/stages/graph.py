@@ -1009,8 +1009,7 @@ def sssp(edges_ds, sources_ds, *, src_col: str = "src", dst_col: str = "dst",
 
     et = _collect(edges_ds.select_columns([src_col, dst_col, weight_col]),
                   (src_col, dst_col, weight_col))
-    st_ds = sources_ds
-    st = _collect(st_ds, ("node",))
+    st = _collect(sources_ds, ("node",))
     nodes, dist = _sssp_local_arrays(
         et[src_col].to_numpy(zero_copy_only=False).astype(np.int64),
         et[dst_col].to_numpy(zero_copy_only=False).astype(np.int64),

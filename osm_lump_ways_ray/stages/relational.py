@@ -347,7 +347,7 @@ def bucket_agg(ds, key_cols, aggs, *, num_partitions: int = 16,
                     out[out_col] = gb.size()["size"].to_numpy()
                 else:
                     out[out_col] = getattr(gb[in_col], how)()[in_col].to_numpy()
-            return pa.Table.from_pandas(out, preserve_index=False)
+            return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
         in_cols_needed = key_cols + sorted(
             {c for c, _ in aggs.values() if c is not None})
@@ -387,7 +387,7 @@ def bucket_agg(ds, key_cols, aggs, *, num_partitions: int = 16,
                 out[out_col] = gb.size()["size"].to_numpy()
             else:
                 out[out_col] = getattr(gb[in_col], how)()[in_col].to_numpy()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(add_bucket, batch_format="pyarrow") \
              .groupby("_bucket").map_groups(reduce_bucket, batch_format="pyarrow")
