@@ -4154,3 +4154,44 @@ FROM r WHERE rank <= 5
 
 QUERIES.update({"vocab_by_lang": q_vocab_by_lang})
 ORACLES.update({"vocab_by_lang": SQL_VOCAB_BY_LANG})
+
+
+# ═══════════════════════════ distributed convex hull (hull-of-hulls, r4)
+
+def q_global_hull(sf_dir: str):
+    """Global convex hull of the derived node cloud via hull-of-hulls: every
+    block reduces to its own hull, only the tiny partial-hull union reaches
+    the final pass — the giant-component scale path of the G8/D4 hull step.
+    Non-strict hull (colinear BOUNDARY points kept), min-id per position."""
+    from ..stages.spatial import convex_hull_distributed
+
+    nodes = _nodes_pos(sf_dir)
+    return convex_hull_distributed(nodes).sort(["lat", "lon", "node_id"])
+
+
+# O(n²)·EXISTS oracle: (a,b) is a hull EDGE iff no other point lies strictly
+# on its right; hull "vertices" are edge endpoints = every point ON the hull
+# boundary (colinear boundary points included — matching the non-strict
+# monotone chain; the derived modular-lattice cloud has colinear hull runs).
+SQL_GLOBAL_HULL = f"""
+WITH p AS ({NODES_SQL}),
+pts AS (SELECT node_id, lat, lon FROM p),
+dedup AS (
+  SELECT MIN(node_id) AS node_id, lat, lon FROM pts GROUP BY lat, lon
+),
+edges AS (
+  SELECT a.node_id AS na, b.node_id AS nb
+  FROM dedup a JOIN dedup b
+    ON a.node_id <> b.node_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dedup c
+    WHERE c.node_id <> a.node_id AND c.node_id <> b.node_id
+      AND (b.lat - a.lat) * (c.lon - a.lon)
+          - (b.lon - a.lon) * (c.lat - a.lat) < 0)
+),
+verts AS (SELECT na AS node_id FROM edges UNION SELECT nb FROM edges)
+SELECT d.node_id, d.lat, d.lon FROM dedup d JOIN verts USING (node_id)
+"""
+
+QUERIES.update({"global_hull": q_global_hull})
+ORACLES.update({"global_hull": SQL_GLOBAL_HULL})

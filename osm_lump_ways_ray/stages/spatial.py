@@ -583,3 +583,101 @@ def raster_to_vector(points, *, lat_col: str = "lat", lon_col: str = "lon",
         "lat_lo": ("latb", "min"), "lat_hi": ("latb", "max"),
         "lon_lo": ("lonb", "min"), "lon_hi": ("lonb", "max"),
     }, combine=True)
+
+
+# ───────────────────────────────── distributed convex hull (hull-of-hulls)
+
+def _monotone_chain(lat: np.ndarray, lon: np.ndarray):
+    """Andrew monotone chain over integer fixed-point coords → indices of ALL
+    points on the hull BOUNDARY (non-strict: colinear boundary points kept —
+    the md5-derived clouds are modular-lattice points where colinear hull
+    runs are common, and the boundary set is the definition a quadratic SQL
+    oracle can express). CCW order not guaranteed — callers sort."""
+    pts = np.stack([lon, lat], axis=1)
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts_s = pts[order]
+
+    def cross(o, a, b):
+        return ((a[0] - o[0]) * (b[1] - o[1])
+                - (a[1] - o[1]) * (b[0] - o[0]))
+
+    def half(idx_iter):
+        out: list = []
+        for i in idx_iter:
+            p = pts_s[i]
+            while len(out) >= 2 and cross(pts_s[out[-2]], pts_s[out[-1]], p) < 0:
+                out.pop()
+            out.append(i)
+        return out
+
+    n = len(pts_s)
+    if n <= 2:
+        keep = list(range(n))
+    else:
+        lower = half(range(n))
+        upper = half(range(n - 1, -1, -1))
+        keep = sorted(set(lower[:-1] + upper[:-1]))
+    return order[keep]
+
+
+def convex_hull_distributed(nodes_ds, *, lat_col: str = "lat",
+                            lon_col: str = "lon", id_col: str = "node_id"):
+    """Global convex hull of a point Dataset via HULL-OF-HULLS: every block
+    reduces to its own hull vertices (a monotone chain per batch — the D4
+    dedup + quick_hull analog of way_group.rs:94-121 run distributedly), and
+    hull(∪ partial hulls) = hull(all points), so only the tiny partial-hull
+    union reaches the final pass. The driver-side finish is bounded by
+    Σ per-block hull sizes — O(blocks · √batch) in practice, never the point
+    count. This is the giant-component scale path for the hull step of G8
+    frames / D4 hull dedup (the in-memory per-component versions remain the
+    small-graph fast path)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             lat_col: pa.array([], pa.int64()),
+                             lon_col: pa.array([], pa.int64())})
+        lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # position-dedup first (way_group.rs:94-98): qhull input must be
+        # duplicate-free; keep the MIN id per position for determinism
+        from ..stages.graph import _unique_pairs
+
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = _unique_pairs(lon, lat)
+        rep = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(rep, inv, ids)
+        keep = _monotone_chain(uniq[:, 1], uniq[:, 0])
+        return pa.table({
+            id_col: pa.array(rep[keep], pa.int64()),
+            lat_col: pa.array(uniq[keep, 1], pa.int64()),
+            lon_col: pa.array(uniq[keep, 0], pa.int64()),
+        })
+
+    part = nodes_ds.map_batches(partial, batch_format="pyarrow").materialize()
+    import ray
+    import ray.data
+
+    refs = [r for bundle in part.iter_internal_ref_bundles()
+            for r in bundle.block_refs]
+    tabs = [t for t in ray.get(refs) if len(t)]
+    if not tabs:
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            lat_col: pa.array([], pa.int64()),
+            lon_col: pa.array([], pa.int64())}))
+    t = pa.concat_tables(tabs)
+    lat = t[lat_col].to_numpy(zero_copy_only=False)
+    lon = t[lon_col].to_numpy(zero_copy_only=False)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    # same position may appear in two blocks' hulls — min-id dedup again
+    from ..stages.graph import _unique_pairs
+
+    uniq, inv = _unique_pairs(lon, lat)
+    rep = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(rep, inv, ids)
+    keep = _monotone_chain(uniq[:, 1], uniq[:, 0])
+    return ray.data.from_arrow(pa.table({
+        id_col: pa.array(rep[keep], pa.int64()),
+        lat_col: pa.array(uniq[keep, 1], pa.int64()),
+        lon_col: pa.array(uniq[keep, 0], pa.int64()),
+    }))

@@ -316,3 +316,40 @@ def test_knn_join_auto_forced_path_parity(ray_session):
     assert pairs(knn_join_auto(pts, anc, max_broadcast_anchors=1000)) == bc
     assert pairs(knn_join_auto(pts, anc, max_broadcast_anchors=3,
                                num_partitions=4)) == bc
+
+
+def test_distributed_hull_matches_local():
+    """hull-of-hulls over 7 blocks == one local monotone chain, including
+    colinear boundary points (non-strict definition) and min-id dedup of
+    duplicate positions."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.stages.spatial import (_monotone_chain,
+                                                  convex_hull_distributed)
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    lat = rng.integers(-9_000_000, 9_000_000, n)
+    lon = rng.integers(-18_000_000, 18_000_000, n)
+    # plant a colinear run on the top edge + a duplicate position
+    lat[:4] = 9_500_000
+    lon[:4] = np.array([-18_500_000, -5_000_000, 3_000_000, 18_500_000])
+    lat[4], lon[4] = lat[0], lon[0]  # duplicate of a hull corner, higher id
+    ids = np.arange(1, n + 1)
+    ds = ray.data.from_arrow(pa.table({
+        "node_id": pa.array(ids, pa.int64()),
+        "lat": pa.array(lat, pa.int64()),
+        "lon": pa.array(lon, pa.int64()),
+    })).repartition(7)
+    got = sorted((r["lat"], r["lon"], r["node_id"])
+                 for r in convex_hull_distributed(ds).take_all())
+    keep = _monotone_chain(lat, lon)
+    exp_pts = {(int(lat[i]), int(lon[i])) for i in keep}
+    exp = sorted((la, lo, min(int(ids[j]) for j in range(n)
+                              if lat[j] == la and lon[j] == lo))
+                 for la, lo in exp_pts)
+    assert got == exp
+    assert {(la, lo) for la, lo, _ in got} >= {(9_500_000, -5_000_000),
+                                               (9_500_000, 3_000_000)}
