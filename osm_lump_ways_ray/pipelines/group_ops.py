@@ -63,10 +63,13 @@ def _guard_group_sizes(e, max_group_rows: Optional[int], op: str,
             f"(> max_group_rows={max_group_rows}); one in-memory map_groups "
             f"task cannot hold a giant component. Compression "
             f"(component_compress_stats) auto-routes to its distributed "
-            f"formulation; {op} has no distributed fallback (the reference "
-            f"also runs it on one in-memory graph per way-group, "
-            f"src/graph/undirected_graph.rs) — raise max_group_rows only if "
-            f"each worker's heap can hold the component.")
+            f"formulation, and frames have the distributed "
+            f"frames_skeleton_distributed path (hull-of-hulls + one keyed "
+            f"multi-source SSSP pass — same module); betweenness relies on "
+            f"K7 sampling (the reference also runs these on one in-memory "
+            f"graph per way-group, src/graph/undirected_graph.rs) — raise "
+            f"max_group_rows only if each worker's heap can hold the "
+            f"component.")
 
 
 def _grouped_rows(edges_g, labels, nodes_ds, num_partitions: int = 8,
@@ -706,3 +709,141 @@ def component_hull_dedup(edges_g, labels, nodes_ds, *, grid: int = 1_000_000,
         edges_g, labels, nodes_ds, num_partitions,
         max_group_rows=max_group_rows, op="component_hull_dedup")
     return _map_components_partitioned(rows, fn, num_partitions=num_partitions)
+
+
+# ──────────────────── G8 giant-component path: distributed frames skeleton
+
+def frames_skeleton_distributed(edges_ds, nodes_ds, *, u_col: str = "u",
+                                v_col: str = "v", w_col: str = "w",
+                                id_col: str = "node_id",
+                                num_partitions: int = 8,
+                                max_hull: int = 64, max_rounds: int = 64):
+    """G8 frames for a component too big for one in-memory task: the FRAME
+    SKELETON as a Dataset — every edge lying on a shortest path between some
+    pair of convex-hull nodes.
+
+    Fully distributed pipeline: hull-of-hulls (bounded collect of hull
+    vertices) → ONE keyed multi-source SSSP pass (all hull sources advance in
+    the same rounds — stages/graph.sssp_multi) → per-node distance VECTORS
+    (one int64 column per hull node, pivoted partition-wise) joined onto both
+    edge endpoints → vectorized tightness test
+    ``∃(s,t): d_s(u) + w + d_t(v) = D(s,t)`` per batch.
+
+    DOCUMENTED DIVERGENCE from the in-memory ``ComponentGraph.frames``
+    (components.py): the reference unions ONE A*-chosen path per hull pair
+    (way_group.rs:76-154) and then line-decomposes; with tied shortest paths
+    the skeleton here is the union over ALL tying paths (a superset). On
+    tie-free weights the edge sets are identical (parity-tested). Weights
+    must be positive integers.
+    """
+    import ray
+    import ray.data
+
+    from ..stages.graph import sssp_multi
+    from ..stages.relational import (bucket_agg, cogroup_join, concat_blocks,
+                                     snapshot)
+    from ..stages.spatial import convex_hull_distributed
+
+    hull_rows = convex_hull_distributed(nodes_ds, id_col=id_col).take_all()
+    hull = sorted(int(r[id_col]) for r in hull_rows)
+    if len(hull) > max_hull:
+        raise ValueError(
+            f"frames_skeleton_distributed: hull has {len(hull)} vertices "
+            f"(> max_hull={max_hull}); the SSSP state is |hull|×|nodes| rows "
+            "— sample the hull (K7 farthest-point sampling) before calling")
+    H = len(hull)
+    if H == 0:
+        z = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table({u_col: z, v_col: z, w_col: z}))
+    hull_arr = np.array(hull, dtype=np.int64)
+
+    edges = snapshot(edges_ds.map_batches(
+        lambda b: pa.table({"src": b[u_col].cast(pa.int64()),
+                            "dst": b[v_col].cast(pa.int64()),
+                            "w": b[w_col].cast(pa.int64())}),
+        batch_format="pyarrow"))
+    directed = concat_blocks(edges, edges.map_batches(
+        lambda b: pa.table({"src": b["dst"], "dst": b["src"], "w": b["w"]}),
+        batch_format="pyarrow"))
+    sources = ray.data.from_arrow(pa.table({
+        "source": pa.array(hull_arr, pa.int64()),
+        "node": pa.array(hull_arr, pa.int64())}))
+    dist = snapshot(sssp_multi(directed, sources,
+                               num_partitions=num_partitions,
+                               max_rounds=max_rounds))
+
+    INF = np.iinfo(np.int64).max // 4
+    # bounded collect: hull-to-hull distance matrix (H² values)
+    dmat = np.full((H, H), INF, np.int64)
+    hull_set_ref = ray.put(hull_arr)
+
+    def only_hull(b: pa.Table) -> pa.Table:
+        n = b["node"].to_numpy(zero_copy_only=False)
+        ha = ray.get(hull_set_ref)
+        idx = np.searchsorted(ha, n)
+        np.minimum(idx, H - 1, out=idx)
+        return b.filter(pa.array(ha[idx] == n))
+
+    for r in dist.map_batches(only_hull, batch_format="pyarrow") \
+            .take_all():
+        si = int(np.searchsorted(hull_arr, r["source"]))
+        ti = int(np.searchsorted(hull_arr, r["node"]))
+        dmat[si, ti] = r["dist"]
+
+    dcols = [f"d{i}" for i in range(H)]
+
+    def pivot_part(df):
+        node = df["node"].to_numpy()
+        src = df["source"].to_numpy()
+        dst_ = df["dist"].to_numpy()
+        uniq, inv = np.unique(node, return_inverse=True)
+        mat = np.full((len(uniq), H), INF, np.int64)
+        mat[inv, np.searchsorted(hull_arr, src)] = dst_
+        out = {"node": pa.array(uniq, pa.int64())}
+        for i, c in enumerate(dcols):
+            out[c] = pa.array(mat[:, i], pa.int64())
+        return pa.table(out)
+
+    from ..stages.relational import map_groups_partitioned
+
+    # partition by node hash; each partition pivots vectorized (one pandas
+    # frame per PARTITION — pivot_part handles all its nodes at once)
+    def add_part(batch: pa.Table) -> pa.Table:
+        n = batch["node"].to_numpy(zero_copy_only=False)
+        p = ((n.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             >> np.uint64(17)).astype(np.int64) % num_partitions
+        return batch.append_column("_part", pa.array(p, pa.int64()))
+
+    dvec = dist.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(
+            lambda df: pivot_part(df.drop(columns=["_part"])),
+            batch_format="pandas")
+
+    u_side = dvec.rename_columns(["src"] + [f"u{c}" for c in dcols])
+    v_side = dvec.rename_columns(["vnode"] + [f"v{c}" for c in dcols])
+    j = cogroup_join(edges, u_side, ("src",), how="inner",
+                     num_partitions=num_partitions)
+    j = cogroup_join(
+        j.map_batches(lambda b: b.append_column(
+            "vnode", b["dst"]), batch_format="pyarrow"),
+        v_side, ("vnode",), how="inner", num_partitions=num_partitions)
+    dref = ray.put(dmat)
+
+    def tight(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({u_col: z, v_col: z, w_col: z})
+        du = np.stack([b[f"ud{i}"].to_numpy(zero_copy_only=False)
+                       for i in range(H)], axis=1)
+        dv = np.stack([b[f"vd{i}"].to_numpy(zero_copy_only=False)
+                       for i in range(H)], axis=1)
+        w = b["w"].to_numpy(zero_copy_only=False)
+        D = ray.get(dref)
+        hit = (du[:, :, None] + dv[:, None, :] + w[:, None, None]
+               == D[None, :, :]).any(axis=(1, 2))
+        idx = pa.array(np.flatnonzero(hit))
+        return pa.table({u_col: b["src"].take(idx),
+                         v_col: b["dst"].take(idx),
+                         w_col: b["w"].take(idx)})
+
+    return j.map_batches(tight, batch_format="pyarrow")

@@ -1019,3 +1019,70 @@ def sssp(edges_ds, sources_ds, *, src_col: str = "src", dst_col: str = "dst",
         "node": pa.array(nodes, pa.int64()),
         "dist": pa.array(dist, pa.int64()),
     }))
+
+
+def sssp_multi(edges_ds, sources_ds, *, src_col: str = "src",
+               dst_col: str = "dst", weight_col: str = "w",
+               source_col: str = "source", node_col: str = "node",
+               num_partitions: int = 8, max_rounds: int = 64):
+    """KEYED multi-source shortest paths: state rows are (source, node, dist)
+    and every relaxation round advances ALL sources simultaneously — the same
+    shuffle count as one single-source run, rows scaled by |sources|. This is
+    the per-hull-node distance pass of the distributed frames skeleton (G8
+    giant-component path); same round shape and termination as
+    ``sssp_rounds``."""
+    from .relational import bucket_agg, cogroup_join, concat_blocks, snapshot
+
+    edges = snapshot(edges_ds.map_batches(
+        lambda b: pa.table({"src": b[src_col].cast(pa.int64()),
+                            "dst": b[dst_col].cast(pa.int64()),
+                            "w": b[weight_col].cast(pa.int64())}),
+        batch_format="pyarrow"))
+    dist = snapshot(sources_ds.map_batches(
+        lambda b: pa.table({
+            "source": b[source_col].cast(pa.int64()),
+            "node": b[node_col].cast(pa.int64()),
+            "dist": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+        }), batch_format="pyarrow"))
+    frontier = dist
+    for _ in range(max_rounds):
+        f_src = frontier.map_batches(
+            lambda b: pa.table({"src": b["node"], "source": b["source"],
+                                "fdist": b["dist"]}),
+            batch_format="pyarrow")
+        relaxed = cogroup_join(edges, f_src, ("src",), how="inner",
+                               num_partitions=num_partitions)
+        cand = relaxed.map_batches(
+            lambda b: pa.table({
+                "source": b["source"],
+                "node": b["dst"],
+                "nd": pa.array(
+                    b["fdist"].to_numpy(zero_copy_only=False)
+                    + b["w"].to_numpy(zero_copy_only=False), pa.int64()),
+            }), batch_format="pyarrow")
+        cand_min = bucket_agg(cand, ["source", "node"], {"nd": ("nd", "min")},
+                              num_partitions=num_partitions, combine=True)
+        probe = cogroup_join(cand_min, dist, ("source", "node"),
+                             how="left_outer", num_partitions=num_partitions)
+
+        def improved_only(b: pa.Table) -> pa.Table:
+            nd = b["nd"].to_numpy(zero_copy_only=False).astype(np.int64)
+            old = pc.fill_null(b["dist"], pa.scalar(np.iinfo(np.int64).max,
+                                                    pa.int64())) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = pa.array(np.flatnonzero(nd < old))
+            return pa.table({"source": b["source"].take(idx),
+                             "node": b["node"].take(idx),
+                             "dist": b["nd"].take(idx)})
+
+        improved = snapshot(probe.map_batches(improved_only,
+                                              batch_format="pyarrow"))
+        if improved.count() == 0:
+            break
+        dist = snapshot(bucket_agg(concat_blocks(dist, improved),
+                                   ["source", "node"],
+                                   {"dist": ("dist", "min")},
+                                   num_partitions=num_partitions,
+                                   combine=True))
+        frontier = improved
+    return dist

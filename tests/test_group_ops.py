@@ -146,3 +146,78 @@ def test_betweenness_source_chunk_fanout_parity(ray_session):
                                       num_partitions=4, source_chunks=4))
     assert one == four
     assert any(v > 0 for *_k, v in one)
+
+
+def test_frames_skeleton_distributed_parity():
+    """Distributed frames skeleton == per-pair local Dijkstra union on a
+    tie-free weighted graph (the documented-divergence-free case)."""
+    import heapq
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.pipelines.group_ops import \
+        frames_skeleton_distributed
+    from osm_lump_ways_ray.stages.spatial import _monotone_chain
+
+    rng = np.random.default_rng(5)
+    # random connected graph: a ring + chords, positions random, weights
+    # random-distinct (tie-free with high probability at these magnitudes)
+    n = 40
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    chords = [(int(rng.integers(0, n)), int(rng.integers(0, n)))
+              for _ in range(25)]
+    pairs = sorted({(min(a, b) + 1, max(a, b) + 1)
+                    for a, b in ring + chords if a != b})
+    w = (rng.permutation(len(pairs)) * 97 + 11).astype(np.int64)
+    lat = rng.integers(-1_000_000, 1_000_000, n)
+    lon = rng.integers(-1_000_000, 1_000_000, n)
+
+    edges = pa.table({"u": pa.array([p[0] for p in pairs], pa.int64()),
+                      "v": pa.array([p[1] for p in pairs], pa.int64()),
+                      "w": pa.array(w, pa.int64())})
+    nodes = pa.table({"node_id": pa.array(np.arange(1, n + 1), pa.int64()),
+                      "lat": pa.array(lat, pa.int64()),
+                      "lon": pa.array(lon, pa.int64())})
+    got = {(r["u"], r["v"]) for r in frames_skeleton_distributed(
+        ray.data.from_arrow(edges).repartition(3),
+        ray.data.from_arrow(nodes).repartition(3),
+        num_partitions=2).take_all()}
+
+    # local reference: hull nodes → per-pair Dijkstra (unique paths) → union
+    adj: dict = {}
+    for (a, b), ww in zip(pairs, w):
+        adj.setdefault(a, []).append((b, int(ww)))
+        adj.setdefault(b, []).append((a, int(ww)))
+
+    def dijkstra(s):
+        dist = {s: 0}
+        prev = {}
+        pq = [(0, s)]
+        while pq:
+            d, x = heapq.heappop(pq)
+            if d > dist.get(x, 1 << 62):
+                continue
+            for y, ww in adj.get(x, ()):
+                nd = d + ww
+                if nd < dist.get(y, 1 << 62):
+                    dist[y] = nd
+                    prev[y] = x
+                    heapq.heappush(pq, (nd, y))
+        return dist, prev
+
+    hull_idx = _monotone_chain(lat, lon)
+    hull = sorted(int(i) + 1 for i in hull_idx)
+    exp = set()
+    for s in hull:
+        dist, prev = dijkstra(s)
+        for t in hull:
+            if t == s or t not in dist:
+                continue
+            x = t
+            while x != s:
+                p = prev[x]
+                exp.add((min(p, x), max(p, x)))
+                x = p
+    assert got == exp and len(exp) > 10
