@@ -4195,3 +4195,47 @@ SELECT d.node_id, d.lat, d.lon FROM dedup d JOIN verts USING (node_id)
 
 QUERIES.update({"global_hull": q_global_hull})
 ORACLES.update({"global_hull": SQL_GLOBAL_HULL})
+
+
+# ═══════════════════════════════════ funnel analysis (events stream, r4)
+
+def q_funnel(sf_dir: str):
+    """view → click → purchase WINDOWED funnel (each step within 1 day of
+    the previous): per user the deepest strictly-ordered step reached; one
+    combiner-backed grouped MIN per step (shuffles bounded by users × steps,
+    not event rows)."""
+    from ..stages.temporal import funnel_depths
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    out = funnel_depths(ev, ["view", "click", "purchase"],
+                        max_gap_us=86_400_000_000)  # 1-day windowed funnel
+    return out.sort("depth")
+
+
+SQL_FUNNEL = """
+WITH a AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), b AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN a USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > a.t
+    AND e.ts <= a.t + INTERVAL 1 DAY GROUP BY e.user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN b USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > b.t
+    AND e.ts <= b.t + INTERVAL 1 DAY GROUP BY e.user_id
+), d AS (
+  SELECT u.user_id,
+         CASE WHEN c.user_id IS NOT NULL THEN 3
+              WHEN b.user_id IS NOT NULL THEN 2
+              WHEN a.user_id IS NOT NULL THEN 1 ELSE 0 END AS depth
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN a USING (user_id) LEFT JOIN b USING (user_id)
+  LEFT JOIN c USING (user_id)
+)
+SELECT CAST(depth AS BIGINT) AS depth, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d GROUP BY depth
+"""
+
+QUERIES.update({"funnel": q_funnel})
+ORACLES.update({"funnel": SQL_FUNNEL})

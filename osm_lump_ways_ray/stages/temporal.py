@@ -540,3 +540,81 @@ def debounce(events, keys: list, ts: str, order_tiebreak: str, window_s: int,
     return events.map_batches(bucket, batch_format="pyarrow") \
                  .groupby("_part").map_groups(keep_firsts,
                                               batch_format="pyarrow")
+
+
+def funnel_depths(events, steps, *, key_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  max_gap_us: int = None, num_partitions: int = 8):
+    """N-step funnel analysis (view → click → purchase …): for each key, the
+    deepest step reached where step k's FIRST occurrence must be strictly
+    after step k-1's — and, when ``max_gap_us`` is set, within that window of
+    it (the standard windowed conversion funnel). Returns (depth, n_users)
+    — the classic product-analytics rollup.
+
+    Distributed shape: one combiner-backed grouped MIN per step (the step-k
+    candidate set is events of that type joined against the step-k-1
+    timestamps — a key-bucketed join, never a sort of the whole stream), then
+    one left-join cascade to assign depths. Shuffles are bounded by distinct
+    keys × steps, not event rows."""
+    import pyarrow.compute as pc
+
+    from .relational import bucket_agg, cogroup_join
+
+    def typed(step_type):
+        def f(b: pa.Table) -> pa.Table:
+            keep = pc.equal(b[type_col], step_type)
+            t = b.filter(keep)
+            return pa.table({"k": t[key_col].cast(pa.int64()),
+                             "t": t[ts_col].cast(pa.int64())})
+        return f
+
+    prev = None  # Dataset (k, t_prev) of keys that reached the prior step
+    reached = []  # per step: Dataset (k, tN)
+    for i, step_type in enumerate(steps):
+        cand = events.map_batches(typed(step_type), batch_format="pyarrow")
+        if prev is not None:
+            j = cogroup_join(cand, prev.rename_columns(["k", "t_prev"]),
+                             ("k",), how="inner",
+                             num_partitions=num_partitions)
+            def after_prev(b: pa.Table) -> pa.Table:
+                keep = pc.greater(b["t"], b["t_prev"])
+                if max_gap_us is not None:
+                    keep = pc.and_(keep, pc.less_equal(
+                        b["t"], pc.add(b["t_prev"],
+                                       pa.scalar(max_gap_us, pa.int64()))))
+                return pa.table({"k": b["k"].filter(keep),
+                                 "t": b["t"].filter(keep)})
+
+            cand = j.map_batches(after_prev, batch_format="pyarrow")
+        first = bucket_agg(cand, ["k"], {"t": ("t", "min")},
+                           num_partitions=num_partitions, combine=True)
+        reached.append(first)
+        prev = first
+
+    users = bucket_agg(
+        events.map_batches(
+            lambda b: pa.table({"k": b[key_col].cast(pa.int64())}),
+            batch_format="pyarrow"),
+        ["k"], {"n": (None, "count")},
+        num_partitions=num_partitions, combine=True).select_columns(["k"])
+    depth = users.map_batches(
+        lambda b: pa.table({"k": b["k"],
+                            "depth": pa.array(np.zeros(len(b), np.int64))}),
+        batch_format="pyarrow")
+    for i, first in enumerate(reached):
+        marked = first.map_batches(
+            lambda b, d=i + 1: pa.table({
+                "k": b["k"],
+                f"r{d}": pa.array(np.full(len(b), d, np.int64))}),
+            batch_format="pyarrow")
+        depth = cogroup_join(depth, marked, ("k",), how="left_outer",
+                             num_partitions=num_partitions)
+        depth = depth.map_batches(
+            lambda b, d=i + 1: pa.table({
+                "k": b["k"],
+                "depth": pc.max_element_wise(
+                    b["depth"], pc.fill_null(b[f"r{d}"],
+                                             pa.scalar(0, pa.int64()))),
+            }), batch_format="pyarrow")
+    return bucket_agg(depth, ["depth"], {"n_users": (None, "count")},
+                      num_partitions=4, combine=True)

@@ -261,3 +261,35 @@ def test_debounce_window_semantics(ray_session):
     # key (1,a): rows at 0, 10s (gap==10 → dropped), 10.000001s vs previous
     # ROW (10s) → gap 1µs → dropped. (1,b)@5s and (2,a)@1s are distinct keys.
     assert sorted(got.event_id) == [0, 3, 4]
+
+
+def test_funnel_depths_windowed():
+    """Windowed funnel: step k counts only strictly after step k-1 AND within
+    the gap; users stall at the deepest reachable step."""
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.stages.temporal import funnel_depths
+
+    us = int(1e6)
+    rows = [
+        # user 1: view@0 → click@10s → purchase@20s  (depth 3)
+        (1, 0, "view"), (1, 10 * us, "click"), (1, 20 * us, "purchase"),
+        # user 2: click BEFORE view → stalls at view (depth 1)
+        (2, 0, "click"), (2, 10 * us, "view"),
+        # user 3: click too late (gap 60s) → depth 1
+        (3, 0, "view"), (3, 120 * us, "click"),
+        # user 4: never views (depth 0)
+        (4, 0, "purchase"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    out = {r["depth"]: r["n_users"]
+           for r in funnel_depths(ray.data.from_arrow(t),
+                                  ["view", "click", "purchase"],
+                                  max_gap_us=60 * us,
+                                  num_partitions=2).take_all()}
+    assert out == {3: 1, 1: 2, 0: 1}
