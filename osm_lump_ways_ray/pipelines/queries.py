@@ -4239,3 +4239,54 @@ FROM d GROUP BY depth
 
 QUERIES.update({"funnel": q_funnel})
 ORACLES.update({"funnel": SQL_FUNNEL})
+
+
+# ═══════════════════════ KMV distinct-cardinality sketch (bigrams, r4)
+
+def q_kmv_distinct(sf_dir: str):
+    """Deterministic KMV distinct-count sketch over corpus bigrams (the
+    cardinality-estimation primitive of dedup planning): per-block distinct
+    k-smallest md5 partials → one tiny global sort+limit → one-row estimate.
+    The sketch math is integer end-to-end, so the oracle reproduces the
+    ESTIMATE exactly (est 945 vs true 916 at sf0.01 — a real ~3 % KMV error,
+    not a fudge)."""
+    from ..stages.relational import kmv_distinct
+    from ..stages.text import bigram_partial_batch
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_digests_ascii, md5_hex_of_digests
+
+        part = bigram_partial_batch(batch)
+        hx = md5_hex_of_digests(md5_digests_ascii(part["bigram"]))
+        return pa.table({"h": pa.array(hx, pa.string())})
+
+    return kmv_distinct(docs.map_batches(hashed, batch_format="pyarrow"),
+                        hash_col="h", k=128)
+
+
+SQL_KMV_DISTINCT = """
+WITH t AS (
+  SELECT string_split(text, ' ') AS toks FROM documents
+), b AS (
+  SELECT md5(toks[i] || ' ' || toks[i+1]) AS h
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS g(i)
+), d AS (SELECT DISTINCT h FROM b),
+topk AS (SELECT h FROM d ORDER BY h LIMIT 128),
+kth AS (SELECT MAX(h) AS h, COUNT(*) AS n FROM topk),
+x AS (
+  SELECT n, (SELECT SUM((strpos('0123456789abcdef', substr(kth.h, i, 1)) - 1)
+                 * (CAST(1 AS BIGINT) << ((12 - i) * 4)))
+             FROM unnest(generate_series(1, 12)) AS g(i)) AS x48
+  FROM kth
+)
+SELECT CAST(n AS BIGINT) AS k_used, CAST(x48 AS BIGINT) AS kth48,
+       CAST(CASE WHEN n < 128 THEN n
+                 ELSE (127 * (CAST(1 AS BIGINT) << 48)) // GREATEST(x48, 1)
+            END AS BIGINT) AS est_distinct
+FROM x
+"""
+
+QUERIES.update({"kmv_distinct": q_kmv_distinct})
+ORACLES.update({"kmv_distinct": SQL_KMV_DISTINCT})

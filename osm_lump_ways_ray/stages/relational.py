@@ -611,3 +611,53 @@ def map_groups_partitioned(ds, fn, key_cols, *, num_partitions: int = 8):
 
     return ds.map_batches(add_part, batch_format="pyarrow") \
         .groupby("_part").map_groups(per_part, batch_format="pandas")
+
+
+def kmv_distinct(ds, *, hash_col: str, k: int = 128):
+    """KMV (k-minimum-values) distinct-count sketch — the cardinality-
+    estimation primitive of large-scale dedup planning, DETERMINISTIC by
+    construction (md5 value hashes, no randomness): keep the k smallest
+    distinct hashes; estimate = (k-1) · 2^48 // kth_hash_48bit.
+
+    ``ds`` must already carry ``hash_col`` = lowercase md5 hex of the value
+    (fixed-length hex sorts identically to its numeric value, so partial
+    top-k, the global sort and the SQL oracle all agree byte-for-byte).
+    Distributed shape: per-block DISTINCT + k-smallest partials → one tiny
+    sort+limit over k×blocks rows → one-row result. When fewer than k
+    distinct hashes exist the sketch degenerates to the EXACT count (est =
+    n), exactly as the oracle does.
+
+    Returns one row: (k_used, kth48, est_distinct)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = np.unique(batch[hash_col].to_numpy(zero_copy_only=False))
+        h.sort()
+        return pa.table({"h": pa.array(h[:k], pa.string())})
+
+    # NO global limit before dedup: the same popular value's hash appears in
+    # many blocks' partials, and k rows of a sorted multiset can hold fewer
+    # than k DISTINCT hashes (the oracle takes the k smallest of the distinct
+    # set). The partial union is bounded at k×blocks rows — one tiny task.
+    top = ds.map_batches(partial, batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        h = np.unique(batch["h"].to_numpy(zero_copy_only=False))
+        h.sort()
+        h = h[:k]
+        n = len(h)
+        if n == 0:
+            return pa.table({"k_used": pa.array([0], pa.int64()),
+                             "kth48": pa.array([0], pa.int64()),
+                             "est_distinct": pa.array([0], pa.int64())})
+        kth = str(h[-1])
+        x = int(kth[:12], 16)
+        est = n if n < k else (k - 1) * (1 << 48) // max(x, 1)
+        return pa.table({"k_used": pa.array([n], pa.int64()),
+                         "kth48": pa.array([x], pa.int64()),
+                         "est_distinct": pa.array([int(est)], pa.int64())})
+
+    # k×blocks bounded rows; finish (dedup + k smallest + estimate) in one task
+    return top.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                          batch_size=None)
