@@ -4290,3 +4290,46 @@ FROM x
 
 QUERIES.update({"kmv_distinct": q_kmv_distinct})
 ORACLES.update({"kmv_distinct": SQL_KMV_DISTINCT})
+
+
+# ═══════════════════════════════ triangle counting (clique graph, r4)
+
+def q_triangles(sf_dir: str):
+    """Distributed triangle count over the (lang, source) co-membership
+    clique graph: within-group pair edges (hash-partitioned group runner),
+    wedge cogroup join, closure semi-join — two shuffles end to end."""
+    from ..stages.graph import triangle_count
+    from ..stages.relational import map_groups_partitioned
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def pairs(df):
+        import pandas as pd
+
+        d = np.sort(df["doc_id"].to_numpy())
+        if len(d) < 2:
+            return pd.DataFrame({"u": np.array([], np.int64),
+                                 "v": np.array([], np.int64)})
+        iu = np.triu_indices(len(d), 1)
+        return pd.DataFrame({"u": d[iu[0]], "v": d[iu[1]]})
+
+    edges = map_groups_partitioned(docs, pairs, ["lang", "source"],
+                                   num_partitions=8)
+    return triangle_count(edges, num_partitions=8)
+
+
+SQL_TRIANGLES = """
+WITH e AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND a.source = b.source AND b.doc_id > a.doc_id
+)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM e e1
+             JOIN e e2 ON e2.u = e1.v
+             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT)
+         AS n_triangles
+"""
+
+QUERIES.update({"triangles": q_triangles})
+ORACLES.update({"triangles": SQL_TRIANGLES})

@@ -1086,3 +1086,155 @@ def sssp_multi(edges_ds, sources_ds, *, src_col: str = "src",
                                    combine=True))
         frontier = improved
     return dist
+
+
+def _local_triangle_arrays(u: np.ndarray, v: np.ndarray):
+    """Driver base case: wedge emit + composite-rank closure over numpy
+    arrays (id-oriented u<v input). Same algorithm as the distributed path
+    (parity-tested); bounded by the caller's edge threshold."""
+    k = np.concatenate([v, u])
+    x = np.concatenate([u, v])
+    side = np.r_[np.zeros(len(u), np.int8), np.ones(len(u), np.int8)]
+    order = np.lexsort((x, side, k))
+    k, x, side = k[order], x[order], side[order]
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    ends = np.r_[starts[1:], len(k)]
+    aa, cc = [], []
+    for s0, e0 in zip(starts, ends):
+        sd = side[s0:e0]
+        nA = int(np.searchsorted(sd, 1))
+        nC = (e0 - s0) - nA
+        if nA == 0 or nC == 0:
+            continue
+        aa.append(np.repeat(x[s0:s0 + nA], nC))
+        cc.append(np.tile(x[s0 + nA:e0], nA))
+    if not aa:
+        return 0
+    wa, wc = np.concatenate(aa), np.concatenate(cc)
+    uu = np.unique(np.concatenate([u, v, wa, wc]))
+    span = np.int64(len(uu) + 1)
+    comp_e = np.sort(np.searchsorted(uu, u) * span + np.searchsorted(uu, v))
+    probe = np.searchsorted(uu, wa) * span + np.searchsorted(uu, wc)
+    pos = np.searchsorted(comp_e, probe)
+    np.minimum(pos, len(comp_e) - 1, out=pos)
+    return int(np.count_nonzero(comp_e[pos] == probe))
+
+
+def triangle_count(edges_ds, *, u_col: str = "u", v_col: str = "v",
+                   num_partitions: int = 16, max_local_edges: int = 200_000,
+                   force: Optional[str] = None):
+    """Distributed triangle counting — the canonical wide-join graph metric:
+    edges oriented low-id → high-id, wedges by one mid-vertex cogroup join
+    (e(a,b) ⋈ e(b,c) → (a,c) with a<b<c), closed by one (a,c) pair
+    semi-join back against the edge set, then a count. Two shuffles total.
+
+    SKEW NOTE (100 TB): a hub vertex of degree d emits O(d²) wedges; the
+    production mitigation is DEGREE ordering (orient each edge from its
+    lower-degree endpoint — one extra degree join) which bounds wedges by
+    O(|E|^1.5). Id ordering is the deterministic stand-in here so the SQL
+    oracle is a plain 3-way self-join; swap the orientation key for the
+    degree table on skewed graphs.
+
+    Auto-routes (the G13 pattern): at or under ``max_local_edges`` the wedge
+    emit + closure run on the driver in one numpy pass; ``force`` in
+    {"local", "distributed"} pins a path for parity tests.
+
+    Returns one row (n_edges, n_triangles)."""
+    import ray.data
+
+    from .relational import bucket_agg, cogroup_join, snapshot
+
+    oriented = edges_ds.map_batches(
+        lambda b: (lambda u, v: pa.table({
+            "u": pa.array(np.minimum(u, v), pa.int64()),
+            "v": pa.array(np.maximum(u, v), pa.int64())}))(
+            b[u_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            b[v_col].to_numpy(zero_copy_only=False).astype(np.int64)),
+        batch_format="pyarrow")
+    # DISTINCT oriented edges: the count is over the SIMPLE graph (duplicate
+    # or reversed input rows must not multiply wedges/closures)
+    e = snapshot(bucket_agg(oriented, ["u", "v"], {"m": (None, "count")},
+                            num_partitions=num_partitions, combine=True)
+                 .select_columns(["u", "v"]))
+    n_edges = e.count()
+    path = force
+    if path is None:
+        path = "local" if n_edges <= max_local_edges else "distributed"
+    if path == "local":
+        tabs = list(e.iter_batches(batch_format="pyarrow"))
+        if not tabs:
+            return ray.data.from_arrow(pa.table({
+                "n_edges": pa.array([0], pa.int64()),
+                "n_triangles": pa.array([0], pa.int64())}))
+        t = pa.concat_tables(tabs)
+        tri = _local_triangle_arrays(
+            t["u"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["v"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return ray.data.from_arrow(pa.table({
+            "n_edges": pa.array([int(n_edges)], pa.int64()),
+            "n_triangles": pa.array([int(tri)], pa.int64())}))
+
+    # wedge pair-counting in ONE partition pass: both adjacency directions of
+    # every mid-vertex land in one hash bucket; per bucket a numpy run-split
+    # emits A×C per vertex and pre-counts (a, c) multiplicities with the
+    # rank-encoded pair unique — no pandas merge, no raw-wedge shuffle
+    # (measured vs the cogroup_join formulation: 14-18 s → ~4 s at 159k
+    # edges / 4.2M triangles)
+    def adj_rows(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        k = np.concatenate([v, u])            # side 0: k=v (a below k)
+        x = np.concatenate([u, v])            # side 1: k=u (c above k)
+        side = np.r_[np.zeros(len(u), np.int8), np.ones(len(u), np.int8)]
+        part = ((k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(17)).astype(np.int64) % num_partitions
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "x": pa.array(x, pa.int64()),
+                         "side": pa.array(side, pa.int8()),
+                         "_part": pa.array(part, pa.int64())})
+
+    def wedge_counts(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        x = b["x"].to_numpy(zero_copy_only=False)
+        side = b["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((x, side, k))
+        k, x, side = k[order], x[order], side[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        aa, cc = [], []
+        for s0, e0 in zip(starts, ends):
+            sd = side[s0:e0]
+            nA = int(np.searchsorted(sd, 1))
+            nC = (e0 - s0) - nA
+            if nA == 0 or nC == 0:
+                continue
+            A = x[s0:s0 + nA]
+            C = x[s0 + nA:e0]
+            aa.append(np.repeat(A, nC))
+            cc.append(np.tile(C, nA))
+        z = pa.array([], pa.int64())
+        if not aa:
+            return pa.table({"u": z, "v": z, "n": z})
+        uniq, inv = _unique_pairs(np.concatenate(aa), np.concatenate(cc))
+        return pa.table({
+            "u": pa.array(uniq[:, 0], pa.int64()),
+            "v": pa.array(uniq[:, 1], pa.int64()),
+            "n": pa.array(np.bincount(inv, minlength=len(uniq))
+                          .astype(np.int64), pa.int64()),
+        })
+
+    wcount = bucket_agg(
+        e.map_batches(adj_rows, batch_format="pyarrow")
+         .groupby("_part").map_groups(wedge_counts, batch_format="pyarrow"),
+        ["u", "v"], {"n": ("n", "sum")}, num_partitions=num_partitions)
+    from .relational import snapshot as _snap
+
+    closed = _snap(cogroup_join(wcount, e.map_batches(
+        lambda b: b.append_column("is_e", pa.array(
+            np.ones(len(b), np.int8), pa.int8())), batch_format="pyarrow"),
+        ("u", "v"), how="inner", num_partitions=num_partitions))
+    tri = closed.sum("n") or 0
+    return ray.data.from_arrow(pa.table({
+        "n_edges": pa.array([int(n_edges)], pa.int64()),
+        "n_triangles": pa.array([int(tri)], pa.int64()),
+    }))

@@ -319,3 +319,40 @@ def test_sssp_checkpoint_resume(tmp_path):
              for r in sssp_rounds(e, s, num_partitions=2,
                                   checkpoint=ck2).take_all()}
     assert again == first and first[30] == sum(int(x % 5 + 1) for x in src)
+
+
+def test_triangle_count_known_graph():
+    """K4 has 4 triangles + a pendant edge contributes none; orientation
+    normalizes unordered input."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.stages.graph import triangle_count
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 4)]
+    e = ray.data.from_arrow(pa.table({
+        "u": pa.array([b for _, b in k4], pa.int64()),   # reversed on purpose
+        "v": pa.array([a for a, _ in k4], pa.int64()),
+    }))
+    row = triangle_count(e, num_partitions=2).take_all()[0]
+    assert (row["n_edges"], row["n_triangles"]) == (7, 4)
+
+
+def test_triangle_count_path_parity():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(9)
+    u = rng.integers(1, 60, 300)
+    v = rng.integers(1, 60, 300)
+    keep = u != v
+    e = ray.data.from_arrow(pa.table({"u": pa.array(u[keep], pa.int64()),
+                                      "v": pa.array(v[keep], pa.int64())}))
+    loc = triangle_count(e, force="local").take_all()[0]
+    dist = triangle_count(e, force="distributed",
+                          num_partitions=2).take_all()[0]
+    assert loc == dist and loc["n_triangles"] > 0
