@@ -4333,3 +4333,39 @@ SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
 
 QUERIES.update({"triangles": q_triangles})
 ORACLES.update({"triangles": SQL_TRIANGLES})
+
+
+# ═══════════════════════════ bigram lift / collocations (r4)
+
+def q_bigram_lift(sf_dir: str):
+    """Collocation mining: consecutive-token pairs whose integer lift
+    (n_pair·N·1000 // (c1·c2)) clears 1.2× independence with support ≥ 20 —
+    two combiner wordcounts + broadcast joins, exact integer score."""
+    from ..stages.text import bigram_lift
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    out = bigram_lift(docs, min_count=20, min_lift_milli=1200)
+    return out.sort(["lift_milli", "n_pair", "w1", "w2"])
+
+
+SQL_BIGRAM_LIFT = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), uni AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+b AS (
+  SELECT toks[i] AS w1, toks[i+1] AS w2
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS g(i)
+), bc AS (
+  SELECT w1, w2, COUNT(*) AS cb FROM b GROUP BY w1, w2
+)
+SELECT bc.w1, bc.w2, CAST(bc.cb AS BIGINT) AS n_pair,
+       CAST((bc.cb * tot.n * 1000) // (u1.c * u2.c) AS BIGINT) AS lift_milli
+FROM bc JOIN uni u1 ON u1.tok = bc.w1 JOIN uni u2 ON u2.tok = bc.w2, tot
+WHERE bc.cb >= 20 AND (bc.cb * tot.n * 1000) // (u1.c * u2.c) >= 1200
+"""
+
+QUERIES.update({"bigram_lift": q_bigram_lift})
+ORACLES.update({"bigram_lift": SQL_BIGRAM_LIFT})

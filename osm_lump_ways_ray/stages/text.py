@@ -428,3 +428,61 @@ def vocab_topk_by_group(docs_ds, k: int = 5, *, group_col: str = "lang",
 
     return map_groups_partitioned(counts, topk, group_col,
                                   num_partitions=num_partitions)
+
+
+def bigram_lift(docs_ds, *, min_count: int = 20, min_lift_milli: int = 1200,
+                text_col: str = "text", num_partitions: int = 8):
+    """Association mining over consecutive-token pairs: integer LIFT
+    ``(c_pair · N_tokens · 1000) // (c_w1 · c_w2)`` — the PMI-family collocation
+    score in exact integer arithmetic (no transcendentals, so the oracle is
+    value-exact). Emits (w1, w2, n_pair, lift_milli) for pairs at or above
+    both thresholds.
+
+    Shape: two combiner-backed wordcounts (unigram + bigram — shuffles
+    bounded by vocab, not tokens), a scalar token total, and two joins of the
+    bigram table against the unigram counts (broadcast fast path when the
+    vocabulary fits; partitioned cogroup above)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .relational import bucket_agg, cogroup_join
+
+    uni = bucket_agg(
+        docs_ds.map_batches(vocab_partial_batch, batch_format="pyarrow"),
+        ["token"], {"c": ("c", "sum")},
+        num_partitions=num_partitions, combine=True)
+    total = int(uni.sum("c") or 0)
+    big = bucket_agg(
+        docs_ds.map_batches(
+            lambda b: bigram_partial_batch(b, text_col=text_col),
+            batch_format="pyarrow"),
+        ["bigram"], {"n_pair": ("c", "sum")},
+        num_partitions=num_partitions, combine=True)
+    def split_filter(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(b["n_pair"],
+                                pa.scalar(min_count, pa.int64()))
+        f = b.filter(keep)
+        parts = pc.split_pattern(f["bigram"], " ")
+        return pa.table({"w1": pc.list_element(parts, 0),
+                         "w2": pc.list_element(parts, 1),
+                         "n_pair": f["n_pair"].cast(pa.int64())})
+
+    big = big.map_batches(split_filter, batch_format="pyarrow")
+    j = cogroup_join(big, uni.rename_columns(["w1", "c1"]), ("w1",),
+                     how="inner", num_partitions=num_partitions)
+    j = cogroup_join(j, uni.rename_columns(["w2", "c2"]), ("w2",),
+                     how="inner", num_partitions=num_partitions)
+
+    def score(b: pa.Table) -> pa.Table:
+        npair = b["n_pair"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = b["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = b["c2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lift = npair * total * 1000 // (c1 * c2)
+        keep = lift >= min_lift_milli
+        idx = pa.array(np.flatnonzero(keep))
+        return pa.table({"w1": b["w1"].take(idx), "w2": b["w2"].take(idx),
+                         "n_pair": pa.array(npair[keep], pa.int64()),
+                         "lift_milli": pa.array(lift[keep], pa.int64())})
+
+    return j.map_batches(score, batch_format="pyarrow")

@@ -105,3 +105,20 @@ def test_stratified_sample_deterministic(ray_session):
     en = sorted(out[out["lang"] == "en"]["doc_id"])
     assert en == [0, 10]          # even ids, % 5 == 0
     assert (out["lang"] == "de").sum() == 10  # default rate keeps all
+
+
+def test_bigram_lift_integer_score():
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.stages.text import bigram_lift
+
+    # 'x y' always together (lift high); 'a b' independent-ish
+    docs = ray.data.from_arrow(pa.table({
+        "text": ["x y a", "x y b", "a b x", "b a y"],
+    }))
+    out = {(r["w1"], r["w2"]): (r["n_pair"], r["lift_milli"])
+           for r in bigram_lift(docs, min_count=2,
+                                min_lift_milli=1000).take_all()}
+    # N=12 tokens; c_x=3 c_y=3 c_pair(x,y)=2 → 2*12*1000//9 = 2666
+    assert out[("x", "y")] == (2, 2666)
