@@ -4369,3 +4369,63 @@ WHERE bc.cb >= 20 AND (bc.cb * tot.n * 1000) // (u1.c * u2.c) >= 1200
 
 QUERIES.update({"bigram_lift": q_bigram_lift})
 ORACLES.update({"bigram_lift": SQL_BIGRAM_LIFT})
+
+
+# ══════════ exact substring duplicate spans + decontamination (r4, dedup)
+
+def q_duplicate_spans(sf_dir: str):
+    """Word-granular ExactSubstr duplication profile (Lee et al. 2022 shape):
+    per doc (≥8 words), how many 8-word window positions also occur verbatim
+    in another doc. Window-hash-keyed shuffles only — never all-pairs."""
+    from ..stages.dedup import duplicate_spans
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return duplicate_spans(docs, window_w=8).sort("doc_id")
+
+
+SQL_DUPLICATE_SPANS = """
+WITH win AS (
+  SELECT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) < 8 THEN []
+    ELSE [array_to_string((string_split(text, ' '))[i:i+7], ' ')
+          for i in generate_series(1, len(string_split(text, ' ')) - 7)] END
+    ) AS w
+  FROM documents
+), nd AS (
+  SELECT w, COUNT(DISTINCT doc_id) AS ndocs FROM win GROUP BY w
+)
+SELECT win.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+FROM win JOIN nd USING (w) GROUP BY win.doc_id
+"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Train/test decontamination scan: the test set is the deterministic
+    doc_id % 17 == 0 slice; every train doc (≥5 words) reports how many of
+    its 5-word window positions appear anywhere in the test set."""
+    from ..stages.dedup import decontaminate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return decontaminate(docs, window_w=5, test_modulus=17).sort("doc_id")
+
+
+SQL_DECONTAMINATE = """
+WITH win AS (
+  SELECT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) < 5 THEN []
+    ELSE [array_to_string((string_split(text, ' '))[i:i+4], ' ')
+          for i in generate_series(1, len(string_split(text, ' ')) - 4)] END
+    ) AS w
+  FROM documents
+), test_sh AS (
+  SELECT DISTINCT w FROM win WHERE doc_id % 17 = 0
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN w IN (SELECT w FROM test_sh) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit
+FROM win WHERE doc_id % 17 <> 0 GROUP BY doc_id
+"""
+
+QUERIES.update({"duplicate_spans": q_duplicate_spans,
+                "decontaminate": q_decontaminate})
+ORACLES.update({"duplicate_spans": SQL_DUPLICATE_SPANS,
+                "decontaminate": SQL_DECONTAMINATE})

@@ -34,9 +34,17 @@ _MERSENNE = (1 << 61) - 1
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 # fixed odd word-position constants — the shingle hash family is part of the
 # signature format (same 3 words → same hash; any well-mixed family is valid:
-# the LSH recall argument and the exact-Jaccard verify are hash-agnostic)
+# the LSH recall argument and the exact-Jaccard verify are hash-agnostic).
+# MUST be ≥ the largest window width in use: the combine is XOR (commutative),
+# so constants repeating with period p would make windows equal-up-to-swapping
+# words at distance p collide — observed as a real false dup at W=8 with the
+# original 5 constants. 16 covers every shingle/window family shipped.
 _POS_C = np.array([0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5,
-                   0x9E3779B97F4A7C15, 0xFF51AFD7ED558CCD], dtype=np.uint64)
+                   0x9E3779B97F4A7C15, 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53,
+                   0x2545F4914F6CDD1D, 0xD6E8FEB86659FD93, 0xA3B195354A39B70D,
+                   0x1B03738712FAD5C9, 0xE7037ED1A0B428DB, 0x8EBC6AF09C88C6E3,
+                   0x589965CC75374CC3, 0x1D8E4E27C47D124F, 0xEB44ACCAB455D165,
+                   0x97C29B3A0AB4E7F1], dtype=np.uint64)
 
 
 def _avalanche(h: np.ndarray) -> np.ndarray:
@@ -76,6 +84,9 @@ def _shingle_hashes_batch(texts: pa.Array, k: int):
     flat = pc.list_flatten(words).to_numpy(zero_copy_only=False)
     wh = _word_hashes(flat).astype(np.uint64)
 
+    assert k <= len(_POS_C), \
+        f"window width {k} exceeds the {len(_POS_C)} position constants " \
+        "(XOR combine would collide on distance-p word swaps)"
     n_docs = len(counts)
     total = len(wh)
     # window start s is valid iff the whole k-window stays inside one doc
@@ -734,3 +745,161 @@ def ngram_containment_pairs(docs_ds, *, shingle_k: int = 3, threshold=(9, 10),
         })
 
     return j.map_batches(thresh, batch_format="pyarrow")
+
+
+# ═══════════════════ exact substring duplicate spans + decontamination (r4)
+
+def _window_count_rows(batch: pa.Table, *, window_w: int, id_col: str,
+                       text_col: str) -> pa.Table:
+    """Per-doc (sh, doc_id, c) rows for W-word sliding windows: ``sh`` is the
+    window hash, ``c`` the number of POSITIONS of that window inside the doc
+    (multiplicity matters — duplicated-span accounting is per position, not
+    per distinct window). Docs with fewer than W words emit NOTHING (a short
+    doc has no W-window; contrast ``_shingle_hashes_batch``'s whole-text
+    fallback used by the Jaccard family).
+
+    Each doc is one input row, so all its windows are computed in this one
+    call — (sh, doc_id) rows are globally unique without any shuffle."""
+    import pyarrow.compute as pc
+
+    from .graph import _unique_pairs
+
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    wc = pc.list_value_length(pc.split_pattern(texts, " ")) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    sh, starts = _shingle_hashes_batch(texts, window_w)
+    counts_out = np.r_[starts[1:], len(sh)] - starts
+    doc = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = np.repeat(wc >= window_w, counts_out)   # drop short-doc fallbacks
+    doc_of = np.repeat(doc, counts_out)[keep]
+    sh = sh[keep]
+    if not len(sh):
+        z = pa.array([], pa.int64())
+        return pa.table({"sh": z, "doc_id": z, "c": z})
+    uniq, inv = _unique_pairs(doc_of, sh.view(np.int64))
+    c = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+    return pa.table({"sh": pa.array(uniq[:, 1], pa.int64()),
+                     "doc_id": pa.array(uniq[:, 0], pa.int64()),
+                     "c": pa.array(c, pa.int64())})
+
+
+def duplicate_spans(docs_ds, *, window_w: int = 8, id_col: str = "doc_id",
+                    text_col: str = "text", num_partitions: int = 16):
+    """EXACT substring-duplication profile (the distributed shape of Lee et
+    al.'s 'Deduplicating Training Data Makes Language Models Better' ExactSubstr
+    pass, word-granular): for every doc with ≥ W words, count how many of its
+    W-word window POSITIONS also occur verbatim in at least one OTHER doc.
+
+    Shape: (sh, doc, c) window rows → per-window distinct-doc counts (one
+    combiner-backed groupby keyed by window hash — bounded by distinct
+    windows, never all-pairs) → join the doc-count back onto the rows →
+    one per-doc sum. No driver collection, no broadcast of the corpus;
+    the only shuffles are keyed by window hash and doc id.
+
+    Returns (doc_id, n_windows, n_dup) — n_dup/n_windows is the duplication
+    ratio used for span-level filtering."""
+    from .relational import bucket_agg, cogroup_join, snapshot
+
+    def win_rows(b: pa.Table) -> pa.Table:
+        return _window_count_rows(b, window_w=window_w, id_col=id_col,
+                                  text_col=text_col)
+
+    rows = snapshot(docs_ds.map_batches(win_rows, batch_format="pyarrow"))
+    if rows.count() == 0:
+        import ray.data
+
+        z = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table({
+            "doc_id": z, "n_windows": z, "n_dup": z}))
+    nd = bucket_agg(rows, ["sh"], {"ndocs": (None, "count")},
+                    num_partitions=num_partitions, combine=True)
+    j = cogroup_join(rows, nd, ("sh",), how="inner",
+                     num_partitions=num_partitions)
+
+    def mark(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ndocs = t["ndocs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "c": pa.array(c, pa.int64()),
+                         "dup_c": pa.array(np.where(ndocs >= 2, c, 0),
+                                           pa.int64())})
+
+    marked = j.map_batches(mark, batch_format="pyarrow")
+    return bucket_agg(marked, ["doc_id"],
+                      {"n_windows": ("c", "sum"), "n_dup": ("dup_c", "sum")},
+                      num_partitions=num_partitions, combine=True)
+
+
+def decontaminate(docs_ds, *, window_w: int = 5, test_modulus: int = 17,
+                  test_residue: int = 0, id_col: str = "doc_id",
+                  text_col: str = "text", num_partitions: int = 16):
+    """Train/test DECONTAMINATION scan (the n-gram-overlap check every
+    benchmark-aware training corpus runs, e.g. GPT-3 appendix C / PaLM-style
+    13-gram dedup — here word-W-gram): the held-out 'test set' is the
+    deterministic doc_id % modulus == residue slice; every TRAIN doc gets the
+    count of its W-word window positions that appear anywhere in the test set.
+
+    Shape: one window pass over the whole corpus (same rows feed both sides),
+    test windows reduced to a distinct-hash table, one hash-keyed semi-join
+    onto the train rows, one per-doc sum. The zero-hit docs are recovered by
+    unioning zero-filled totals with the hit partials and re-aggregating —
+    no left join, both aggregates stay combiner-backed.
+
+    Returns (doc_id, n_windows, n_hit) for every train doc with ≥ W words."""
+    from .relational import bucket_agg, cogroup_join, concat_blocks, snapshot
+
+    def win_rows(b: pa.Table) -> pa.Table:
+        return _window_count_rows(b, window_w=window_w, id_col=id_col,
+                                  text_col=text_col)
+
+    rows = snapshot(docs_ds.map_batches(win_rows, batch_format="pyarrow"))
+
+    def side(is_test: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (d % test_modulus == test_residue) == is_test
+            idx = pa.array(np.flatnonzero(m))
+            return t.take(idx)
+
+        return fn
+
+    train = rows.map_batches(side(False), batch_format="pyarrow")
+    test = rows.map_batches(side(True), batch_format="pyarrow")
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_windows": pa.array([], pa.int64()),
+                      "n_hit": pa.array([], pa.int64())})
+    if snapshot(train).count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(empty)
+    # distinct test window hashes (key-only right side of the semi-join)
+    test_sh = bucket_agg(test, ["sh"], {"_n": (None, "count")},
+                         num_partitions=num_partitions, combine=True) \
+        .select_columns(["sh"])
+    hits = cogroup_join(train, test_sh, ("sh",), how="inner",
+                        num_partitions=num_partitions)
+    hit_per_doc = bucket_agg(hits, ["doc_id"], {"n_hit": ("c", "sum")},
+                             num_partitions=num_partitions, combine=True)
+    tot_per_doc = bucket_agg(train, ["doc_id"], {"n_windows": ("c", "sum")},
+                             num_partitions=num_partitions, combine=True)
+
+    def zfill(col_zero: str, order: list):
+        def fn(t: pa.Table) -> pa.Table:
+            z = pa.array(np.zeros(len(t), np.int64), pa.int64())
+            cols = dict(zip(t.column_names, t.columns))
+            cols[col_zero] = z
+            return pa.table({c: cols[c] for c in order})
+
+        return fn
+
+    order = ["doc_id", "n_windows", "n_hit"]
+    u = concat_blocks(
+        tot_per_doc.map_batches(zfill("n_hit", order), batch_format="pyarrow"),
+        hit_per_doc.map_batches(zfill("n_windows", order),
+                                batch_format="pyarrow"))
+    return bucket_agg(u, ["doc_id"],
+                      {"n_windows": ("n_windows", "sum"),
+                       "n_hit": ("n_hit", "sum")},
+                      num_partitions=num_partitions, combine=True)

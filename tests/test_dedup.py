@@ -182,3 +182,86 @@ def test_ngram_hot_shingle_cap():
                                  max_docs_per_shingle=2).take_all()
     assert [(r["u"], r["v"]) for r in capped] == [(1, 2)]
     assert capped[0]["n_common"] == full[0]["n_common"] - 1
+
+
+def test_pos_constants_injective_under_distance_swaps():
+    """Regression: with only 5 position constants, 8-word windows whose words
+    were swapped at distance 5 XOR-hashed identically (observed as a false
+    duplicate span at sf0.01). The widened constant table must separate every
+    distance-p swap for windows up to len(_POS_C)."""
+    for w in (6, 8, 12, 16):
+        words = [f"tok{j}" for j in range(w)]
+        base = " ".join(words)
+        for p in range(1, w):
+            swapped = list(words)
+            swapped[0], swapped[p] = swapped[p], swapped[0]
+            both = pa.array([base, " ".join(swapped)], pa.string())
+            sh, starts = dd._shingle_hashes_batch(both, w)
+            assert sh[starts[0]] != sh[starts[1]], (w, p)
+
+
+def _brute_windows(text, w):
+    toks = text.split(" ")
+    if len(toks) < w:
+        return []
+    return [" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)]
+
+
+def test_duplicate_spans_matches_bruteforce(ray_session):
+    import ray.data
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 shared words
+    texts = {
+        1: "one two three four five six seven " + span + " tail1 tail2",
+        2: "start middle " + span + " nine ten eleven twelve",
+        3: " ".join(f"solo3w{j}" for j in range(20)),
+        4: "short doc",                       # < 8 words → no rows
+        5: span + " " + span,                 # self-repeat + cross-doc dup
+    }
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)], pa.string())}))
+    out = dd.duplicate_spans(docs, window_w=8, num_partitions=4).to_pandas()
+    got = {r.doc_id: (r.n_windows, r.n_dup) for r in out.itertuples()}
+    # brute force
+    wins = {d: _brute_windows(t, 8) for d, t in texts.items()}
+    exp = {}
+    for d, ws in wins.items():
+        if not ws:
+            continue
+        others = set()
+        for d2, ws2 in wins.items():
+            if d2 != d:
+                others.update(ws2)
+        exp[d] = (len(ws), sum(1 for x in ws if x in others))
+    assert got == exp
+    assert 4 not in got and exp[5][1] > 0
+
+
+def test_decontaminate_matches_bruteforce(ray_session):
+    import ray.data
+
+    leak = "p q r s t"
+    texts = {
+        0: "held out doc with " + leak + " inside it",        # test (0%3==0)
+        3: " ".join(f"t3w{j}" for j in range(9)),              # test
+        1: "train doc containing " + leak + " verbatim here",  # train, hit
+        2: " ".join(f"t2w{j}" for j in range(7)),               # train, clean
+        4: "tiny one",                                          # train, short
+    }
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)], pa.string())}))
+    out = dd.decontaminate(docs, window_w=5, test_modulus=3,
+                           num_partitions=4).to_pandas()
+    got = {r.doc_id: (r.n_windows, r.n_hit) for r in out.itertuples()}
+    test_ws = set()
+    for d in (0, 3):
+        test_ws.update(_brute_windows(texts[d], 5))
+    exp = {}
+    for d in (1, 2, 4):
+        ws = _brute_windows(texts[d], 5)
+        if ws:
+            exp[d] = (len(ws), sum(1 for x in ws if x in test_ws))
+    assert got == exp
+    assert exp[1][1] > 0 and exp[2][1] == 0
