@@ -4429,3 +4429,91 @@ QUERIES.update({"duplicate_spans": q_duplicate_spans,
                 "decontaminate": q_decontaminate})
 ORACLES.update({"duplicate_spans": SQL_DUPLICATE_SPANS,
                 "decontaminate": SQL_DECONTAMINATE})
+
+
+# ═══════════ term retrieval + rollup + grouped mode (r4, relational/text)
+
+def q_search(sf_dir: str):
+    """Inverted-index retrieval: global top-10 documents for the fixed query
+    bag {scan, column, window} under integer tf·idf — the search surface over
+    the same df machinery tfidf uses; per-block top-k partials, no global
+    sort."""
+    from ..stages.text import search_topk
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return search_topk(docs, ["scan", "column", "window"], k=10) \
+        .sort("doc_id")
+
+
+SQL_SEARCH = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM t
+  WHERE term IN ('scan', 'column', 'window') GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), nd AS (SELECT COUNT(*) AS n FROM documents)
+SELECT doc_id, CAST(SUM(tf * ((nd.n * 1000) // df.df)) AS BIGINT) AS score
+FROM tf JOIN df USING (term), nd
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (l_returnflag, l_linestatus): finest + subtotal +
+    grand-total levels from ONE combiner-backed pass over lineitem; dropped
+    keys carry the 'ALL' sentinel. Quantities are integral in TPC-H, so the
+    sum is exact int64 on both sides."""
+    from ..stages.relational import rollup_agg
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "l_linestatus": b["l_linestatus"],
+                         "qty": pa.array(q.astype(np.int64), pa.int64())})
+
+    ds = li.map_batches(to_int, batch_format="pyarrow")
+    return rollup_agg(ds, ["l_returnflag", "l_linestatus"],
+                      {"n": (None, "count"), "sum_qty": ("qty", "sum")}) \
+        .sort(["l_linestatus", "l_returnflag"])
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_grouped_mode(sf_dir: str):
+    """Per-event-type modal user (count DESC, user_id ASC tie-break): the
+    categorical summary quantiles can't express; shuffle bounded by distinct
+    (type, user) pairs."""
+    from ..stages.relational import grouped_mode
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_mode(ev, "event_type", "user_id").sort("event_type")
+
+
+SQL_GROUPED_MODE = """
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS n FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, user_id, n, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS rn
+  FROM c
+)
+SELECT event_type, user_id, CAST(n AS BIGINT) AS n FROM r WHERE rn = 1
+"""
+
+QUERIES.update({"search": q_search, "rollup": q_rollup,
+                "grouped_mode": q_grouped_mode})
+ORACLES.update({"search": SQL_SEARCH, "rollup": SQL_ROLLUP,
+                "grouped_mode": SQL_GROUPED_MODE})

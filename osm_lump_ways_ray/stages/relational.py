@@ -661,3 +661,58 @@ def kmv_distinct(ds, *, hash_col: str, k: int = 128):
     # k×blocks bounded rows; finish (dedup + k smallest + estimate) in one task
     return top.repartition(1).map_batches(finish, batch_format="pyarrow",
                                           batch_size=None)
+
+
+def rollup_agg(ds, key_cols, aggs, *, all_label: str = "ALL",
+               num_partitions: int = 16):
+    """GROUP BY ROLLUP over string keys: the finest level plus every prefix
+    level with the dropped keys replaced by ``all_label`` (the COALESCE
+    sentinel a SQL oracle can reproduce without NULL-hash ambiguity).
+
+    Scale shape: the input is aggregated ONCE (combiner-backed) into the
+    finest level — bounded by distinct key combos — and every coarser level
+    re-aggregates that small table, so the raw rows are scanned exactly once
+    no matter how many levels the rollup has."""
+    key_cols = list(key_cols)
+    _MERGE = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    finest = snapshot(bucket_agg(ds, key_cols, aggs,
+                                 num_partitions=num_partitions, combine=True))
+    merge_aggs = {out: (out, _MERGE[how]) for out, (_, how) in aggs.items()}
+    order = key_cols + list(aggs)
+
+    def relabel(dropped):
+        def fn(t):
+            import pyarrow as pa
+
+            cols = {c: t[c] for c in t.column_names}
+            for c in dropped:
+                cols[c] = pa.array([all_label] * len(t), pa.string())
+            return pa.table({c: cols[c] for c in order})
+
+        return fn
+
+    levels = [finest.map_batches(relabel([]), batch_format="pyarrow")]
+    for j in range(len(key_cols) - 1, -1, -1):
+        lab = finest.map_batches(relabel(key_cols[j:]), batch_format="pyarrow")
+        levels.append(bucket_agg(lab, key_cols, merge_aggs,
+                                 num_partitions=num_partitions))
+    return concat_blocks(*levels)
+
+
+def grouped_mode(ds, group_col: str, value_col: str, *,
+                 num_partitions: int = 16):
+    """Per-group MODE with a total tie-break (count DESC, value ASC): one
+    combiner-backed (group, value) count — the shuffle is bounded by distinct
+    pairs — then a per-group argmax over hash partitions of the counts."""
+    import pandas as pd
+
+    counts = bucket_agg(ds, [group_col, value_col], {"n": (None, "count")},
+                        num_partitions=num_partitions, combine=True)
+
+    def pick(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values([group_col, "n", value_col],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.head(1)
+
+    return map_groups_partitioned(counts, pick, [group_col],
+                                  num_partitions=num_partitions)

@@ -486,3 +486,82 @@ def bigram_lift(docs_ds, *, min_count: int = 20, min_lift_milli: int = 1200,
                          "lift_milli": pa.array(lift[keep], pa.int64())})
 
     return j.map_batches(score, batch_format="pyarrow")
+
+
+def search_topk(docs_ds, query_terms, k: int = 10, *,
+                id_col: str = "doc_id", text_col: str = "text",
+                num_partitions: int = 16):
+    """Inverted-index TERM RETRIEVAL: score every document against a fixed
+    bag of query terms with the integer tf·idf used by ``tfidf_top_terms``
+    (idf_milli = n_docs·1000 // df, df over matching docs) and return the
+    global top-k (score DESC, doc_id ASC — a total order, so the cut is
+    deterministic).
+
+    Scale shape: the query bag is tiny and rides into every task as a
+    closure constant (an Arrow value_set, not a shuffle side); the only
+    per-corpus pass is one vectorized ``is_in`` over the flattened tokens —
+    rows leaving it are bounded by matching (doc, term) pairs. df is |Q|
+    rows, so the idf join always takes the broadcast fast path. The final
+    top-k is per-block partials (≤ k rows each) merged once — never a
+    global sort of the corpus."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .relational import bucket_agg, cogroup_join, snapshot
+
+    qset = pa.array(sorted(set(query_terms)), pa.string())
+    n_docs = docs_ds.count()
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.split_pattern(texts, " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(words)
+        hit = pc.is_in(flat, value_set=qset).to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(ids, counts)[hit]
+        terms = flat.filter(pa.array(hit)).to_numpy(zero_copy_only=False)
+        out = pd.DataFrame({"doc_id": doc_of, "term": terms}) \
+            .groupby(["doc_id", "term"], as_index=False, sort=False).size() \
+            .rename(columns={"size": "tf"})
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    tf = snapshot(docs_ds.map_batches(tf_rows, batch_format="pyarrow"))
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.int64())})
+    if tf.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(empty)
+    df_tbl = bucket_agg(tf, "term", {"df": (None, "count")},
+                        num_partitions=num_partitions, combine=True)
+    joined = cogroup_join(tf, df_tbl, on="term",
+                          num_partitions=num_partitions)
+
+    def score(b: pa.Table) -> pa.Table:
+        tfv = b["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = b["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "part": pa.array(tfv * (n_docs * 1000 // dfv),
+                                          pa.int64())})
+
+    per_doc = bucket_agg(joined.map_batches(score, batch_format="pyarrow"),
+                         "doc_id", {"score": ("part", "sum")},
+                         num_partitions=num_partitions, combine=True)
+
+    def blk_topk(t: pa.Table) -> pa.Table:
+        df = t.select(["doc_id", "score"]).to_pandas()
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    partials = per_doc.map_batches(blk_topk, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(blk_topk,
+                                               batch_format="pyarrow")

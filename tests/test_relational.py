@@ -120,3 +120,40 @@ def test_snapshot_handles_pandas_blocks(ray_session):
     out = snapshot(pandas_ds)
     got = {r["k"]: r["s"] for r in out.take_all()}
     assert got == {1: 30, 2: 30}
+
+
+def test_rollup_agg_levels(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.stages.relational import rollup_agg
+
+    t = pa.table({"a": ["x", "x", "y", "y", "y"],
+                  "b": ["p", "q", "p", "p", "q"],
+                  "v": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    out = rollup_agg(ray.data.from_arrow(t), ["a", "b"],
+                     {"n": (None, "count"), "s": ("v", "sum")},
+                     num_partitions=4).to_pandas()
+    got = {(r.a, r.b): (r.n, r.s) for r in out.itertuples()}
+    assert got == {
+        ("x", "p"): (1, 1), ("x", "q"): (1, 2),
+        ("y", "p"): (2, 7), ("y", "q"): (1, 5),
+        ("x", "ALL"): (2, 3), ("y", "ALL"): (3, 12),
+        ("ALL", "ALL"): (5, 15),
+    }
+
+
+def test_grouped_mode_tiebreak(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.stages.relational import grouped_mode
+
+    t = pa.table({"g": ["a"] * 4 + ["b"] * 3,
+                  "v": pa.array([7, 7, 3, 3, 9, 1, 1], pa.int64())})
+    out = grouped_mode(ray.data.from_arrow(t), "g", "v",
+                       num_partitions=4).to_pandas()
+    got = {r.g: (r.v, r.n) for r in out.itertuples()}
+    # group a: 7 and 3 tie at 2 → smaller value 3 wins; group b: 1 (x2) beats 9
+    assert got == {"a": (3, 2), "b": (1, 2)}

@@ -122,3 +122,30 @@ def test_bigram_lift_integer_score():
                                 min_lift_milli=1000).take_all()}
     # N=12 tokens; c_x=3 c_y=3 c_pair(x,y)=2 → 2*12*1000//9 = 2666
     assert out[("x", "y")] == (2, 2666)
+
+
+def test_search_topk_scoring_and_cut(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.stages.text import search_topk
+
+    texts = {
+        1: "scan scan scan filler filler",        # tf(scan)=3
+        2: "scan window filler filler filler",    # tf(scan)=1 tf(window)=1
+        3: "window window filler filler filler",  # tf(window)=2
+        4: "nothing relevant here at all",
+        5: "scan filler filler filler filler",    # tf(scan)=1 (tie with 2?)
+    }
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)], pa.string())}))
+    out = search_topk(docs, ["scan", "window"], k=3,
+                      num_partitions=4).to_pandas()
+    n = 5
+    idf_scan = n * 1000 // 3   # docs 1,2,5
+    idf_win = n * 1000 // 2    # docs 2,3
+    exp = sorted([(1, 3 * idf_scan), (2, idf_scan + idf_win),
+                  (3, 2 * idf_win), (5, idf_scan)],
+                 key=lambda t: (-t[1], t[0]))[:3]
+    assert [(r.doc_id, r.score) for r in out.itertuples()] == exp
