@@ -4517,3 +4517,74 @@ QUERIES.update({"search": q_search, "rollup": q_rollup,
                 "grouped_mode": q_grouped_mode})
 ORACLES.update({"search": SQL_SEARCH, "rollup": SQL_ROLLUP,
                 "grouped_mode": SQL_GROUPED_MODE})
+
+
+# ═══════════════════════════════ k-core decomposition (r4, graph family)
+
+def q_kcore(sf_dir: str):
+    """2-core of a sparse deterministic doc graph (broken chains + sparse
+    skip/cross links): iterative degree peel to fixpoint — the dense-subgraph
+    pre-pass of web-graph pipelines. Candidate edges are emitted per row and
+    endpoint-validated with one semi-join (no id-set broadcast)."""
+    from ..stages.graph import kcore
+    from ..stages.relational import cogroup_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def cand(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us, vs = [], []
+        for delta, mask in ((1, d % 5 != 0), (4, d % 7 == 0),
+                            (10, d % 11 == 0)):
+            us.append(d[mask])
+            vs.append(d[mask] + delta)
+        return pa.table({"u": pa.array(np.concatenate(us), pa.int64()),
+                         "v": pa.array(np.concatenate(vs), pa.int64())})
+
+    cands = docs.map_batches(cand, batch_format="pyarrow")
+    ids_v = docs.map_batches(
+        lambda b: pa.table({"v": b["doc_id"]}), batch_format="pyarrow")
+    edges = cogroup_join(cands, ids_v, ("v",), how="inner")
+    return kcore(edges, 2, u_col="u", v_col="v").sort(["deg", "node"])
+
+
+def _kcore_sql(k: int = 2, rounds: int = 24) -> str:
+    """Unrolled peeling oracle: each round recomputes degrees and drops
+    sub-k vertices; ``rounds`` must exceed the peel depth (the battery graph
+    peels in ~10; the engine raises past 64, so a divergence is loud)."""
+    edges = """
+  SELECT a.doc_id AS u, b.doc_id AS v FROM documents a
+    JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 5 <> 0
+  UNION
+  SELECT a.doc_id AS u, b.doc_id AS v FROM documents a
+    JOIN documents b ON b.doc_id = a.doc_id + 4 WHERE a.doc_id % 7 = 0
+  UNION
+  SELECT a.doc_id AS u, b.doc_id AS v FROM documents a
+    JOIN documents b ON b.doc_id = a.doc_id + 10 WHERE a.doc_id % 11 = 0
+"""
+    # AS MATERIALIZED: each e_i references e_{i-1} three times — default
+    # CTE inlining would expand 3^rounds reads of the parquet view
+    # (observed as "Too many open files"); materialization makes the
+    # unroll linear.
+    parts = [f"e0 AS MATERIALIZED ({edges})"]
+    for i in range(rounds):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM "
+            f"(SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i}) "
+            f"GROUP BY node)")
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg < {k})")
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT u, v FROM e{i} "
+            f"WHERE u NOT IN (SELECT node FROM b{i}) "
+            f"AND v NOT IN (SELECT node FROM b{i}))")
+    return ("WITH " + ",\n".join(parts) +
+            f",\ndf AS (SELECT node, COUNT(*) AS deg FROM "
+            f"(SELECT u AS node FROM e{rounds} UNION ALL "
+            f"SELECT v FROM e{rounds}) GROUP BY node)\n"
+            f"SELECT node, CAST(deg AS BIGINT) AS deg FROM df "
+            f"WHERE deg >= {k}")
+
+
+QUERIES.update({"kcore": q_kcore})
+ORACLES.update({"kcore": _kcore_sql(2, 24)})

@@ -1239,3 +1239,96 @@ def triangle_count(edges_ds, *, u_col: str = "u", v_col: str = "v",
         "n_edges": pa.array([int(n_edges)], pa.int64()),
         "n_triangles": pa.array([int(tri)], pa.int64()),
     }))
+
+
+def _kcore_local_arrays(u: np.ndarray, v: np.ndarray, k: int):
+    """Driver base case: vectorized peeling over dense-indexed degree arrays.
+    Returns (nodes, deg) of the k-core (deg counted inside the core)."""
+    nodes = np.unique(np.r_[u, v])
+    ui = np.searchsorted(nodes, u)
+    vi = np.searchsorted(nodes, v)
+    alive_e = np.ones(len(ui), dtype=bool)
+    while True:
+        deg = np.bincount(ui[alive_e], minlength=len(nodes)) \
+            + np.bincount(vi[alive_e], minlength=len(nodes))
+        bad = (deg > 0) & (deg < k)
+        if not bad.any():
+            keep = deg >= k
+            return nodes[keep], deg[keep].astype(np.int64)
+        alive_e &= ~(bad[ui] | bad[vi])
+
+
+def kcore(edges_ds, k: int, *, u_col: str = "u", v_col: str = "v",
+          num_partitions: int = 16, max_rounds: int = 64,
+          max_local_edges: int = 200_000, force=None):
+    """Distributed K-CORE decomposition (fixed k): iteratively peel vertices
+    of degree < k until fixpoint — the standard dense-subgraph filter
+    (spam-farm / community detection pre-pass on web graphs). Returns
+    (node, deg) for the surviving core, deg counted within the core.
+
+    Round shape: one combiner-backed degree count (shuffle bounded by
+    distinct vertices) + two anti-joins dropping edges incident to peeled
+    vertices. O(peel-depth) rounds; each round's work shrinks with the
+    surviving edge set. The only driver values are per-round scalar counts.
+    Auto-routes to a vectorized driver peel at or under ``max_local_edges``
+    (the G13/SSSP/triangles base-case pattern); ``force`` in
+    {"local", "distributed"} pins a path for parity tests."""
+    import ray.data
+
+    from .relational import bucket_agg, cogroup_join, snapshot
+
+    oriented = edges_ds.map_batches(
+        lambda b: (lambda a, c: pa.table({
+            "u": pa.array(np.minimum(a, c), pa.int64()),
+            "v": pa.array(np.maximum(a, c), pa.int64())}))(
+            b[u_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            b[v_col].to_numpy(zero_copy_only=False).astype(np.int64)),
+        batch_format="pyarrow")
+    # SIMPLE graph: self-loops dropped, duplicates collapsed (a duplicate
+    # row must not double a vertex's degree)
+    e = snapshot(bucket_agg(
+        oriented.filter(lambda r: r["u"] != r["v"]),
+        ["u", "v"], {"m": (None, "count")},
+        num_partitions=num_partitions, combine=True).select_columns(["u", "v"]))
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "deg": pa.array([], pa.int64())})
+    n_edges = e.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(empty)
+    path = force
+    if path is None:
+        path = "local" if n_edges <= max_local_edges else "distributed"
+    if path == "local":
+        t = pa.concat_tables(list(e.iter_batches(batch_format="pyarrow")))
+        nodes, deg = _kcore_local_arrays(
+            t["u"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["v"].to_numpy(zero_copy_only=False).astype(np.int64), k)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "deg": pa.array(deg, pa.int64())}))
+
+    def sym(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [b["u"].combine_chunks() if isinstance(b["u"], pa.ChunkedArray)
+             else b["u"],
+             b["v"].combine_chunks() if isinstance(b["v"], pa.ChunkedArray)
+             else b["v"]])})
+
+    deg = None
+    for _round in range(max_rounds):
+        deg = snapshot(bucket_agg(e.map_batches(sym, batch_format="pyarrow"),
+                                  ["node"], {"deg": (None, "count")},
+                                  num_partitions=num_partitions, combine=True))
+        bad = snapshot(deg.filter(lambda r, k=k: r["deg"] < k)
+                       .select_columns(["node"]))
+        if bad.count() == 0:
+            return deg
+        e = cogroup_join(e.rename_columns(["node", "v"]), bad, ("node",),
+                         how="left_anti", num_partitions=num_partitions) \
+            .rename_columns(["u", "node"])
+        e = snapshot(cogroup_join(e, bad, ("node",), how="left_anti",
+                                  num_partitions=num_partitions)
+                     .rename_columns(["u", "v"]))
+        if e.count() == 0:
+            return ray.data.from_arrow(empty)
+    raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")

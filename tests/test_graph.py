@@ -356,3 +356,25 @@ def test_triangle_count_path_parity():
     dist = triangle_count(e, force="distributed",
                           num_partitions=2).take_all()[0]
     assert loc == dist and loc["n_triangles"] > 0
+
+
+def test_kcore_paths_parity_and_peeling(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.stages.graph import kcore
+
+    # a 4-cycle core with pendant chains that must peel away in cascades,
+    # plus duplicate and reversed edges that must not inflate degrees
+    E = [(0, 1), (1, 2), (2, 3), (3, 0),            # the 2-core
+         (0, 10), (10, 11), (11, 12),               # pendant chain
+         (2, 20),                                   # pendant leaf
+         (1, 0), (0, 1), (5, 5)]                    # reverse, dup, self-loop
+    u = pa.array([e[0] for e in E], pa.int64())
+    v = pa.array([e[1] for e in E], pa.int64())
+    eds = ray.data.from_arrow(pa.table({"u": u, "v": v}))
+    exp = {0: 2, 1: 2, 2: 2, 3: 2}
+    for force in ("local", "distributed"):
+        out = kcore(eds, 2, force=force).to_pandas()
+        assert dict(zip(out["node"], out["deg"])) == exp, force
