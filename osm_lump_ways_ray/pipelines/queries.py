@@ -4588,3 +4588,41 @@ def _kcore_sql(k: int = 2, rounds: int = 24) -> str:
 
 QUERIES.update({"kcore": q_kcore})
 ORACLES.update({"kcore": _kcore_sql(2, 24)})
+
+
+def q_duplicate_span_runs(sf_dir: str):
+    """Longest exactly-duplicated span per doc (ExactSubstr per-doc summary):
+    maximal run of consecutive duplicated 8-word windows; island detection
+    vectorized per doc-hash partition."""
+    from ..stages.dedup import duplicate_span_runs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return duplicate_span_runs(docs, window_w=8).sort("doc_id")
+
+
+SQL_DUPLICATE_SPAN_RUNS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 8
+), win AS (
+  SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS win
+  FROM toks, LATERAL unnest(generate_series(1, len(w) - 7)) AS g(i)
+), nd AS (
+  SELECT win, COUNT(DISTINCT doc_id) AS ndocs FROM win GROUP BY win
+), dup AS (
+  SELECT win.doc_id, win.i FROM win JOIN nd USING (win) WHERE nd.ndocs >= 2
+), isl AS (
+  SELECT doc_id,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM dup
+), runs AS (
+  SELECT doc_id, MAX(cnt) AS max_run FROM (
+    SELECT doc_id, grp, COUNT(*) AS cnt FROM isl GROUP BY doc_id, grp
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_run
+FROM (SELECT DISTINCT doc_id FROM win) t LEFT JOIN runs r USING (doc_id)
+"""
+
+QUERIES.update({"duplicate_span_runs": q_duplicate_span_runs})
+ORACLES.update({"duplicate_span_runs": SQL_DUPLICATE_SPAN_RUNS})

@@ -903,3 +903,99 @@ def decontaminate(docs_ds, *, window_w: int = 5, test_modulus: int = 17,
                       {"n_windows": ("n_windows", "sum"),
                        "n_hit": ("n_hit", "sum")},
                       num_partitions=num_partitions, combine=True)
+
+
+def duplicate_span_runs(docs_ds, *, window_w: int = 8, id_col: str = "doc_id",
+                        text_col: str = "text", num_partitions: int = 16):
+    """Longest exactly-duplicated SPAN per document (the per-doc summary of
+    Lee et al.'s ExactSubstr output): the maximal run of consecutive W-word
+    window positions whose windows each occur verbatim in another doc — a
+    run of R windows is an exactly-shared span of R+W-1 words.
+
+    Shape: per-position (sh, doc, pos) rows → per-window distinct-doc counts
+    (two nested combiner aggregates, both keyed by window hash) → one
+    hash-keyed semi-join marks duplicated positions → island detection
+    (pos − rank) vectorized per doc-hash partition — never a per-doc Python
+    task. Docs with ≥ W words and no duplicated window report max_run 0.
+
+    Returns (doc_id, max_run) with max_run in WINDOWS (0 = clean doc)."""
+    import pyarrow.compute as pc
+
+    from .relational import bucket_agg, cogroup_join, concat_blocks, snapshot
+
+    def pos_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        wc = pc.list_value_length(pc.split_pattern(texts, " ")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sh, starts = _shingle_hashes_batch(texts, window_w)
+        counts_out = np.r_[starts[1:], len(sh)] - starts
+        doc = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.repeat(wc >= window_w, counts_out)
+        doc_of = np.repeat(doc, counts_out)[keep]
+        sh = sh[keep]
+        # position of each window within its doc (0-based)
+        kept_counts = np.where(wc >= window_w, counts_out, 0)
+        pos = np.arange(len(doc_of), dtype=np.int64)
+        if len(kept_counts):
+            seg = np.repeat(np.cumsum(kept_counts) - kept_counts,
+                            kept_counts)
+            pos = pos - seg
+        return pa.table({"sh": pa.array(sh.view(np.int64), pa.int64()),
+                         "doc_id": pa.array(doc_of, pa.int64()),
+                         "pos": pa.array(pos, pa.int64())})
+
+    rows = snapshot(docs_ds.map_batches(pos_rows, batch_format="pyarrow"))
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "max_run": pa.array([], pa.int64())})
+    if rows.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(empty)
+    per_doc_sh = bucket_agg(rows, ["sh", "doc_id"], {"_n": (None, "count")},
+                            num_partitions=num_partitions, combine=True)
+    nd = bucket_agg(per_doc_sh, ["sh"], {"ndocs": (None, "count")},
+                    num_partitions=num_partitions)
+    dup_sh = nd.filter(lambda r: r["ndocs"] >= 2).select_columns(["sh"])
+    dup = cogroup_join(rows, dup_sh, ("sh",), how="inner",
+                       num_partitions=num_partitions)
+
+    def part_of(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_part", pa.array((d % num_partitions).astype(np.int64),
+                              pa.int64()))
+
+    def runs_of_part(df):
+        import pandas as pd
+
+        df = df.sort_values(["doc_id", "pos"], kind="mergesort")
+        d = df["doc_id"].to_numpy()
+        p = df["pos"].to_numpy()
+        # island break where doc changes or positions aren't consecutive
+        brk = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            brk[1:] = (d[1:] != d[:-1]) | (p[1:] != p[:-1] + 1)
+        isl = np.cumsum(brk) - 1
+        lens = np.bincount(isl)
+        isl_starts = np.flatnonzero(brk)
+        isl_doc = d[isl_starts]
+        out = pd.DataFrame({"doc_id": isl_doc, "max_run": lens}) \
+            .groupby("doc_id", as_index=False).max()
+        return out
+
+    runs = dup.map_batches(part_of, batch_format="pyarrow") \
+        .groupby("_part").map_groups(runs_of_part, batch_format="pandas")
+    # zero-fill clean docs: union per-doc zeros with run maxima, take MAX
+    zeros = bucket_agg(rows, ["doc_id"], {"_n": (None, "count")},
+                       num_partitions=num_partitions, combine=True)
+
+    def zrow(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "max_run": pa.array(np.zeros(len(t), np.int64),
+                                             pa.int64())})
+
+    u = concat_blocks(zeros.map_batches(zrow, batch_format="pyarrow"), runs)
+    return bucket_agg(u, ["doc_id"], {"max_run": ("max_run", "max")},
+                      num_partitions=num_partitions, combine=True)

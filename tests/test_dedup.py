@@ -265,3 +265,38 @@ def test_decontaminate_matches_bruteforce(ray_session):
             exp[d] = (len(ws), sum(1 for x in ws if x in test_ws))
     assert got == exp
     assert exp[1][1] > 0 and exp[2][1] == 0
+
+
+def test_duplicate_span_runs_matches_bruteforce(ray_session):
+    import ray.data
+
+    span = " ".join(f"s{j}" for j in range(12))      # 12 shared words
+    texts = {
+        1: "a b c d e f g " + span + " x y z",
+        2: "p q " + span + " r s t u v w",
+        3: " ".join(f"solo{j}" for j in range(15)),   # clean, ≥8 words
+        4: "too short",                                # dropped
+    }
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)], pa.string())}))
+    out = dd.duplicate_span_runs(docs, window_w=8,
+                                 num_partitions=4).to_pandas()
+    got = {r.doc_id: r.max_run for r in out.itertuples()}
+    # brute force: longest consecutive run of windows appearing in other docs
+    wins = {d: _brute_windows(t, 8) for d, t in texts.items() if
+            len(t.split()) >= 8}
+    exp = {}
+    for d, ws in wins.items():
+        others = set()
+        for d2, ws2 in wins.items():
+            if d2 != d:
+                others.update(ws2)
+        best = cur = 0
+        for w in ws:
+            cur = cur + 1 if w in others else 0
+            best = max(best, cur)
+        exp[d] = best
+    assert got == exp
+    # the planted 12-word span shared verbatim → 12-8+1 = 5 window run
+    assert exp[1] == 5 and exp[3] == 0
