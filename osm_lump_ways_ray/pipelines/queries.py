@@ -4292,6 +4292,160 @@ QUERIES.update({"kmv_distinct": q_kmv_distinct})
 ORACLES.update({"kmv_distinct": SQL_KMV_DISTINCT})
 
 
+# ═══════════════════════ HyperLogLog distinct-cardinality sketch (r4)
+
+def q_hll_distinct(sf_dir: str):
+    """Deterministic HyperLogLog sketch over corpus bigrams — the streaming
+    O(m)-state counterpart to ``kmv_distinct`` (no DISTINCT pass at all:
+    register max is idempotent, union = register-wise max, the shape that
+    wins at 100 TB). 48-bit md5 prefixes → 512 integer registers → floor'd
+    estimate; the oracle reproduces registers AND estimate exactly (the float
+    expression is written identically on both sides)."""
+    from ..stages.relational import hll_distinct
+    from ..stages.text import bigram_partial_batch
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_digests_ascii
+
+        part = bigram_partial_batch(batch)
+        dig = md5_digests_ascii(part["bigram"])
+        x48 = dig[:, :6].astype(np.int64) @ (
+            np.int64(1) << (np.arange(5, -1, -1, dtype=np.int64) * 8))
+        return pa.table({"x48": pa.array(x48, pa.int64())})
+
+    return hll_distinct(docs.map_batches(hashed, batch_format="pyarrow"),
+                        x48_col="x48", p=9)
+
+
+SQL_HLL_DISTINCT = """
+WITH t AS (
+  SELECT string_split(text, ' ') AS toks FROM documents
+), b AS (
+  SELECT md5(toks[i] || ' ' || toks[i+1]) AS h
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS g(i)
+), x AS (
+  SELECT (SELECT SUM((strpos('0123456789abcdef', substr(b.h, i, 1)) - 1)
+              * (CAST(1 AS BIGINT) << ((12 - i) * 4)))
+          FROM unnest(generate_series(1, 12)) AS g(i)) AS x48
+  FROM b
+), r AS (
+  SELECT x48 % 512 AS idx,
+         CASE WHEN x48 // 512 = 0 THEN 40
+              ELSE 40 - length(bin(x48 // 512)) END AS rho
+  FROM x
+), reg AS (SELECT idx, MAX(rho) AS mr FROM r GROUP BY idx),
+agg AS (
+  SELECT COUNT(*) AS n_seen,
+         SUM(CAST(1 AS BIGINT) << (40 - mr)) AS dsum
+  FROM reg
+)
+SELECT CAST(512 AS BIGINT) AS m,
+       CAST(512 - n_seen AS BIGINT) AS n_zero,
+       CAST(dsum + (512 - n_seen) * (CAST(1 AS BIGINT) << 40) AS BIGINT)
+           AS denom,
+       CAST(floor(0.7213 / (1.0 + 1.079 / 512) * 512 * 512
+                  * CAST(CAST(1 AS BIGINT) << 40 AS DOUBLE)
+                  / CAST(dsum + (512 - n_seen) * (CAST(1 AS BIGINT) << 40)
+                         AS DOUBLE))
+            AS BIGINT) AS est_distinct
+FROM agg
+"""
+
+QUERIES.update({"hll_distinct": q_hll_distinct})
+ORACLES.update({"hll_distinct": SQL_HLL_DISTINCT})
+
+
+# ═══════════════════════ skew-aware (broadcast-hot) join (r4)
+
+def q_skew_join(sf_dir: str):
+    """events ⋈ customer revenue per market segment, routed through the
+    skew-aware join: left-side key counts (map-side combiner) pick the hot
+    keys, whose right-side rows broadcast (no shuffle) while cold rows take
+    the bucketed hash join — the hot-key stall answer for a 100-TB fact
+    table. hot_factor=1.1 on the near-uniform test key makes BOTH paths
+    carry real rows; exactness is split-invariant (inner join distributes
+    over the hot/cold partition), which the forced-path pytest pins."""
+    from ..stages.relational import bucket_agg, skew_join
+
+    def vm(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "vm": pa.array(np.floor(v * 1000 + 0.5).astype(np.int64),
+                           pa.int64())})
+
+    ev = _read(sf_dir, "events", columns=["user_id", "value"]) \
+        .map_batches(vm, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    j = skew_join(ev, cust, on="user_id", right_on="c_custkey",
+                  hot_factor=1.1)
+    return bucket_agg(j, "c_mktsegment",
+                      {"n_events": (None, "count"), "milli": ("vm", "sum")},
+                      num_partitions=4, combine=True).sort("c_mktsegment")
+
+
+SQL_SKEW_JOIN = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS milli
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+QUERIES.update({"skew_join": q_skew_join})
+ORACLES.update({"skew_join": SQL_SKEW_JOIN})
+
+
+# ═══════════════════════ grouped OLS trend (integer moment sums, r4)
+
+def q_group_regression(sf_dir: str):
+    """Per-event-type least-squares trend of value (milli-units) over time
+    (days since 2024-01-01) via ``grouped_ols`` — one combiner pass, integer
+    moment sums, slope reported as the exact (num, den) integer pair so the
+    oracle matches bit-for-bit with no float summation-order hazard."""
+    from ..stages.relational import grouped_ols
+
+    epoch_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in µs
+
+    def xy(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b["event_type"],
+            "x": pa.array((ts - epoch_us) // 86_400_000_000, pa.int64()),
+            "y": pa.array(np.floor(v * 1000 + 0.5).astype(np.int64),
+                          pa.int64())})
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"]) \
+        .map_batches(xy, batch_format="pyarrow")
+    return grouped_ols(ev, "event_type", "x", "y",
+                       num_partitions=4).sort("event_type")
+
+
+SQL_GROUP_REGRESSION = """
+WITH t AS (
+  SELECT event_type,
+         CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS x,
+         CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM t GROUP BY event_type
+)
+SELECT event_type, n, sum_x, sum_y,
+       CAST(n * sxy - sum_x * sum_y AS BIGINT) AS slope_num,
+       CAST(n * sxx - sum_x * sum_x AS BIGINT) AS slope_den
+FROM s
+"""
+
+QUERIES.update({"group_regression": q_group_regression})
+ORACLES.update({"group_regression": SQL_GROUP_REGRESSION})
+
+
 # ═══════════════════════════════ triangle counting (clique graph, r4)
 
 def q_triangles(sf_dir: str):

@@ -546,6 +546,122 @@ def broadcast_join(left, right_table, on: str, *, select=None):
     return left.map_batches(merge, batch_format="pandas")
 
 
+def skew_join(left, right, on: str, *, right_on: Optional[str] = None,
+              hot_factor: float = 4.0, num_partitions: int = 16,
+              max_hot_keys: int = 100_000):
+    """Skew-aware inner join — the production answer to the hot-key shuffle
+    stall (one viral page / one bot user owning 1 % of a 100-TB fact table
+    serializes a whole hash-join partition):
+
+    1. count ``left``'s keys with a map-side combiner (``bucket_agg``),
+    2. keys with count > ``hot_factor`` × mean are HOT — by construction at
+       most ``n_keys / hot_factor`` of them (bounded driver collect, capped
+       loudly at ``max_hot_keys``),
+    3. the hot slice of ``right`` broadcasts once (``ray.put``) and joins
+       hot-left rows per batch with NO shuffle, while cold rows take the
+       normal bucketed hash join,
+    4. union. Exact: the hot set partitions left's rows, and inner join
+       distributes over union.
+
+    Broadcast-hot is the degenerate-but-dominant case of salting (salt count
+    = ∞ on the replicated side); ``spatial.salt_hot_cells`` is the bounded-
+    replication variant for when the RIGHT side of a hot key is itself too
+    big to broadcast. Returns the joined Dataset (left columns + right
+    columns, ``right_on`` renamed onto ``on``)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    r_on = right_on or on
+    if r_on != on:
+        right = right.rename_columns({r_on: on})
+
+    def per_block_counts(batch: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(batch[on].to_numpy(zero_copy_only=False),
+                              return_counts=True)
+        return pa.table({on: pa.array(uniq.astype(np.int64), pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    counts = bucket_agg(left.map_batches(per_block_counts,
+                                         batch_format="pyarrow"),
+                        on, {"n": ("n", "sum")},
+                        num_partitions=num_partitions, combine=True)
+    stats = counts.map_batches(
+        lambda b: pa.table({"keys": pa.array([len(b)], pa.int64()),
+                            "rows": pa.array(
+                                [int(b["n"].to_numpy().sum())], pa.int64())}),
+        batch_format="pyarrow") \
+        .repartition(1).map_batches(
+            lambda b: pa.table({
+                "keys": pa.array([int(b["keys"].to_numpy().sum())]),
+                "rows": pa.array([int(b["rows"].to_numpy().sum())])}),
+            batch_format="pyarrow", batch_size=None).take_all()
+    n_keys = max(int(stats[0]["keys"]), 1)
+    mean = int(stats[0]["rows"]) / n_keys
+    cut = hot_factor * mean
+    # bounded: ≤ n_keys / hot_factor rows survive the filter
+    hot_rows = counts.map_batches(
+        lambda b, c=cut: b.filter(pa.compute.greater(b["n"], c)),
+        batch_format="pyarrow").limit(max_hot_keys + 1).take_all()
+    if len(hot_rows) > max_hot_keys:
+        raise ValueError(
+            f"skew_join: > {max_hot_keys} hot keys at hot_factor="
+            f"{hot_factor}; raise hot_factor or max_hot_keys")
+    hot_keys = np.sort(np.array([r[on] for r in hot_rows], dtype=np.int64))
+
+    # fixed output column order, whatever mix of paths runs (ray join and
+    # pandas merge order columns differently)
+    out_cols = list(left.schema().names) + [
+        c for c in right.schema().names if c != on]
+
+    if len(hot_keys) == 0:
+        return hash_join(left, right, (on,),
+                         num_partitions=num_partitions).select_columns(out_cols)
+
+    hot_ref = ray.put(hot_keys)
+
+    def split(batch: pa.Table, want_hot: bool) -> pa.Table:
+        hk = ray.get(hot_ref)
+        k = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(hk, k)
+        is_hot = (pos < len(hk)) & (hk[np.minimum(pos, len(hk) - 1)] == k)
+        return batch.filter(pa.array(is_hot if want_hot else ~is_hot))
+
+    left_hot = left.map_batches(lambda b: split(b, True),
+                                batch_format="pyarrow")
+    # the hot slice of the small side: ≤ |hot_keys| × (right rows per key)
+    right_hot_tbl = pa.concat_tables(
+        _nonempty_tables(right.map_batches(lambda b: split(b, True),
+                                           batch_format="pyarrow")))
+    hot = broadcast_join(left_hot, right_hot_tbl, on)
+    if len(hot_keys) == n_keys:
+        # every left key is hot: a fully-empty cold side would reach the
+        # hash-shuffle join as schema-less empty partitions (Arrow rejects
+        # the key reference) — and the join would be pure overhead anyway
+        return hot.select_columns(out_cols)
+    left_cold = left.map_batches(lambda b: split(b, False),
+                                 batch_format="pyarrow")
+    cold = hash_join(left_cold, right, (on,), num_partitions=num_partitions)
+    return concat_blocks(cold.select_columns(out_cols),
+                         hot.select_columns(out_cols))
+
+
+def _nonempty_tables(ds) -> list:
+    """Materialize a SMALL dataset's blocks as a list of Arrow tables (≥ 1
+    entry, possibly empty-schema'd) — bounded-collect helper for broadcast
+    sides."""
+    import pyarrow as pa
+
+    tbls = [b for b in ds.iter_batches(batch_size=None,
+                                       batch_format="pyarrow") if len(b)]
+    if not tbls:
+        sch = ds.schema()
+        tbls = [pa.table({f.name: pa.array([], f.type)
+                          for f in (sch.base_schema
+                                    if hasattr(sch, "base_schema") else sch)})]
+    return tbls
+
+
 def key_skew_report(ds, key_col: str, *, k: int = 10, num_partitions: int = 16):
     """Skew diagnostics: the ``k`` heaviest keys of a column with their row
     counts — the pre-flight check before choosing shuffle keys / salting
@@ -661,6 +777,131 @@ def kmv_distinct(ds, *, hash_col: str, k: int = 128):
     # k×blocks bounded rows; finish (dedup + k smallest + estimate) in one task
     return top.repartition(1).map_batches(finish, batch_format="pyarrow",
                                           batch_size=None)
+
+
+def hll_distinct(ds, *, x48_col: str, p: int = 9):
+    """HyperLogLog distinct-count sketch — the second cardinality sketch next
+    to ``kmv_distinct``, DETERMINISTIC end-to-end (md5-derived 48-bit value
+    hashes, integer registers, and a floor'd estimate whose float expression
+    is written identically on the Ray and SQL sides so the doubles match
+    bit-for-bit).
+
+    ``ds`` carries ``x48_col`` = the first 48 bits of the value's md5 (big-
+    endian, i.e. ``int(hex[:12], 16)``). Register index = ``x48 % m``
+    (m = 2^p); the remaining W = 48-p bits give the rank
+    ``rho = W + 1 - bit_length(rest)`` (rest == 0 → W+1). bit_length is
+    computed by a vectorized ``searchsorted`` against the powers of two —
+    exact, no float log2. Estimate = floor(alpha_m · m² · 2^(W+1) / D) with
+    the INTEGER denominator D = Σ_j 2^(W+1 − M[j]) (unseen registers
+    contribute 2^(W+1)); every term ≤ 2^(W+1) and m ≤ 2^14, so D fits int64
+    with huge margin. No small-range linear-counting correction: it needs
+    ln(), whose last-bit rounding SQL and numpy do not contract to agree on —
+    the raw HLL estimate is the contract (docstring'd, oracle identical).
+
+    Distributed shape: per-block register partials (≤ m rows per block) →
+    ``bucket_agg`` max with map-side combine → one ≤ m-row finish task.
+    Unlike KMV there is no global DISTINCT pass at all — register max is
+    idempotent under duplicates, which is what makes HLL the cheaper sketch
+    at 100 TB (one streaming pass, O(m) state, union = register-wise max)."""
+    import numpy as np
+    import pyarrow as pa
+
+    m = 1 << p
+    w = 48 - p
+    pow2 = (np.int64(1) << np.arange(w + 1, dtype=np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[x48_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x) == 0:
+            return pa.table({"idx": pa.array([], pa.int64()),
+                             "mr": pa.array([], pa.int64())})
+        idx = x % m
+        rest = x >> p
+        bitlen = np.searchsorted(pow2, rest, side="right")
+        rho = w + 1 - bitlen
+        reg = np.zeros(m, np.int64)
+        np.maximum.at(reg, idx, rho)
+        seen = np.flatnonzero(reg)
+        return pa.table({"idx": pa.array(seen, pa.int64()),
+                         "mr": pa.array(reg[seen], pa.int64())})
+
+    regs = bucket_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["idx"], {"mr": ("mr", "max")},
+                      num_partitions=4, combine=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        mr = t["mr"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_seen = len(mr)
+        scale = 1 << (w + 1)
+        d = int((np.int64(1) << (w + 1 - mr)).sum()) + (m - n_seen) * scale
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        import math
+        est = math.floor(alpha * m * m * float(scale) / float(d))
+        return pa.table({"m": pa.array([m], pa.int64()),
+                         "n_zero": pa.array([m - n_seen], pa.int64()),
+                         "denom": pa.array([d], pa.int64()),
+                         "est_distinct": pa.array([est], pa.int64())})
+
+    return regs.repartition(1).map_batches(finish, batch_format="pyarrow",
+                                           batch_size=None)
+
+
+def grouped_ols(ds, group_col: str, x_col: str, y_col: str, *,
+                num_partitions: int = 8):
+    """Per-group least-squares trend line from EXACT integer moment sums —
+    the one-pass combiner shape for grouped statistics at 100 TB: each block
+    reduces to one (group, n, Σx, Σy, Σxy, Σx²) row, the shuffle moves
+    O(blocks × groups) rows, and the slope is reported as the INTEGER pair
+    ``slope_num = n·Σxy − Σx·Σy`` / ``slope_den = n·Σx² − (Σx)²`` so the
+    result is bit-exact against a SQL oracle with no float summation-order
+    hazard (slope = num/den when den ≠ 0; den = 0 ⟺ all x equal).
+
+    ``x_col``/``y_col`` must be int64 (quantize floats first — the
+    FLOOR(v·1000+0.5) policy). Caller owns the overflow budget: all six sums
+    and both products must fit int64 (n·Σ|xy| and Σx·Σy are the binding
+    terms)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": batch[group_col].to_numpy(zero_copy_only=False),
+            "x": batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            "y": batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        df["xy"] = df["x"] * df["y"]
+        df["xx"] = df["x"] * df["x"]
+        gb = df.groupby("g", as_index=False, sort=False)
+        out = gb.agg(n=("x", "size"), sum_x=("x", "sum"), sum_y=("y", "sum"),
+                     sxy=("xy", "sum"), sxx=("xx", "sum"))
+        out = out.rename(columns={"g": group_col})
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    sums = bucket_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      group_col,
+                      {"n": ("n", "sum"), "sum_x": ("sum_x", "sum"),
+                       "sum_y": ("sum_y", "sum"), "sxy": ("sxy", "sum"),
+                       "sxx": ("sxx", "sum")},
+                      num_partitions=num_partitions)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = t["sum_x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sy = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            group_col: t[group_col],
+            "n": pa.array(n, pa.int64()),
+            "sum_x": pa.array(sx, pa.int64()),
+            "sum_y": pa.array(sy, pa.int64()),
+            "slope_num": pa.array(n * sxy - sx * sy, pa.int64()),
+            "slope_den": pa.array(n * sxx - sx * sx, pa.int64()),
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow")
 
 
 def rollup_agg(ds, key_cols, aggs, *, all_label: str = "ALL",

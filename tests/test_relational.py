@@ -157,3 +157,64 @@ def test_grouped_mode_tiebreak(ray_session):
     got = {r.g: (r.v, r.n) for r in out.itertuples()}
     # group a: 7 and 3 tie at 2 → smaller value 3 wins; group b: 1 (x2) beats 9
     assert got == {"a": (3, 2), "b": (1, 2)}
+
+
+def test_hll_distinct_tracks_exact_count(mk):
+    from osm_lump_ways_ray.stages.relational import hll_distinct
+
+    # 5000 distinct 48-bit hashes (md5 of the integers, like the query path)
+    import hashlib
+
+    vals = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+                     for i in range(5000)], dtype=np.int64)
+    # duplicates must not move the estimate (register max is idempotent)
+    ds = mk(pa.table({"x48": pa.array(np.r_[vals, vals[:2000]], pa.int64())}))
+    row = hll_distinct(ds, x48_col="x48", p=9).take_all()[0]
+    assert row["m"] == 512
+    assert abs(row["est_distinct"] - 5000) / 5000 < 0.15  # ~1.04/sqrt(512)≈4.6%
+    only = hll_distinct(mk(pa.table({"x48": pa.array(vals, pa.int64())})),
+                        x48_col="x48", p=9).take_all()[0]
+    assert only == row  # dup-invariance, register-exact
+
+
+def test_skew_join_matches_plain_join_both_routings(mk):
+    from osm_lump_ways_ray.stages.relational import skew_join
+
+    rng = np.random.default_rng(7)
+    # heavy key 5 (60 rows), the rest near-uniform
+    keys = np.r_[np.full(60, 5), rng.integers(0, 20, 140)].astype(np.int64)
+    left = mk(pa.table({"k": pa.array(keys, pa.int64()),
+                        "lv": pa.array(np.arange(200), pa.int64())}))
+    right = mk(pa.table({"ck": pa.array(np.arange(20), pa.int64()),
+                         "seg": pa.array([f"s{i % 3}" for i in range(20)])}))
+
+    def canon(ds):
+        return sorted((r["k"], r["lv"], r["seg"]) for r in ds.take_all())
+
+    # hot_factor huge -> pure shuffle path; tiny -> everything broadcasts;
+    # middle -> genuinely mixed. All three must agree exactly.
+    base = canon(skew_join(left, right, on="k", right_on="ck",
+                           hot_factor=1e9))
+    mixed = canon(skew_join(left, right, on="k", right_on="ck",
+                            hot_factor=2.0))
+    allhot = canon(skew_join(left, right, on="k", right_on="ck",
+                             hot_factor=0.01))
+    assert base == mixed == allhot
+    assert len(base) == 200  # every left row has a dimension match
+
+
+def test_grouped_ols_integer_slope(mk):
+    from osm_lump_ways_ray.stages.relational import grouped_ols
+
+    # group a: y = 3x + 1 exactly -> slope_num/slope_den == 3
+    x = np.arange(10, dtype=np.int64)
+    tbl = pa.table({"g": pa.array(["a"] * 10 + ["b"] * 3),
+                    "x": pa.array(np.r_[x, [1, 1, 1]], pa.int64()),
+                    "y": pa.array(np.r_[3 * x + 1, [5, 7, 9]], pa.int64())})
+    rows = {r["g"]: r for r in grouped_ols(mk(tbl), "g", "x", "y",
+                                           num_partitions=2).take_all()}
+    a = rows["a"]
+    assert a["slope_num"] == 3 * a["slope_den"] != 0
+    assert (a["n"], a["sum_x"], a["sum_y"]) == (10, 45, 145)
+    b = rows["b"]   # all x equal -> degenerate den = 0
+    assert b["slope_den"] == 0 and b["n"] == 3
