@@ -4446,6 +4446,55 @@ QUERIES.update({"group_regression": q_group_regression})
 ORACLES.update({"group_regression": SQL_GROUP_REGRESSION})
 
 
+# ═══════════════════════ Bloom-prefiltered semi-join (r4)
+
+def q_bloom_semi(sf_dir: str):
+    """lineitem rows of URGENT orders, per returnflag — the Bloom-prefilter
+    semi-join: the selective key side (urgent o_orderkey) folds into one
+    1M-bit bitmap that broadcasts once, every lineitem batch drops its
+    guaranteed non-matches BEFORE the join shuffle, and the exact
+    cogroup finish absorbs the false positives — result exact for any
+    bitmap size, shuffle volume ∝ selectivity instead of table size."""
+    from ..stages.relational import bloom_semi_join, bucket_agg
+
+    urgent = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(
+            lambda b: pa.table({"o_orderkey": b.filter(pc.equal(
+                b["o_orderpriority"], "1-URGENT"))["o_orderkey"]}),
+            batch_format="pyarrow")
+
+    def qty(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_returnflag": b["l_returnflag"],
+            "qty": pa.array(np.floor(q + 0.5).astype(np.int64), pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag", "l_quantity"]) \
+        .map_batches(qty, batch_format="pyarrow")
+    j = bloom_semi_join(li, urgent, "l_orderkey", key_col="o_orderkey",
+                        num_partitions=8)
+    return bucket_agg(j, "l_returnflag",
+                      {"n_items": (None, "count"), "sum_qty": ("qty", "sum")},
+                      num_partitions=4, combine=True).sort("l_returnflag")
+
+
+SQL_BLOOM_SEMI = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+QUERIES.update({"bloom_semi": q_bloom_semi})
+ORACLES.update({"bloom_semi": SQL_BLOOM_SEMI})
+
+
 # ═══════════════════════════════ triangle counting (clique graph, r4)
 
 def q_triangles(sf_dir: str):

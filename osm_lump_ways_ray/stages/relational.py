@@ -646,6 +646,86 @@ def skew_join(left, right, on: str, *, right_on: Optional[str] = None,
                          hot.select_columns(out_cols))
 
 
+def bloom_semi_join(big, keys_ds, on: str, *, key_col: Optional[str] = None,
+                    m_bits: int = 1 << 20, k_hashes: int = 3,
+                    num_partitions: int = 16):
+    """Semi-join with a Bloom-filter prefilter — the standard shuffle-
+    reduction move for a selective 100-TB join: the (small) key side is
+    folded into one m-bit bitmap (two map passes, one ~m/8-byte object), the
+    bitmap broadcasts once via ``ray.put``, and every big-side batch drops
+    its guaranteed-non-matching rows BEFORE the join shuffle. False
+    positives only let extra rows through to the exact finish
+    (``cogroup_join`` inner against the distinct keys), so the result is
+    EXACT for any (m_bits, k_hashes); the knobs trade bitmap size against
+    shuffle volume (fp ≈ (1−e^{−kn/m})^k — 1M bits / 3 hashes holds ~1 % at
+    n = 100k keys).
+
+    Key hashing is splitmix64 double-hashing on the int64 key, vectorized
+    per batch. Bitmap build: per-block OR-partials → one-task OR-reduce →
+    a single bounded driver fetch (m/8 bytes, NOT data rows)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    kc = key_col or on
+    nbytes = m_bits // 8
+
+    def _mix(x: "np.ndarray", salt: int) -> "np.ndarray":
+        h = x.astype(np.uint64) + np.uint64(salt)
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+        return h
+
+    def _probe_idx(keys: "np.ndarray"):
+        h1 = _mix(keys, 0x9E3779B9) % np.uint64(m_bits)
+        h2 = _mix(keys, 0x85EBCA6B) % np.uint64(m_bits - 1) + np.uint64(1)
+        for i in range(k_hashes):
+            yield (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+
+    def block_bitmap(batch: pa.Table) -> pa.Table:
+        bm = np.zeros(nbytes, np.uint8)
+        k = batch[kc].to_numpy(zero_copy_only=False).astype(np.int64)
+        for idx in _probe_idx(k):
+            # bitwise_or.at, NOT fancy |=: duplicate byte indices in one
+            # batch must accumulate, fancy assignment keeps only one write
+            np.bitwise_or.at(
+                bm, (idx >> np.uint64(3)).astype(np.int64),
+                np.left_shift(np.uint8(1),
+                              (idx & np.uint64(7)).astype(np.uint8)))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    def or_reduce(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(nbytes, np.uint8)
+        for v in batch["bm"]:
+            acc |= np.frombuffer(v.as_py(), np.uint8)
+        return pa.table({"bm": pa.array([acc.tobytes()], pa.binary())})
+
+    bm_rows = keys_ds.map_batches(block_bitmap, batch_format="pyarrow") \
+        .repartition(1).map_batches(or_reduce, batch_format="pyarrow",
+                                    batch_size=None).take_all()
+    bitmap = np.frombuffer(bm_rows[0]["bm"], np.uint8)
+    bm_ref = ray.put(bitmap)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bm_ref)
+        k = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = np.ones(len(k), bool)
+        for idx in _probe_idx(k):
+            ok &= (bm[(idx >> np.uint64(3)).astype(np.int64)]
+                   >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+        return batch.filter(pa.array(ok))
+
+    survivors = big.map_batches(prefilter, batch_format="pyarrow")
+    keys_only = distinct(
+        keys_ds.map_batches(
+            lambda b: pa.table({on: b[kc]}), batch_format="pyarrow"), on)
+    return cogroup_join(survivors, keys_only, (on,), how="inner",
+                        num_partitions=num_partitions)
+
+
 def _nonempty_tables(ds) -> list:
     """Materialize a SMALL dataset's blocks as a list of Arrow tables (≥ 1
     entry, possibly empty-schema'd) — bounded-collect helper for broadcast

@@ -218,3 +218,24 @@ def test_grouped_ols_integer_slope(mk):
     assert (a["n"], a["sum_x"], a["sum_y"]) == (10, 45, 145)
     b = rows["b"]   # all x equal -> degenerate den = 0
     assert b["slope_den"] == 0 and b["n"] == 3
+
+
+def test_bloom_semi_join_exact_even_with_tiny_bitmap(mk):
+    from osm_lump_ways_ray.stages.relational import bloom_semi_join
+
+    big = mk(pa.table({"k": pa.array(np.arange(500) % 50, pa.int64()),
+                       "v": pa.array(np.arange(500), pa.int64())}))
+    # keys 0..9 plus duplicates (the semi-join must not duplicate big rows)
+    keys = mk(pa.table({"ok": pa.array([0, 1, 2, 3, 4, 5, 6, 7, 8, 9,
+                                        3, 3, 7], pa.int64())}))
+    expect = sorted((int(k), int(v)) for k, v in
+                    zip(np.arange(500) % 50, np.arange(500)) if k < 10)
+    # 256-bit bitmap -> false positives guaranteed; exact finish absorbs them
+    out = bloom_semi_join(big, keys, "k", key_col="ok", m_bits=256,
+                          k_hashes=2, num_partitions=4)
+    got = sorted((r["k"], r["v"]) for r in out.take_all())
+    assert got == expect
+    # roomy bitmap agrees too
+    out2 = bloom_semi_join(big, keys, "k", key_col="ok", m_bits=1 << 16,
+                           k_hashes=3, num_partitions=4)
+    assert sorted((r["k"], r["v"]) for r in out2.take_all()) == expect
