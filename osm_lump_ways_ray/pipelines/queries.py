@@ -4495,6 +4495,64 @@ QUERIES.update({"bloom_semi": q_bloom_semi})
 ORACLES.update({"bloom_semi": SQL_BLOOM_SEMI})
 
 
+# ═══════════════════════ tumbling-window COUNT(DISTINCT) (r4)
+
+def q_window_distinct(sf_dir: str):
+    """Distinct active users per hour — the exact two-level distinct
+    aggregation: per-block unique (window, user) pairs (combiner), pair-keyed
+    shuffle (hot windows still spread by user), then a per-window count.
+    The all-to-all moves distinct pairs, not rows; ``hll_distinct`` is the
+    sketch alternative when even the pair set won't fit."""
+    from ..stages.temporal import windowed_distinct
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"])
+    return windowed_distinct(ev, "ts", "user_id", window_s=3600,
+                             num_partitions=8) \
+        .sort(["n_distinct", "window_start_s"])
+
+
+SQL_WINDOW_DISTINCT = """
+SELECT CAST(epoch_us(ts) // 1000000 // 3600 * 3600 AS BIGINT)
+           AS window_start_s,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY 1
+"""
+
+QUERIES.update({"window_distinct": q_window_distinct})
+ORACLES.update({"window_distinct": SQL_WINDOW_DISTINCT})
+
+
+# ═══════════════════════ LEAD(1) next-event within user (r4)
+
+def q_next_event(sf_dir: str):
+    """Every event's successor type and gap within its user stream — the
+    LEAD(1) window function as one key-bucketed shuffle + per-bucket
+    lexsort/shift (the sessionize body; LAG/LEAD/running-total all reduce
+    to it)."""
+    from ..stages.temporal import next_event
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    return next_event(ev, "user_id", "ts", "event_id", "event_type",
+                      num_partitions=8).sort("event_id")
+
+
+SQL_NEXT_EVENT = """
+WITH t AS (
+  SELECT event_id,
+         LEAD(event_type) OVER w AS next_event_type,
+         LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, next_event_type, CAST(gap_us AS BIGINT) AS gap_us
+FROM t WHERE next_event_type IS NOT NULL
+"""
+
+QUERIES.update({"next_event": q_next_event})
+ORACLES.update({"next_event": SQL_NEXT_EVENT})
+
+
 # ═══════════════════════════════ triangle counting (clique graph, r4)
 
 def q_triangles(sf_dir: str):

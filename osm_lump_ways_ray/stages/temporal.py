@@ -618,3 +618,78 @@ def funnel_depths(events, steps, *, key_col: str = "user_id",
             }), batch_format="pyarrow")
     return bucket_agg(depth, ["depth"], {"n_users": (None, "count")},
                       num_partitions=4, combine=True)
+
+
+def windowed_distinct(events, ts: str, key: str, *, window_s: int = 3600,
+                      num_partitions: int = 16):
+    """Tumbling-window COUNT(DISTINCT key) — exact, via the two-level
+    distinct-aggregation shape: per-block ``np.unique`` over (window, key)
+    pairs (the combiner — duplicate pairs die before the shuffle), one
+    hash-bucket shuffle keyed on the PAIR (so a hot window still spreads
+    across buckets by key), then a per-window count with its own map-side
+    combine. The all-to-all moves O(distinct pairs), not O(rows) — the exact
+    analogue of the sketchless path; ``hll_distinct`` is the one-pass
+    approximate alternative when even the pair set is too big."""
+    from .relational import bucket_agg
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        sec = batch[ts].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 1_000_000
+        w = sec // window_s * window_s
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(np.stack([w, k], axis=1), axis=0)
+        return pa.table({"window_start_s": pa.array(uniq[:, 0], pa.int64()),
+                         key: pa.array(uniq[:, 1], pa.int64())})
+
+    dd = bucket_agg(events.map_batches(pairs, batch_format="pyarrow"),
+                    ["window_start_s", key], {"n": (None, "count")},
+                    num_partitions=num_partitions, combine=True)
+    return bucket_agg(dd, ["window_start_s"],
+                      {"n_distinct": (None, "count")},
+                      num_partitions=4, combine=True)
+
+
+def next_event(events, key: str, ts: str, order_tiebreak: str,
+               attr: str, *, num_partitions: int = 16):
+    """LEAD(1) within each key: for every event, its successor's ``attr``
+    and the gap in microseconds, ordered by (ts, tiebreak). Events with no
+    successor are dropped (inner-LEAD semantics — the SQL twin filters
+    ``next IS NOT NULL``).
+
+    One hash-bucket shuffle on the key, one lexsort + shift per bucket —
+    the sessionize shape; the whole window-function family (LAG/LEAD/
+    running totals) reduces to this sorted-bucket body."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_part": pa.array(_part_of(k, num_partitions), pa.int64()),
+            key: batch[key],
+            "_ts": batch[ts].cast(pa.int64()),
+            "_tb": batch[order_tiebreak],
+            "_attr": batch[attr],
+        })
+
+    def lead(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({order_tiebreak: pa.array([], pa.int64()),
+                          "next_" + attr: pa.array([], t["_attr"].type),
+                          "gap_us": pa.array([], pa.int64())})
+        if len(k) == 0:  # empty bucket / schema-inference probe
+            return empty
+        tv = t["_ts"].to_numpy(zero_copy_only=False)
+        tb = t["_tb"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, tv, k))
+        k, tv, tb = k[order], tv[order], tb[order]
+        att = t["_attr"].take(pa.array(order, pa.int64()))
+        has_next = np.zeros(len(k), bool)
+        has_next[:-1] = k[:-1] == k[1:]
+        src = np.flatnonzero(has_next)
+        return pa.table({
+            order_tiebreak: pa.array(tb[src], pa.int64()),
+            "next_" + attr: att.take(pa.array(src + 1, pa.int64())),
+            "gap_us": pa.array(tv[src + 1] - tv[src], pa.int64()),
+        })
+
+    return events.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("_part").map_groups(lead, batch_format="pyarrow")

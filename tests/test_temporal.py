@@ -293,3 +293,42 @@ def test_funnel_depths_windowed():
                                   max_gap_us=60 * us,
                                   num_partitions=2).take_all()}
     assert out == {3: 1, 1: 2, 0: 1}
+
+
+def test_windowed_distinct_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.stages.temporal import windowed_distinct
+
+    ts = pa.array(np.array([10, 20, 3610, 3620, 3630, 7300], np.int64)
+                  * 1_000_000).cast(pa.timestamp("us"))
+    uid = pa.array([1, 1, 1, 2, 2, 3], pa.int64())
+    ds = ray.data.from_arrow(pa.table({"ts": ts, "u": uid}))
+    got = {r["window_start_s"]: r["n_distinct"]
+           for r in windowed_distinct(ds, "ts", "u", window_s=3600,
+                                      num_partitions=4).take_all()}
+    assert got == {0: 1, 3600: 2, 7200: 1}
+
+
+def test_next_event_lead_semantics(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.stages.temporal import next_event
+
+    # user 1: a@0 -> b@5 -> c@5 (tie broken by event_id); user 2: solo
+    ts = pa.array(np.array([0, 5, 5, 9], np.int64) * 1_000_000) \
+        .cast(pa.timestamp("us"))
+    tbl = pa.table({"eid": pa.array([10, 12, 11, 13], pa.int64()),
+                    "u": pa.array([1, 1, 1, 2], pa.int64()),
+                    "ts": ts,
+                    "etype": pa.array(["a", "c", "b", "z"])})
+    ds = ray.data.from_arrow(tbl)
+    got = {r["eid"]: (r["next_etype"], r["gap_us"])
+           for r in next_event(ds, "u", "ts", "eid", "etype",
+                               num_partitions=4).take_all()}
+    # order within user 1: (0,10,a) -> (5,11,b) -> (5,12,c); 13 has no next
+    assert got == {10: ("b", 5_000_000), 11: ("c", 0)}
