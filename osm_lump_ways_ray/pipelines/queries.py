@@ -4553,6 +4553,149 @@ QUERIES.update({"next_event": q_next_event})
 ORACLES.update({"next_event": SQL_NEXT_EVENT})
 
 
+# ═══════════════════════ PIVOT / crosstab (r4)
+
+def q_pivot_dow(sf_dir: str):
+    """Event counts as an event_type × day-of-week crosstab — PIVOT with a
+    fixed column domain (like SQL's IN list): the shuffle moves one combined
+    count row per (type, dow) cell, the long→wide reshape is a per-partition
+    in-process step. Day-of-week is computed as (epoch_days + 4) % 7 on BOTH
+    sides (1970-01-01 was a Thursday) to dodge engine dow conventions."""
+    from ..stages.relational import pivot_counts
+
+    def dow(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b["event_type"],
+            "dow": pa.array((ts // 86_400_000_000 + 4) % 7, pa.int64())})
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts"]) \
+        .map_batches(dow, batch_format="pyarrow")
+    return pivot_counts(ev, "event_type", "dow", range(7),
+                        num_partitions=4).sort("event_type")
+
+
+SQL_PIVOT_DOW = """
+WITH t AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000 + 4) % 7 AS d
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+       CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+       CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_2,
+       CAST(SUM(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_3,
+       CAST(SUM(CASE WHEN d = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_4,
+       CAST(SUM(CASE WHEN d = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_5,
+       CAST(SUM(CASE WHEN d = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_6
+FROM t GROUP BY event_type
+"""
+
+QUERIES.update({"pivot_dow": q_pivot_dow})
+ORACLES.update({"pivot_dow": SQL_PIVOT_DOW})
+
+
+# ═══════════════════════ order-invariant table checksum (r4)
+
+def q_table_checksum(sf_dir: str):
+    """Content checksum of the documents table (doc_id|lang|n_chars rows):
+    SUM of 48-bit md5 prefixes mod 2^61−1 — the replica/resumable-output
+    validation primitive. Order-invariant by construction, so it survives
+    any block order/partitioning; per-block partials, one-row result."""
+    from ..stages.relational import table_checksum
+
+    def hashed(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from ..functions.hashing import md5_digests_ascii
+
+        s = (pd.Series(b["doc_id"].to_numpy(zero_copy_only=False)).astype(str)
+             + "|" + pd.Series(b["lang"].to_pylist())
+             + "|" + pd.Series(
+                 b["n_chars"].to_numpy(zero_copy_only=False)).astype(str))
+        dig = md5_digests_ascii(pa.array(s, pa.string()))
+        x48 = dig[:, :6].astype(np.int64) @ (
+            np.int64(1) << (np.arange(5, -1, -1, dtype=np.int64) * 8))
+        return pa.table({"x48": pa.array(x48, pa.int64())})
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]) \
+        .map_batches(hashed, batch_format="pyarrow")
+    return table_checksum(docs, "x48")
+
+
+SQL_TABLE_CHECKSUM = """
+WITH r AS (
+  SELECT md5(CAST(doc_id AS VARCHAR) || '|' || lang || '|'
+             || CAST(n_chars AS VARCHAR)) AS h
+  FROM documents
+), x AS (
+  SELECT (SELECT SUM((strpos('0123456789abcdef', substr(r.h, i, 1)) - 1)
+              * (CAST(1 AS BIGINT) << ((12 - i) * 4)))
+          FROM unnest(generate_series(1, 12)) AS g(i)) AS x48
+  FROM r
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(x48) % 2305843009213693951 AS BIGINT) AS checksum
+FROM x
+"""
+
+QUERIES.update({"table_checksum": q_table_checksum})
+ORACLES.update({"table_checksum": SQL_TABLE_CHECKSUM})
+
+
+# ═══════════════════════ retention cohorts (r4)
+
+def q_retention_cohorts(sf_dir: str):
+    """Weekly retention triangle: users grouped by first-active week
+    (cohort), counted in every week they return — the standard webtext
+    engagement analysis. Three bounded shuffles: per-user MIN week
+    (combiner), distinct (user, week) pairs (combiner), one user-keyed join,
+    then a count whose input is already one row per (user, week)."""
+    from ..stages.relational import bucket_agg, cogroup_join
+
+    wk = 604_800_000_000  # µs per week
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = ts // wk
+        uniq = np.unique(np.stack([u, w], axis=1), axis=0)
+        return pa.table({"user_id": pa.array(uniq[:, 0], pa.int64()),
+                         "week": pa.array(uniq[:, 1], pa.int64())})
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    active = bucket_agg(ev.map_batches(pairs, batch_format="pyarrow"),
+                        ["user_id", "week"], {"n": (None, "count")},
+                        num_partitions=8, combine=True) \
+        .select_columns(["user_id", "week"])
+    first = bucket_agg(ev.map_batches(pairs, batch_format="pyarrow"),
+                       "user_id", {"cohort_week": ("week", "min")},
+                       num_partitions=8, combine=True)
+    j = cogroup_join(active, first, ("user_id",), how="inner",
+                     num_partitions=8)
+    return bucket_agg(j, ["cohort_week", "week"],
+                      {"n_users": (None, "count")},
+                      num_partitions=4, combine=True) \
+        .sort(["cohort_week", "n_users", "week"])
+
+
+SQL_RETENTION = """
+WITH f AS (
+  SELECT user_id, MIN(epoch_us(ts) // 604800000000) AS cw
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w FROM events
+)
+SELECT CAST(cw AS BIGINT) AS cohort_week, CAST(w AS BIGINT) AS week,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id) GROUP BY cw, w
+"""
+
+QUERIES.update({"retention_cohorts": q_retention_cohorts})
+ORACLES.update({"retention_cohorts": SQL_RETENTION})
+
+
 # ═══════════════════════════════ triangle counting (clique graph, r4)
 
 def q_triangles(sf_dir: str):

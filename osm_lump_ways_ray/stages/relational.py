@@ -809,6 +809,70 @@ def map_groups_partitioned(ds, fn, key_cols, *, num_partitions: int = 8):
         .groupby("_part").map_groups(per_part, batch_format="pandas")
 
 
+def pivot_counts(ds, row_key: str, col_key: str, col_values, *,
+                 num_partitions: int = 8):
+    """Crosstab / PIVOT: one output row per ``row_key`` value, one ``n_<v>``
+    int64 column per entry of the FIXED domain ``col_values`` (Ray blocks
+    need a static schema, exactly like SQL PIVOT needs an IN list; unseen
+    cells are 0, rows whose ``col_key`` falls outside the domain are
+    ignored). Long→wide happens AFTER the aggregation: the shuffle moves one
+    count row per (row, col) pair (map-side combined), and the widening is a
+    per-partition in-process reshape — never a per-row transpose."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    vals = list(col_values)
+    counts = bucket_agg(ds.select_columns([row_key, col_key]),
+                        [row_key, col_key], {"n": (None, "count")},
+                        num_partitions=num_partitions, combine=True)
+
+    def widen(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = {row_key: [df[row_key].iloc[0]]}
+        c = df[col_key].to_numpy()
+        n = df["n"].to_numpy()
+        for v in vals:
+            hit = n[c == v]
+            out[f"n_{v}"] = [int(hit.sum())]
+        return pd.DataFrame(out)
+
+    return map_groups_partitioned(counts, widen, [row_key],
+                                  num_partitions=num_partitions)
+
+
+def table_checksum(ds, x48_col: str):
+    """Order-invariant content checksum of a dataset: the SUM of per-row
+    48-bit md5 prefixes modulo the Mersenne prime 2^61−1, as one int64 —
+    the replica/resume validation primitive (did this output partition set
+    survive the rerun byte-identical?) that never moves data: per-block
+    partial sums → one tiny finish task. Python side sums partials in
+    arbitrary precision before the mod; the SQL twin's SUM is HUGEINT-exact,
+    so both sides agree for any row count that fits 2^127."""
+    import numpy as np
+    import pyarrow as pa
+
+    MOD = (1 << 61) - 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[x48_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # int64 wraps past 2^15 48-bit addends — sum in vectorized chunks,
+        # promote each chunk to a Python int, reduce in arbitrary precision
+        s = sum(int(x[i:i + 16384].sum())
+                for i in range(0, len(x), 16384)) % MOD
+        return pa.table({"s": pa.array([s], pa.int64()),
+                         "n": pa.array([len(x)], pa.int64())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        total = sum(int(v) for v in t["s"].to_pylist()) % MOD
+        return pa.table({"n_rows": pa.array(
+            [int(t["n"].to_numpy().sum())], pa.int64()),
+            "checksum": pa.array([total], pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(finish, batch_format="pyarrow",
+                                    batch_size=None)
+
+
 def kmv_distinct(ds, *, hash_col: str, k: int = 128):
     """KMV (k-minimum-values) distinct-count sketch — the cardinality-
     estimation primitive of large-scale dedup planning, DETERMINISTIC by

@@ -239,3 +239,32 @@ def test_bloom_semi_join_exact_even_with_tiny_bitmap(mk):
     out2 = bloom_semi_join(big, keys, "k", key_col="ok", m_bits=1 << 16,
                            k_hashes=3, num_partitions=4)
     assert sorted((r["k"], r["v"]) for r in out2.take_all()) == expect
+
+
+def test_pivot_counts_fixed_domain(mk):
+    from osm_lump_ways_ray.stages.relational import pivot_counts
+
+    t = pa.table({"r": pa.array(["a", "a", "a", "b"]),
+                  "c": pa.array([0, 0, 2, 9], pa.int64())})  # 9 outside domain
+    out = {row["r"]: (row["n_0"], row["n_1"], row["n_2"])
+           for row in pivot_counts(mk(t), "r", "c", range(3),
+                                   num_partitions=2).take_all()}
+    assert out == {"a": (2, 0, 1), "b": (0, 0, 0)}
+
+
+def test_table_checksum_order_invariant_and_wrap_safe(mk):
+    from osm_lump_ways_ray.stages.relational import table_checksum
+
+    # 70k near-max 48-bit values: a naive int64 block sum would wrap
+    vals = np.full(70_000, (1 << 48) - 1, np.int64)
+    a = table_checksum(mk(pa.table({"x48": pa.array(vals)})), "x48").take_all()[0]
+    MOD = (1 << 61) - 1
+    assert a["checksum"] == (70_000 * ((1 << 48) - 1)) % MOD
+    assert a["n_rows"] == 70_000
+    # permutation invariance
+    rng = np.random.default_rng(3)
+    mixed = np.r_[vals[:100], rng.integers(0, 1 << 48, 100)]
+    c1 = table_checksum(mk(pa.table({"x48": pa.array(mixed)})), "x48").take_all()[0]
+    c2 = table_checksum(mk(pa.table({"x48": pa.array(mixed[::-1].copy())})),
+                        "x48").take_all()[0]
+    assert c1 == c2
