@@ -4696,6 +4696,123 @@ QUERIES.update({"retention_cohorts": q_retention_cohorts})
 ORACLES.update({"retention_cohorts": SQL_RETENTION})
 
 
+# ═══════════════════════ grouped median + MAD (robust stats, r4)
+
+def q_grouped_mad(sf_dir: str):
+    """Per-event-type median and median-absolute-deviation — the robust
+    outlier-screen statistics corpus filtering uses on heavy-tailed signals.
+    Exact on the milli-quantized domain, two histogram-bounded shuffles
+    (one row per DISTINCT (group, value)), ceil-rank convention shared with
+    the quantiles oracle."""
+    from ..stages.temporal import grouped_mad
+
+    return grouped_mad(_events_vm(sf_dir), "event_type",
+                       "value_milli").sort("event_type")
+
+
+SQL_GROUPED_MAD = """
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+  FROM events
+), c AS (
+  SELECT event_type, vm, COUNT(*) AS n FROM v GROUP BY 1, 2
+), t AS (
+  SELECT event_type, vm,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY vm) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS tot
+  FROM c
+), med AS (
+  SELECT event_type, CAST(MIN(vm) AS BIGINT) AS median_milli
+  FROM t WHERE cum * 1000 >= 500 * tot GROUP BY 1
+), a AS (
+  SELECT v.event_type, ABS(vm - median_milli) AS av
+  FROM v JOIN med USING (event_type)
+), c2 AS (
+  SELECT event_type, av, COUNT(*) AS n FROM a GROUP BY 1, 2
+), t2 AS (
+  SELECT event_type, av,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY av) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS tot
+  FROM c2
+), mad AS (
+  SELECT event_type, CAST(MIN(av) AS BIGINT) AS mad_milli
+  FROM t2 WHERE cum * 1000 >= 500 * tot GROUP BY 1
+)
+SELECT event_type, median_milli, mad_milli FROM med JOIN mad USING (event_type)
+"""
+
+QUERIES.update({"grouped_mad": q_grouped_mad})
+ORACLES.update({"grouped_mad": SQL_GROUPED_MAD})
+
+
+# ═══════════════════════ dataset version diff (CDC, r4)
+
+def q_table_diff(sf_dir: str):
+    """Added/removed/changed/unchanged key counts between two versions of
+    the documents table (v2 derived deterministically: every 17th id
+    dropped, every 11th content-perturbed, every 13th re-added under a new
+    id) — the incremental-reprocessing validation primitive, in ONE
+    key-bucketed shuffle via conditional min/max partials, no join."""
+    from ..stages.relational import dataset_diff
+
+    def hashed(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_digests_ascii
+
+        dig = md5_digests_ascii(b["text"])
+        x48 = dig[:, :6].astype(np.int64) @ (
+            np.int64(1) << (np.arange(5, -1, -1, dtype=np.int64) * 8))
+        return pa.table({"doc_id": b["doc_id"],
+                         "h": pa.array(x48, pa.int64())})
+
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(hashed, batch_format="pyarrow")
+
+    def v2_of(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = b["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = d % 17 != 3
+        dk, hk = d[keep], h[keep]
+        hk = np.where(dk % 11 == 5, hk ^ 1, hk)
+        add = d % 13 == 2
+        return pa.table({
+            "doc_id": pa.array(np.r_[dk, d[add] + 10_000_000], pa.int64()),
+            "h": pa.array(np.r_[hk, h[add]], pa.int64())})
+
+    v2 = base.map_batches(v2_of, batch_format="pyarrow")
+    return dataset_diff(base, v2, "doc_id", "h",
+                        num_partitions=8).sort("category")
+
+
+SQL_TABLE_DIFF = """
+WITH raw AS (
+  SELECT doc_id, md5(text) AS hx FROM documents
+), x AS (
+  SELECT doc_id,
+         (SELECT SUM((strpos('0123456789abcdef', substr(raw.hx, i, 1)) - 1)
+              * (CAST(1 AS BIGINT) << ((12 - i) * 4)))
+          FROM unnest(generate_series(1, 12)) AS g(i)) AS h
+  FROM raw
+), v2 AS (
+  SELECT doc_id, CASE WHEN doc_id % 11 = 5 THEN xor(h, CAST(1 AS BIGINT))
+                      ELSE h END AS h
+  FROM x WHERE doc_id % 17 != 3
+  UNION ALL
+  SELECT doc_id + 10000000, h FROM x WHERE doc_id % 13 = 2
+), j AS (
+  SELECT x.h AS h1, v2.h AS h2
+  FROM x FULL OUTER JOIN v2 ON x.doc_id = v2.doc_id
+)
+SELECT CASE WHEN h1 IS NULL THEN 'added'
+            WHEN h2 IS NULL THEN 'removed'
+            WHEN h1 = h2 THEN 'unchanged' ELSE 'changed' END AS category,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM j GROUP BY 1
+"""
+
+QUERIES.update({"table_diff": q_table_diff})
+ORACLES.update({"table_diff": SQL_TABLE_DIFF})
+
+
 # ═══════════════════════════════ triangle counting (clique graph, r4)
 
 def q_triangles(sf_dir: str):

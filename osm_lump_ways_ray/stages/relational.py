@@ -809,6 +809,71 @@ def map_groups_partitioned(ds, fn, key_cols, *, num_partitions: int = 8):
         .groupby("_part").map_groups(per_part, batch_format="pandas")
 
 
+def dataset_diff(v1, v2, key: str, hash_col: str, *,
+                 num_partitions: int = 16):
+    """Change-data detection between two dataset versions: classify every
+    key as added / removed / changed / unchanged by content hash, in ONE
+    key-bucketed shuffle (no join): both sides union with a side tag, one
+    ``bucket_agg`` computes per-key (n₁, n₂, h₁, h₂) via conditional
+    min/max partials, and a vectorized finish classifies + counts. The
+    shuffle moves one combined row per (block, key) — the delta-validation
+    primitive for incremental 100-TB reprocessing (which partitions must
+    rerun?). Returns one row per category: (category, n_keys).
+
+    Assumes ``key`` is unique within each version (version tables, not
+    logs) and ``hash_col`` is int64 ≥ 0 (md5-derived)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            h = batch[hash_col].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            one = np.ones(len(h), np.int64)
+            neg = np.full(len(h), -1, np.int64)
+            return pa.table({
+                key: batch[key],
+                "n1": pa.array(one if side == 1 else 0 * one, pa.int64()),
+                "n2": pa.array(one if side == 2 else 0 * one, pa.int64()),
+                "h1": pa.array(h if side == 1 else neg, pa.int64()),
+                "h2": pa.array(h if side == 2 else neg, pa.int64()),
+            })
+        return fn
+
+    both = concat_blocks(v1.map_batches(tag(1), batch_format="pyarrow"),
+                         v2.map_batches(tag(2), batch_format="pyarrow"))
+    per_key = bucket_agg(both, key,
+                         {"n1": ("n1", "sum"), "n2": ("n2", "sum"),
+                          "h1": ("h1", "max"), "h2": ("h2", "max")},
+                         num_partitions=num_partitions, combine=True)
+
+    def classify(t: pa.Table) -> pa.Table:
+        n1 = t["n1"].to_numpy(zero_copy_only=False)
+        n2 = t["n2"].to_numpy(zero_copy_only=False)
+        h1 = t["h1"].to_numpy(zero_copy_only=False)
+        h2 = t["h2"].to_numpy(zero_copy_only=False)
+        cat = np.where(n1 == 0, 0,                      # added
+              np.where(n2 == 0, 1,                      # removed
+              np.where(h1 == h2, 3, 2)))                # unchanged / changed
+        idx, cnt = np.unique(cat, return_counts=True)
+        return pa.table({"_cat": pa.array(idx.astype(np.int64), pa.int64()),
+                         "n_keys": pa.array(cnt.astype(np.int64),
+                                            pa.int64())})
+
+    cats = bucket_agg(per_key.map_batches(classify, batch_format="pyarrow"),
+                      "_cat", {"n_keys": ("n_keys", "sum")},
+                      num_partitions=4)
+    names = pa.array(["added", "removed", "changed", "unchanged"],
+                     pa.string())
+
+    def label(t: pa.Table) -> pa.Table:
+        c = t["_cat"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"category": names.take(pa.array(c, pa.int64())),
+                         "n_keys": t["n_keys"]})
+
+    return cats.map_batches(label, batch_format="pyarrow")
+
+
 def pivot_counts(ds, row_key: str, col_key: str, col_values, *,
                  num_partitions: int = 8):
     """Crosstab / PIVOT: one output row per ``row_key`` value, one ``n_<v>``

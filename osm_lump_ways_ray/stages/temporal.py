@@ -693,3 +693,42 @@ def next_event(events, key: str, ts: str, order_tiebreak: str,
 
     return events.map_batches(bucket, batch_format="pyarrow") \
         .groupby("_part").map_groups(lead, batch_format="pyarrow")
+
+
+def grouped_mad(events, group: str, val_milli_col: str):
+    """Per-group median and median-absolute-deviation — the robust-statistics
+    pair corpus filtering uses where mean/σ break on heavy tails. Exact, on
+    the quantized integer domain, with the same ceil-rank convention as
+    ``grouped_quantiles`` (smallest v with cum·1000 ≥ 500·total):
+
+    two histogram-bounded passes (shuffles move one row per DISTINCT
+    (group, value), not per row) — median first, medians broadcast back via
+    the cogroup small-side fast path, then the same machinery over
+    |v − median|. Returns (group, median_milli, mad_milli)."""
+    from .relational import cogroup_join
+
+    med = grouped_quantiles(events, group, val_milli_col, q_permille=(500,))
+    med_tbl = med.map_batches(
+        lambda b: pa.table({group: b[group], "_med": b["v_milli"]}),
+        batch_format="pyarrow")
+    joined = cogroup_join(events.select_columns([group, val_milli_col]),
+                          med_tbl, (group,), how="inner")
+
+    def absdev(b: pa.Table) -> pa.Table:
+        v = b[val_milli_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = b["_med"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({group: b[group],
+                         "_adev": pa.array(np.abs(v - m), pa.int64())})
+
+    mad = grouped_quantiles(joined.map_batches(absdev,
+                                               batch_format="pyarrow"),
+                            group, "_adev", q_permille=(500,))
+    mad_tbl = mad.map_batches(
+        lambda b: pa.table({group: b[group], "mad_milli": b["v_milli"]}),
+        batch_format="pyarrow")
+    return cogroup_join(
+        med_tbl.map_batches(
+            lambda b: pa.table({group: b[group],
+                                "median_milli": b["_med"]}),
+            batch_format="pyarrow"),
+        mad_tbl, (group,), how="inner")

@@ -268,3 +268,17 @@ def test_table_checksum_order_invariant_and_wrap_safe(mk):
     c2 = table_checksum(mk(pa.table({"x48": pa.array(mixed[::-1].copy())})),
                         "x48").take_all()[0]
     assert c1 == c2
+
+
+def test_dataset_diff_categories(mk):
+    from osm_lump_ways_ray.stages.relational import dataset_diff
+
+    v1 = mk(pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                      "h": pa.array([10, 20, 30, 40], pa.int64())}))
+    # 1 unchanged, 2 changed, 3 removed, 5 added
+    v2 = mk(pa.table({"k": pa.array([1, 2, 4, 5], pa.int64()),
+                      "h": pa.array([10, 21, 40, 50], pa.int64())}))
+    got = {r["category"]: r["n_keys"]
+           for r in dataset_diff(v1, v2, "k", "h",
+                                 num_partitions=4).take_all()}
+    assert got == {"added": 1, "removed": 1, "changed": 1, "unchanged": 2}

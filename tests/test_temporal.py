@@ -332,3 +332,19 @@ def test_next_event_lead_semantics(ray_session):
                                num_partitions=4).take_all()}
     # order within user 1: (0,10,a) -> (5,11,b) -> (5,12,c); 13 has no next
     assert got == {10: ("b", 5_000_000), 11: ("c", 0)}
+
+
+def test_grouped_mad_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.stages.temporal import grouped_mad
+
+    # group a: values 1..7 -> median 4, |dev| = {3,2,1,0,1,2,3} -> MAD 2
+    # group b: even count {1,2,3,10} -> ceil-rank median = 2, devs {1,0,1,8} -> MAD 1
+    t = pa.table({"g": pa.array(["a"] * 7 + ["b"] * 4),
+                  "v": pa.array(list(range(1, 8)) + [1, 2, 3, 10], pa.int64())})
+    got = {r["g"]: (r["median_milli"], r["mad_milli"])
+           for r in grouped_mad(ray.data.from_arrow(t), "g", "v").take_all()}
+    assert got == {"a": (4, 2), "b": (2, 1)}
