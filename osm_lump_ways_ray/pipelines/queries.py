@@ -4813,6 +4813,37 @@ QUERIES.update({"table_diff": q_table_diff})
 ORACLES.update({"table_diff": SQL_TABLE_DIFF})
 
 
+# ═══════════════════════ embedding Gram / covariance matrix (r4)
+
+def q_embedding_gram(sf_dir: str):
+    """Upper-triangle Gram matrix of the embeddings table (PCA/whitening
+    prep) via exact integer quantization: per-block d×d partials (float64
+    matmul over ≤4096-row chunks — every partial < 2^53, so exact), one
+    (i,j)-bucketed sum. The shuffle moves d(d+1)/2 rows per block, never
+    the vectors."""
+    from ..stages.similarity import embedding_covariance
+
+    emb = _read(sf_dir, "embeddings", columns=["embedding"])
+    return embedding_covariance(emb, emb_col="embedding",
+                                scale_bits=20).sort(["i", "j"])
+
+
+SQL_EMBEDDING_GRAM = """
+WITH q AS (
+  SELECT vec_id, i,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576 + 0.5) AS BIGINT)
+             AS v
+  FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS g(i)
+)
+SELECT a.i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS s
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+"""
+
+QUERIES.update({"embedding_gram": q_embedding_gram})
+ORACLES.update({"embedding_gram": SQL_EMBEDDING_GRAM})
+
+
 # ═══════════════════════════════ triangle counting (clique graph, r4)
 
 def q_triangles(sf_dir: str):

@@ -596,6 +596,16 @@ def skew_join(left, right, on: str, *, right_on: Optional[str] = None,
                 "keys": pa.array([int(b["keys"].to_numpy().sum())]),
                 "rows": pa.array([int(b["rows"].to_numpy().sum())])}),
             batch_format="pyarrow", batch_size=None).take_all()
+    if not stats:
+        # left produced zero rows: nothing can match — emit the joined
+        # schema, empty (the shuffle join would see schema-less blocks)
+        cols = {}
+        for sch in (left.schema(), right.schema()):
+            for name, typ in zip(sch.names, sch.types):
+                cols.setdefault(name, pa.nulls(0, typ))
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table(cols))
     n_keys = max(int(stats[0]["keys"]), 1)
     mean = int(stats[0]["rows"]) / n_keys
     cut = hot_factor * mean
@@ -706,6 +716,9 @@ def bloom_semi_join(big, keys_ds, on: str, *, key_col: Optional[str] = None,
     bm_rows = keys_ds.map_batches(block_bitmap, batch_format="pyarrow") \
         .repartition(1).map_batches(or_reduce, batch_format="pyarrow",
                                     batch_size=None).take_all()
+    if not bm_rows:
+        # empty key side: nothing can match — keep big's schema, zero rows
+        return big.limit(0)
     bitmap = np.frombuffer(bm_rows[0]["bm"], np.uint8)
     bm_ref = ray.put(bitmap)
 

@@ -523,3 +523,45 @@ def quantize_embeddings_int8(embeddings_ds, *, emb_col: str = "embedding",
         })
 
     return embeddings_ds.map_batches(stage, batch_format="pyarrow")
+
+
+def embedding_covariance(emb_ds, *, emb_col: str = "embedding",
+                         scale_bits: int = 20, num_partitions: int = 4):
+    """Second-moment (Gram) matrix of an embedding column — the PCA /
+    whitening prep step — as EXACT integer arithmetic: each float is
+    quantized to ``floor(x·2^scale_bits + 0.5)`` (lossless in float64 for
+    float32 inputs), each block computes its d×d partial ``QᵀQ`` with a
+    float64 BLAS matmul over ≤4096-row chunks (every partial < 2^53, so the
+    float64 accumulation is exact), and one (i,j)-bucketed sum merges the
+    upper triangle. The shuffle moves d(d+1)/2 rows per block — never the
+    vectors. Returns (i, j, s) with 1-based i ≤ j."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .relational import bucket_agg
+
+    scale = float(1 << scale_bits)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[emb_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"i": z, "j": z, "s": z})
+        d = len(col[0])
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(col), d)
+        q = np.floor(flat * scale + 0.5)
+        g = np.zeros((d, d), np.int64)
+        for s0 in range(0, len(q), 4096):
+            chunk = q[s0:s0 + 4096]
+            g += (chunk.T @ chunk).astype(np.int64)  # exact: < 2^53
+        iu, ju = np.triu_indices(d)
+        return pa.table({"i": pa.array(iu.astype(np.int64) + 1, pa.int64()),
+                         "j": pa.array(ju.astype(np.int64) + 1, pa.int64()),
+                         "s": pa.array(g[iu, ju], pa.int64())})
+
+    parts = emb_ds.map_batches(partial, batch_format="pyarrow")
+    return bucket_agg(parts, ["i", "j"], {"s": ("s", "sum")},
+                      num_partitions=num_partitions)

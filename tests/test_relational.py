@@ -282,3 +282,39 @@ def test_dataset_diff_categories(mk):
            for r in dataset_diff(v1, v2, "k", "h",
                                  num_partitions=4).take_all()}
     assert got == {"added": 1, "removed": 1, "changed": 1, "unchanged": 2}
+
+
+def test_new_ops_empty_inputs(mk):
+    from osm_lump_ways_ray.stages.relational import bloom_semi_join, skew_join
+
+    empty = mk(pa.table({"k": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.int64())}))
+    one = mk(pa.table({"k": pa.array([1], pa.int64()),
+                       "seg": pa.array(["s"], pa.string())}))
+    assert skew_join(empty, one, on="k").take_all() == []
+    ek = mk(pa.table({"ok": pa.array([], pa.int64())}))
+    big = mk(pa.table({"k": pa.array([1, 2], pa.int64()),
+                       "v": pa.array([7, 8], pa.int64())}))
+    assert bloom_semi_join(big, ek, "k", key_col="ok").take_all() == []
+
+
+def test_embedding_covariance_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.stages.similarity import embedding_covariance
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-0.5, 0.5, (300, 4)).astype(np.float32)
+    tbl = pa.table({"embedding": pa.array(list(x),
+                                          pa.list_(pa.float32()))})
+    got = {(r["i"], r["j"]): r["s"]
+           for r in embedding_covariance(
+               ray.data.from_arrow(tbl), scale_bits=20,
+               num_partitions=2).take_all()}
+    q = np.floor(x.astype(np.float64) * (1 << 20) + 0.5).astype(object)
+    g = (q.T @ q)  # object dtype -> exact Python-int arithmetic
+    for i in range(4):
+        for j in range(i, 4):
+            assert got[(i + 1, j + 1)] == int(g[i, j])
