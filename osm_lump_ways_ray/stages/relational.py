@@ -582,21 +582,14 @@ def skew_join(left, right, on: str, *, right_on: Optional[str] = None,
         return pa.table({on: pa.array(uniq.astype(np.int64), pa.int64()),
                          "n": pa.array(cnt.astype(np.int64), pa.int64())})
 
-    counts = bucket_agg(left.map_batches(per_block_counts,
-                                         batch_format="pyarrow"),
-                        on, {"n": ("n", "sum")},
-                        num_partitions=num_partitions, combine=True)
-    stats = counts.map_batches(
-        lambda b: pa.table({"keys": pa.array([len(b)], pa.int64()),
-                            "rows": pa.array(
-                                [int(b["n"].to_numpy().sum())], pa.int64())}),
-        batch_format="pyarrow") \
-        .repartition(1).map_batches(
-            lambda b: pa.table({
-                "keys": pa.array([int(b["keys"].to_numpy().sum())]),
-                "rows": pa.array([int(b["rows"].to_numpy().sum())])}),
-            batch_format="pyarrow", batch_size=None).take_all()
-    if not stats:
+    # snapshot: stats AND the hot filter both consume counts — without it
+    # the whole count pipeline (including the left scan) would execute twice
+    counts = snapshot(bucket_agg(left.map_batches(per_block_counts,
+                                                  batch_format="pyarrow"),
+                                 on, {"n": ("n", "sum")},
+                                 num_partitions=num_partitions, combine=True))
+    n_count_rows = counts.count()  # metadata on the materialized snapshot
+    if n_count_rows == 0:
         # left produced zero rows: nothing can match — emit the joined
         # schema, empty (the shuffle join would see schema-less blocks)
         cols = {}
@@ -606,27 +599,58 @@ def skew_join(left, right, on: str, *, right_on: Optional[str] = None,
         import ray.data as _rd
 
         return _rd.from_arrow(pa.table(cols))
-    n_keys = max(int(stats[0]["keys"]), 1)
-    mean = int(stats[0]["rows"]) / n_keys
-    cut = hot_factor * mean
-    # bounded: ≤ n_keys / hot_factor rows survive the filter
-    hot_rows = counts.map_batches(
-        lambda b, c=cut: b.filter(pa.compute.greater(b["n"], c)),
-        batch_format="pyarrow").limit(max_hot_keys + 1).take_all()
-    if len(hot_rows) > max_hot_keys:
-        raise ValueError(
-            f"skew_join: > {max_hot_keys} hot keys at hot_factor="
-            f"{hot_factor}; raise hot_factor or max_hot_keys")
-    hot_keys = np.sort(np.array([r[on] for r in hot_rows], dtype=np.int64))
+    if n_count_rows <= 2_000_000:
+        # bounded key cardinality: read the materialized count blocks once
+        # (plasma reads, no further executions — each tiny execution costs
+        # ~1.5 s of fixed planning latency on this box) and plan on-driver
+        ct = pa.concat_tables(list(counts.iter_batches(
+            batch_size=None, batch_format="pyarrow")))
+        nvals = ct["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_keys = max(len(nvals), 1)
+        cut = hot_factor * (int(nvals.sum()) / n_keys)
+        kvals = ct[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        hot_keys = np.sort(kvals[nvals > cut])
+        if len(hot_keys) > max_hot_keys:
+            raise ValueError(
+                f"skew_join: > {max_hot_keys} hot keys at hot_factor="
+                f"{hot_factor}; raise hot_factor or max_hot_keys")
+    else:
+        # unbounded key set: keep planning distributed (two cheap passes
+        # over the snapshot — it is already materialized)
+        stats = counts.map_batches(
+            lambda b: pa.table({"keys": pa.array([len(b)], pa.int64()),
+                                "rows": pa.array(
+                                    [int(b["n"].to_numpy().sum())],
+                                    pa.int64())}),
+            batch_format="pyarrow") \
+            .repartition(1).map_batches(
+                lambda b: pa.table({
+                    "keys": pa.array([int(b["keys"].to_numpy().sum())]),
+                    "rows": pa.array([int(b["rows"].to_numpy().sum())])}),
+                batch_format="pyarrow", batch_size=None).take_all()
+        n_keys = max(int(stats[0]["keys"]), 1)
+        cut = hot_factor * (int(stats[0]["rows"]) / n_keys)
+        # bounded: ≤ n_keys / hot_factor rows survive the filter
+        hot_rows = counts.map_batches(
+            lambda b, c=cut: b.filter(pa.compute.greater(b["n"], c)),
+            batch_format="pyarrow").limit(max_hot_keys + 1).take_all()
+        if len(hot_rows) > max_hot_keys:
+            raise ValueError(
+                f"skew_join: > {max_hot_keys} hot keys at hot_factor="
+                f"{hot_factor}; raise hot_factor or max_hot_keys")
+        hot_keys = np.sort(np.array([r[on] for r in hot_rows],
+                                    dtype=np.int64))
 
-    # fixed output column order, whatever mix of paths runs (ray join and
-    # pandas merge order columns differently)
-    out_cols = list(left.schema().names) + [
-        c for c in right.schema().names if c != on]
+    # normalize column order per batch (ray join and pandas merge order
+    # columns differently) WITHOUT driver-side schema probes: a map-chain
+    # left side has no metadata schema, so .schema() would run a mini
+    # execution (~1.5 s fixed cost each on this box, pure planning latency)
+    def _canon_cols(batch: pa.Table) -> pa.Table:
+        return batch.select(sorted(batch.column_names))
 
     if len(hot_keys) == 0:
-        return hash_join(left, right, (on,),
-                         num_partitions=num_partitions).select_columns(out_cols)
+        return hash_join(left, right, (on,), num_partitions=num_partitions) \
+            .map_batches(_canon_cols, batch_format="pyarrow")
 
     hot_ref = ray.put(hot_keys)
 
@@ -643,17 +667,18 @@ def skew_join(left, right, on: str, *, right_on: Optional[str] = None,
     right_hot_tbl = pa.concat_tables(
         _nonempty_tables(right.map_batches(lambda b: split(b, True),
                                            batch_format="pyarrow")))
-    hot = broadcast_join(left_hot, right_hot_tbl, on)
+    hot = broadcast_join(left_hot, right_hot_tbl, on) \
+        .map_batches(_canon_cols, batch_format="pyarrow")
     if len(hot_keys) == n_keys:
         # every left key is hot: a fully-empty cold side would reach the
         # hash-shuffle join as schema-less empty partitions (Arrow rejects
         # the key reference) — and the join would be pure overhead anyway
-        return hot.select_columns(out_cols)
+        return hot
     left_cold = left.map_batches(lambda b: split(b, False),
                                  batch_format="pyarrow")
-    cold = hash_join(left_cold, right, (on,), num_partitions=num_partitions)
-    return concat_blocks(cold.select_columns(out_cols),
-                         hot.select_columns(out_cols))
+    cold = hash_join(left_cold, right, (on,), num_partitions=num_partitions) \
+        .map_batches(_canon_cols, batch_format="pyarrow")
+    return concat_blocks(cold, hot)
 
 
 def bloom_semi_join(big, keys_ds, on: str, *, key_col: Optional[str] = None,
