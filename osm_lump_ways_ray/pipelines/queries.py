@@ -4844,6 +4844,70 @@ QUERIES.update({"embedding_gram": q_embedding_gram})
 ORACLES.update({"embedding_gram": SQL_EMBEDDING_GRAM})
 
 
+# ═══════════════════════ double-sweep BFS diameter (r4)
+
+def q_graph_diameter(sf_dir: str):
+    """Double-sweep diameter estimate of the doc graph's min-vertex
+    component (the k-core graph): BFS from the min vertex, hop to the
+    farthest node, BFS again — both sweeps on the distributed Bellman-Ford
+    round engine, only two single-row argmax probes reach the driver."""
+    from ..stages.graph import double_sweep_diameter
+    from ..stages.relational import cogroup_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def cand(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us, vs = [], []
+        for delta, mask in ((1, d % 5 != 0), (4, d % 7 == 0),
+                            (10, d % 11 == 0)):
+            us.append(d[mask])
+            vs.append(d[mask] + delta)
+        return pa.table({"u": pa.array(np.concatenate(us), pa.int64()),
+                         "v": pa.array(np.concatenate(vs), pa.int64())})
+
+    cands = docs.map_batches(cand, batch_format="pyarrow")
+    ids_v = docs.map_batches(
+        lambda b: pa.table({"v": b["doc_id"]}), batch_format="pyarrow")
+    edges = cogroup_join(cands, ids_v, ("v",), how="inner")
+    return double_sweep_diameter(edges, u_col="u", v_col="v",
+                                 num_partitions=4)
+
+
+SQL_GRAPH_DIAMETER = """
+WITH RECURSIVE e0 AS (
+  SELECT doc_id AS u, doc_id + 1 AS v FROM documents WHERE doc_id % 5 != 0
+  UNION ALL
+  SELECT doc_id, doc_id + 4 FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, doc_id + 10 FROM documents WHERE doc_id % 11 = 0
+), ev AS (
+  SELECT u, v FROM e0 WHERE v IN (SELECT doc_id FROM documents)
+), e AS (
+  SELECT u AS src, v AS dst FROM ev UNION ALL SELECT v, u FROM ev
+), s0 AS (SELECT MIN(src) AS n FROM e),
+w1(node, dist) AS (
+  SELECT n, CAST(0 AS BIGINT) FROM s0
+  UNION
+  SELECT e.dst, w1.dist + 1 FROM w1 JOIN e ON e.src = w1.node
+  WHERE w1.dist < 64
+), d1 AS (SELECT node, MIN(dist) AS dist FROM w1 GROUP BY node),
+far AS (SELECT node FROM d1 ORDER BY dist DESC, node ASC LIMIT 1),
+w2(node, dist) AS (
+  SELECT node, CAST(0 AS BIGINT) FROM far
+  UNION
+  SELECT e.dst, w2.dist + 1 FROM w2 JOIN e ON e.src = w2.node
+  WHERE w2.dist < 64
+), d2 AS (SELECT node, MIN(dist) AS dist FROM w2 GROUP BY node)
+SELECT CAST((SELECT n FROM s0) AS BIGINT) AS start_node,
+       CAST((SELECT node FROM far) AS BIGINT) AS far_node,
+       CAST((SELECT MAX(dist) FROM d2) AS BIGINT) AS diameter_lb
+"""
+
+QUERIES.update({"graph_diameter": q_graph_diameter})
+ORACLES.update({"graph_diameter": SQL_GRAPH_DIAMETER})
+
+
 # ═══════════════════════════════ triangle counting (clique graph, r4)
 
 def q_triangles(sf_dir: str):

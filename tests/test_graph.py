@@ -378,3 +378,23 @@ def test_kcore_paths_parity_and_peeling(ray_session):
     for force in ("local", "distributed"):
         out = kcore(eds, 2, force=force).to_pandas()
         assert dict(zip(out["node"], out["deg"])) == exp, force
+
+
+def test_double_sweep_diameter_path_graph(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.stages.graph import double_sweep_diameter
+
+    # path 1-2-3-4-5 plus isolated edge 10-11: min-vertex component is the
+    # path; double sweep on a tree is EXACT -> diameter 4, far end = 5
+    t = pa.table({"u": pa.array([1, 2, 3, 4, 10], pa.int64()),
+                  "v": pa.array([2, 3, 4, 5, 11], pa.int64())})
+    row = double_sweep_diameter(ray.data.from_arrow(t)).take_all()[0]
+    assert row == {"start_node": 1, "far_node": 5, "diameter_lb": 4}
+
+    # empty edge set -> empty result, no crash
+    e = pa.table({"u": pa.array([], pa.int64()),
+                  "v": pa.array([], pa.int64())})
+    assert double_sweep_diameter(ray.data.from_arrow(e)).take_all() == []
