@@ -4908,6 +4908,68 @@ QUERIES.update({"graph_diameter": q_graph_diameter})
 ORACLES.update({"graph_diameter": SQL_GRAPH_DIAMETER})
 
 
+# ═══════════════════════ degree assortativity (r4)
+
+def q_assortativity(sf_dir: str):
+    """Degree-correlation of the doc graph (hubs-link-hubs vs hubs-link-
+    leaves) as the exact integer Pearson pair r_num/r_den over all directed
+    orientations — one combiner degree count, two bucketed joins, one
+    moment-sum pass."""
+    from ..stages.graph import degree_assortativity
+    from ..stages.relational import cogroup_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def cand(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us, vs = [], []
+        for delta, mask in ((1, d % 5 != 0), (4, d % 7 == 0),
+                            (10, d % 11 == 0)):
+            us.append(d[mask])
+            vs.append(d[mask] + delta)
+        return pa.table({"u": pa.array(np.concatenate(us), pa.int64()),
+                         "v": pa.array(np.concatenate(vs), pa.int64())})
+
+    cands = docs.map_batches(cand, batch_format="pyarrow")
+    ids_v = docs.map_batches(
+        lambda b: pa.table({"v": b["doc_id"]}), batch_format="pyarrow")
+    edges = cogroup_join(cands, ids_v, ("v",), how="inner")
+    return degree_assortativity(edges, u_col="u", v_col="v",
+                                num_partitions=4)
+
+
+SQL_ASSORTATIVITY = """
+WITH e0 AS (
+  SELECT doc_id AS u, doc_id + 1 AS v FROM documents WHERE doc_id % 5 != 0
+  UNION ALL
+  SELECT doc_id, doc_id + 4 FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, doc_id + 10 FROM documents WHERE doc_id % 11 = 0
+), ev AS (
+  SELECT u, v FROM e0 WHERE v IN (SELECT doc_id FROM documents)
+), e AS (
+  SELECT u AS s, v AS d FROM ev UNION ALL SELECT v, u FROM ev
+), deg AS (SELECT s AS node, COUNT(*) AS k FROM e GROUP BY s),
+p AS (
+  SELECT a.k AS x, b.k AS y
+  FROM e JOIN deg a ON a.node = e.s JOIN deg b ON b.node = e.d
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sum_deg,
+         CAST(SUM(x * y) AS BIGINT) AS sum_prod,
+         CAST(SUM(x * x) AS BIGINT) AS sum_sq
+  FROM p
+)
+SELECT n_pairs, sum_deg, sum_prod, sum_sq,
+       CAST(n_pairs * sum_prod - sum_deg * sum_deg AS BIGINT) AS r_num,
+       CAST(n_pairs * sum_sq - sum_deg * sum_deg AS BIGINT) AS r_den
+FROM m
+"""
+
+QUERIES.update({"assortativity": q_assortativity})
+ORACLES.update({"assortativity": SQL_ASSORTATIVITY})
+
+
 # ═══════════════════════════════ triangle counting (clique graph, r4)
 
 def q_triangles(sf_dir: str):

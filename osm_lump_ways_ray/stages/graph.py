@@ -1404,3 +1404,68 @@ def double_sweep_diameter(edges_ds, *, u_col: str = "u", v_col: str = "v",
         "start_node": pa.array([s0], pa.int64()),
         "far_node": pa.array([far1], pa.int64()),
         "diameter_lb": pa.array([diam], pa.int64())}))
+
+
+def degree_assortativity(edges_ds, *, u_col: str = "u", v_col: str = "v",
+                         num_partitions: int = 8):
+    """Degree-correlation of an undirected graph: Pearson over the
+    (deg_u, deg_v) pairs of every directed orientation — positive means
+    hubs link hubs (social nets), negative means hubs link leaves (the
+    web). Exact INTEGER moment sums, reported as the (r_num, r_den)
+    pair ``r = r_num / r_den`` (both = n·Σxy−(Σx)² / n·Σx²−(Σx)²; Σy = Σx
+    by symmetry) so the SQL oracle matches bit-for-bit.
+
+    Shape: degree table via one combiner count, degrees joined onto both
+    endpoints (two bucketed joins), one moment-sum combiner pass — no
+    per-node state, no driver collections beyond the one-row result."""
+    import ray.data as rd
+
+    from .relational import bucket_agg, cogroup_join, concat_blocks, snapshot
+
+    sym = snapshot(concat_blocks(
+        edges_ds.map_batches(
+            lambda b: pa.table({"s": b[u_col].cast(pa.int64()),
+                                "d": b[v_col].cast(pa.int64())}),
+            batch_format="pyarrow"),
+        edges_ds.map_batches(
+            lambda b: pa.table({"s": b[v_col].cast(pa.int64()),
+                                "d": b[u_col].cast(pa.int64())}),
+            batch_format="pyarrow")))
+    deg = bucket_agg(sym.map_batches(
+        lambda b: pa.table({"node": b["s"]}), batch_format="pyarrow"),
+        "node", {"k": (None, "count")},
+        num_partitions=num_partitions, combine=True)
+    ds_u = cogroup_join(sym, deg.map_batches(
+        lambda b: pa.table({"s": b["node"], "x": b["k"]}),
+        batch_format="pyarrow"), ("s",), how="inner",
+        num_partitions=num_partitions)
+    ds_uv = cogroup_join(ds_u, deg.map_batches(
+        lambda b: pa.table({"d": b["node"], "y": b["k"]}),
+        batch_format="pyarrow"), ("d",), how="inner",
+        num_partitions=num_partitions)
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sum_deg": pa.array([int(x.sum())], pa.int64()),
+            "sum_prod": pa.array([int((x * y).sum())], pa.int64()),
+            "sum_sq": pa.array([int((x * x).sum())], pa.int64())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = int(t["n"].to_numpy().sum())
+        sx = int(t["sum_deg"].to_numpy().sum())
+        sxy = int(t["sum_prod"].to_numpy().sum())
+        sxx = int(t["sum_sq"].to_numpy().sum())
+        return pa.table({
+            "n_pairs": pa.array([n], pa.int64()),
+            "sum_deg": pa.array([sx], pa.int64()),
+            "sum_prod": pa.array([sxy], pa.int64()),
+            "sum_sq": pa.array([sxx], pa.int64()),
+            "r_num": pa.array([n * sxy - sx * sx], pa.int64()),
+            "r_den": pa.array([n * sxx - sx * sx], pa.int64())})
+
+    return ds_uv.map_batches(moments, batch_format="pyarrow") \
+        .repartition(1).map_batches(finish, batch_format="pyarrow",
+                                    batch_size=None)

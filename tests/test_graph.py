@@ -398,3 +398,22 @@ def test_double_sweep_diameter_path_graph(ray_session):
     e = pa.table({"u": pa.array([], pa.int64()),
                   "v": pa.array([], pa.int64())})
     assert double_sweep_diameter(ray.data.from_arrow(e)).take_all() == []
+
+
+def test_degree_assortativity_star_graph(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.stages.graph import degree_assortativity
+
+    # star K1,3: center deg 3, leaves deg 1 -> perfectly disassortative
+    # pairs (both orientations): (3,1)x3, (1,3)x3
+    t = pa.table({"u": pa.array([0, 0, 0], pa.int64()),
+                  "v": pa.array([1, 2, 3], pa.int64())})
+    row = degree_assortativity(ray.data.from_arrow(t)).take_all()[0]
+    n, sx = 6, 12            # Σx over {3,3,3,1,1,1}
+    sxy, sxx = 18, 30        # Σxy over 6 pairs of (3·1); Σx²
+    assert (row["n_pairs"], row["sum_deg"], row["sum_prod"],
+            row["sum_sq"]) == (n, sx, sxy, sxx)
+    assert row["r_num"] == n * sxy - sx * sx == -36   # r = -1
+    assert row["r_den"] == n * sxx - sx * sx == 36
