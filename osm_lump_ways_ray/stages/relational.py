@@ -649,7 +649,8 @@ def skew_join(left, right, on: str, *, right_on: Optional[str] = None,
         return batch.select(sorted(batch.column_names))
 
     if len(hot_keys) == 0:
-        return hash_join(left, right, (on,), num_partitions=num_partitions) \
+        return cogroup_join(left, right, (on,),
+                            num_partitions=num_partitions) \
             .map_batches(_canon_cols, batch_format="pyarrow")
 
     hot_ref = ray.put(hot_keys)
@@ -676,7 +677,12 @@ def skew_join(left, right, on: str, *, right_on: Optional[str] = None,
         return hot
     left_cold = left.map_batches(lambda b: split(b, False),
                                  batch_format="pyarrow")
-    cold = hash_join(left_cold, right, (on,), num_partitions=num_partitions) \
+    # cogroup_join, not Dataset.join: Ray 2.49's hash-join aggregator actors
+    # misbehave on repeated same-shaped joins in one session (see
+    # cogroup_join's docstring) — and its small-right fast path broadcasts
+    # the dimension side anyway
+    cold = cogroup_join(left_cold, right, (on,),
+                        num_partitions=num_partitions) \
         .map_batches(_canon_cols, batch_format="pyarrow")
     return concat_blocks(cold, hot)
 
