@@ -3169,6 +3169,79 @@ QUERIES.update({"multimodal_decode": q_multimodal_decode})
 ORACLES.update({"multimodal_decode": SQL_MULTIMODAL_DECODE})
 
 
+def q_png_decode(sf_dir: str):
+    """REAL PNG decode (stdlib zlib, no PIL): per doc a deterministic
+    gradient image is encoded to actual PNG bytes — DEFLATE-compressed
+    scanlines with the per-row adaptive filter heuristic, so the payloads mix
+    Sub/Up/Average/Paeth rows — then DecodeImage routes on the PNG signature,
+    inflates, unfilters, sums channels and resizes. The SQL oracle recomputes
+    the same pixel arithmetic from doc_id; a value match certifies the whole
+    compress→filter→unfilter→decompress path bit-exactly."""
+    from ..stages.multimodal import decode_images, encode_png
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for di in d:
+            w = int(di % 11 + 5)
+            h = int(di % 7 + 4)
+            x = np.arange(w, dtype=np.int64)
+            y = np.arange(h, dtype=np.int64)
+            c = np.arange(3, dtype=np.int64)
+            img = ((x[None, :, None] * 7 + y[:, None, None] * 3
+                    + di * 13 + c[None, None, :] * 17) % 256).astype(np.uint8)
+            payloads.append(encode_png(img))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    enc = docs.map_batches(synth, batch_format="pyarrow")
+    return decode_images(enc, max_side=8)
+
+
+SQL_PNG_DECODE = """
+WITH dim AS (
+  SELECT doc_id, doc_id % 11 + 5 AS w, doc_id % 7 + 4 AS h,
+         GREATEST(doc_id % 11 + 5, doc_id % 7 + 4) AS mx
+  FROM documents
+), rdim AS (
+  SELECT *,
+         CASE WHEN mx <= 8 THEN w ELSE GREATEST(1, w * 8 // mx) END AS rw,
+         CASE WHEN mx <= 8 THEN h ELSE GREATEST(1, h * 8 // mx) END AS rh
+  FROM dim
+), px AS (
+  SELECT doc_id,
+         (x * 7 + y * 3 + doc_id * 13) % 256 AS r,
+         (x * 7 + y * 3 + doc_id * 13 + 17) % 256 AS g,
+         (x * 7 + y * 3 + doc_id * 13 + 34) % 256 AS b
+  FROM dim, UNNEST(generate_series(0, w - 1)) AS tx(x),
+       UNNEST(generate_series(0, h - 1)) AS ty(y)
+), sums AS (
+  SELECT doc_id, CAST(SUM(r) AS BIGINT) AS sum_r,
+         CAST(SUM(g) AS BIGINT) AS sum_g, CAST(SUM(b) AS BIGINT) AS sum_b
+  FROM px GROUP BY doc_id
+), rpx AS (
+  SELECT doc_id,
+         ((j * w // rw) * 7 + (i * h // rh) * 3 + doc_id * 13) % 256 AS r,
+         ((j * w // rw) * 7 + (i * h // rh) * 3 + doc_id * 13 + 17) % 256 AS g,
+         ((j * w // rw) * 7 + (i * h // rh) * 3 + doc_id * 13 + 34) % 256 AS b
+  FROM rdim, UNNEST(generate_series(0, rw - 1)) AS tj(j),
+       UNNEST(generate_series(0, rh - 1)) AS ti(i)
+), gsum AS (
+  SELECT doc_id, CAST(SUM((r + g + b) // 3) AS BIGINT) AS resized_graysum
+  FROM rpx GROUP BY doc_id
+)
+SELECT d.doc_id, d.w AS width, d.h AS height, d.w * d.h AS n_pixels,
+       s.sum_r, s.sum_g, s.sum_b, gs.resized_graysum
+FROM dim d JOIN sums s ON s.doc_id = d.doc_id
+JOIN gsum gs ON gs.doc_id = d.doc_id
+"""
+
+QUERIES.update({"png_decode": q_png_decode})
+ORACLES.update({"png_decode": SQL_PNG_DECODE})
+
+
 # ═══════════════════════════════════════════ JSON property extraction
 
 

@@ -20,6 +20,8 @@ Two decode tiers:
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pyarrow as pa
 
@@ -164,11 +166,11 @@ def multimodal_pipeline(docs_ds, *, concurrency=None, batch_size: int = 256):
 
 
 # ------------------------------------------------- REAL decode (pure numpy)
-# PIL/ffmpeg are not in this container, but UNCOMPRESSED formats need no
-# codec library: BMP (BITMAPINFOHEADER, 24-bit) and PPM (P6) decode with
-# header parsing + a reshape. This is real pixel math over real bytes — the
-# import-gated stub above remains only for compressed formats (JPEG/PNG)
-# and video.
+# PIL/ffmpeg are not in this container, but that only blocks JPEG and video:
+# BMP (BITMAPINFOHEADER, 24-bit) and PPM (P6) decode with header parsing +
+# a reshape, and PNG decodes with stdlib zlib + the five spec filters (codec
+# below). This is real pixel math over real bytes — the import-gated stub
+# above remains only for JPEG and video frames.
 
 def encode_bmp24(arr: np.ndarray) -> bytes:
     """(H, W, 3) uint8 RGB → 24-bit uncompressed BMP bytes (bottom-up rows,
@@ -239,6 +241,168 @@ def decode_ppm(buf: bytes) -> np.ndarray:
                          offset=pos).reshape(h, w, 3)
 
 
+# ─────────────────────────────── real PNG codec (zlib is stdlib, no PIL)
+# PNG's only hard dependency is DEFLATE (stdlib ``zlib``) and CRC-32 (stdlib
+# ``binascii``), so the "compressed formats need PIL" line stops at JPEG:
+# this is a complete 8-bit PNG encoder/decoder — all five scanline filters
+# (None/Sub/Up/Average/Paeth, spec §9), gray / gray+alpha / RGB / RGBA color
+# types, non-interlaced. Encode picks the per-row filter with the standard
+# minimum-sum-of-absolute-differences heuristic (what libpng does), so a
+# roundtrip genuinely exercises every unfilter path.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: colortype → samples per pixel (8-bit depth)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import binascii
+
+    return (len(payload).to_bytes(4, "big") + tag + payload
+            + (binascii.crc32(tag + payload) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+
+def _paeth_predictor(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth (spec §9.4) over int16 inputs; returns uint8."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa_ = np.abs(p - a)
+    pb_ = np.abs(p - b)
+    pc_ = np.abs(p - c)
+    out = np.where((pa_ <= pb_) & (pa_ <= pc_), a,
+                   np.where(pb_ <= pc_, b, c))
+    return out.astype(np.uint8)
+
+
+def encode_png(arr: np.ndarray, *, filter_type: Optional[int] = None,
+               level: int = 6) -> bytes:
+    """uint8 image → PNG bytes. ``(H, W)`` → grayscale (colortype 0),
+    ``(H, W, 2)`` → gray+alpha (4), ``(H, W, 3)`` → RGB (2), ``(H, W, 4)`` →
+    RGBA (6). ``filter_type`` pins one scanline filter (0-4) for tests; the
+    default is libpng's per-row min-sum-of-abs heuristic."""
+    import zlib
+
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_png wants uint8 pixels")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = np.ascontiguousarray(arr).reshape(h, w * ch)
+    prev = np.vstack([np.zeros((1, w * ch), np.uint8), raw[:-1]])  # Up ref
+    left = np.zeros_like(raw)
+    left[:, ch:] = raw[:, :-ch]                                    # Sub ref
+    upleft = np.zeros_like(raw)
+    upleft[:, ch:] = prev[:, :-ch]
+    cand = np.empty((5, h, w * ch), np.uint8)
+    cand[0] = raw
+    cand[1] = raw - left
+    cand[2] = raw - prev
+    cand[3] = raw - ((left.astype(np.int16) + prev.astype(np.int16)) // 2
+                     ).astype(np.uint8)
+    cand[4] = raw - _paeth_predictor(left, prev, upleft)
+    if filter_type is None:
+        # per-row heuristic: minimize Σ|signed byte| of the filtered row
+        cost = np.abs(cand.astype(np.int8).astype(np.int16)).sum(axis=2)
+        pick = cost.argmin(axis=0).astype(np.uint8)
+    else:
+        pick = np.full(h, filter_type, np.uint8)
+    scan = np.empty((h, 1 + w * ch), np.uint8)
+    scan[:, 0] = pick
+    scan[:, 1:] = cand[pick, np.arange(h)]
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, colortype, 0, 0, 0]))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), level))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array, channels as stored (``(H, W, ch)``; gray
+    stays 1-channel). 8-bit depth, colortypes 0/2/4/6, non-interlaced —
+    i.e. everything ``encode_png`` emits plus the common wild cases short of
+    palettes and 16-bit. Unfilters all five filter types; Sub/Up/None/Average
+    rows are numpy-vectorized along the row (Sub via per-lane cumsum),
+    Average/Paeth fall back to a per-pixel walk only where the left-pixel
+    dependency is genuinely sequential."""
+    import zlib
+
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(buf):
+        ln = int.from_bytes(buf[pos:pos + 4], "big")
+        tag = buf[pos + 4:pos + 8]
+        payload = buf[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + tag + payload + crc
+        if tag == b"IHDR":
+            meta = (int.from_bytes(payload[0:4], "big"),
+                    int.from_bytes(payload[4:8], "big"),
+                    payload[8], payload[9], payload[12])
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, colortype, interlace = meta
+    if depth != 8 or interlace != 0 or colortype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} colortype={colortype} interlace={interlace} "
+            "unsupported (8-bit gray/GA/RGB/RGBA, non-interlaced only)")
+    ch = _PNG_CHANNELS[colortype]
+    rowlen = w * ch
+    scan = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if scan.size != h * (1 + rowlen):
+        raise ValueError("PNG scanline payload size mismatch")
+    scan = scan.reshape(h, 1 + rowlen)
+    filters = scan[:, 0]
+    out = np.empty((h, rowlen), np.uint8)
+    zero = np.zeros(rowlen, np.uint8)
+    for y in range(h):
+        f = filters[y]
+        row = scan[y, 1:]
+        up = out[y - 1] if y else zero
+        if f == 0:
+            out[y] = row
+        elif f == 1:  # Sub: per-lane prefix sum mod 256
+            out[y] = (np.cumsum(row.reshape(w, ch), axis=0, dtype=np.int64)
+                      & 0xFF).astype(np.uint8).reshape(rowlen)
+        elif f == 2:  # Up
+            out[y] = row + up
+        elif f == 3:  # Average — left-dependency is sequential
+            r = out[y]
+            r[:ch] = row[:ch] + (up[:ch] >> 1)
+            for x in range(ch, rowlen):
+                r[x] = row[x] + ((int(r[x - ch]) + int(up[x])) >> 1)
+        elif f == 4:  # Paeth — left-dependency is sequential
+            r = out[y]
+            r[:ch] = row[:ch] + _paeth_predictor(
+                zero[:ch], up[:ch], zero[:ch])
+            for x in range(ch, rowlen):
+                a, b, c = int(r[x - ch]), int(up[x]), int(up[x - ch]) if y else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                r[x] = row[x] + pred
+        else:
+            raise ValueError(f"PNG filter type {f}")
+    img = out.reshape(h, w, ch)
+    return img[:, :, 0][:, :, None] if ch == 1 else img
+
+
+def decode_png_rgb(buf: bytes) -> np.ndarray:
+    """PNG bytes → ``(H, W, 3)`` uint8 RGB: gray replicates across channels,
+    alpha is dropped (matches ``PIL.Image.convert("RGB")`` for opaque/ignored
+    alpha)."""
+    img = decode_png(buf)
+    ch = img.shape[2]
+    if ch == 1:
+        return np.repeat(img, 3, axis=2)
+    if ch == 2:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]
+
+
 def resize_nearest(img: np.ndarray, max_side: int) -> np.ndarray:
     """Nearest-neighbour resize fitting inside ``max_side`` (aspect kept,
     integer floor mapping src = dst * src_size // dst_size — reproducible in
@@ -255,11 +419,11 @@ def resize_nearest(img: np.ndarray, max_side: int) -> np.ndarray:
 
 
 class DecodeImage:
-    """REAL decode actor: binary BMP/PPM payloads → per-image stats + a
+    """REAL decode actor: binary PNG/BMP/PPM payloads → per-image stats + a
     pooled feature row, all integer (value-exact against a SQL oracle that
     recomputes the same pixel arithmetic). One actor decodes many batches;
-    a payload that is neither BMP nor P6 raises (use DecodeImageStub for
-    opaque/compressed payloads)."""
+    formats are routed by magic bytes, anything else raises (use
+    DecodeImageStub for opaque JPEG/video payloads)."""
 
     def __init__(self, payload_col: str = "payload", id_col: str = "doc_id",
                  max_side: int = 8):
@@ -268,6 +432,8 @@ class DecodeImage:
         self.max_side = max_side
 
     def decode(self, buf: bytes) -> np.ndarray:
+        if buf[:8] == _PNG_SIG:
+            return decode_png_rgb(buf)
         if buf[:2] == b"BM":
             return decode_bmp24(buf)
         if buf[:2] == b"P6":
@@ -279,8 +445,8 @@ class DecodeImage:
 
             return np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
         raise NotImplementedError(
-            "compressed image formats need PIL, which is not in this "
-            "container; BMP24/PPM-P6 decode natively")
+            "JPEG/video need PIL/ffmpeg, which are not in this container; "
+            "PNG, BMP24 and PPM-P6 decode natively")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
