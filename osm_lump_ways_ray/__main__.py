@@ -70,14 +70,28 @@ def cmd_lump(args) -> int:
             print(f"error: --split-files-by-group needs %s in {path!r}",
                   file=sys.stderr)
             return 2
+        if (not args.overwrite and "%s" not in path
+                and os.path.exists(path)):
+            print(f"error: {path!r} exists; pass --overwrite "
+                  "(cli_args.rs:43-46)", file=sys.stderr)
+            return 2
         outputs.append(Output(path=path, geometry=geometry,
                               props=("component_id", "length_m", "num_nodes"),
                               split_by=(args.tag_group_by
                                         if args.split_files_by_group else None)))
+    if args.min_upstream_m is not None:
+        # parity no-op: the reference lump binary declares --min-upstream-m
+        # but never reads it (grep of bin/osm-lump-ways/main.rs)
+        print("warning: --min-upstream-m is declared-but-unused in the "
+              "reference lump binary; ignored here too", file=sys.stderr)
 
     if args.incl_wayids:
         outputs = [Output(path=o.path, geometry=o.geometry,
                           props=tuple(o.props) + ("all_wayids",),
+                          split_by=o.split_by) for o in outputs]
+    if args.incl_dist_to_longer:
+        outputs = [Output(path=o.path, geometry=o.geometry,
+                          props=tuple(o.props) + ("dist_to_longer_m",),
                           split_by=o.split_by) for o in outputs]
     pipe = Pipeline(filter=args.tag_filter, group_by=args.tag_group_by,
                     min_length_m=args.min_length_m,
@@ -90,10 +104,22 @@ def cmd_lump(args) -> int:
                         args.only_these_way_groups_nodeid or ()),
                     only_these_way_groups_divmod=args.only_these_way_groups_divmod,
                     incl_wayids=args.incl_wayids,
+                    incl_unset_group=args.incl_unset_group,
+                    only_longest_n_per_group=args.only_longest_n_per_group,
+                    split_into_single_paths=args.split_into_single_paths,
+                    split_into_single_paths_by=args.split_into_single_paths_by,
+                    only_longest_n_splitted_paths=(
+                        args.only_longest_n_splitted_paths),
+                    max_sinuosity=args.max_sinuosity,
+                    incl_dist_to_longer=args.incl_dist_to_longer,
+                    min_dist_to_longer_m=args.min_dist_to_longer_m,
+                    csv_stats_file=args.csv_stats_file,
+                    openmetrics=args.openmetrics,
                     output_frames=args.output_frames,
                     frames_group_min_length_m=args.frames_group_min_length_m,
                     betweenness_output=args.betweenness_output,
                     betweenness_min_value=args.betweenness_min_value,
+                    betweenness_min_fraction=args.betweenness_min_fraction,
                     betweenness_max_nodes=args.betweenness_max_nodes,
                     outputs=tuple(outputs),
                     num_partitions=args.num_partitions,
@@ -102,7 +128,7 @@ def cmd_lump(args) -> int:
     n = res["components"].count()
     summary = {"components": n, "metrics": res["metrics"],
                "written": res["written"]}
-    for k in ("frames_written", "betweenness_written"):
+    for k in ("frames_written", "betweenness_written", "stats_written"):
         if k in res:
             summary[k] = res[k]
     print(json.dumps(summary))
@@ -225,22 +251,69 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     pl = sub.add_parser("lump", help="flagship lump over a pages table")
-    pl.add_argument("-i", "--input", help="pages Parquet path/dir")
+    pl.add_argument("-i", "--input", "--input-filename", dest="input",
+                    help="pages Parquet path/dir")
     pl.add_argument("--synth", type=int, default=None,
                     help="synthesize N deterministic pages instead of --input")
     pl.add_argument("--seed", type=int, default=42)
-    pl.add_argument("-o", "--output", action="append",
+    pl.add_argument("-o", "--output", "--output-filename", dest="output",
+                    action="append",
                     help=".geojson | .geojsons | .geojsonl (repeatable)")
+    pl.add_argument("--overwrite", action="store_true",
+                    help="overwrite existing output files (default: exit, "
+                         "cli_args.rs:43-46)")
     pl.add_argument("-f", "--tag-filter", default=None,
                     help="M2 filter DSL, e.g. 'name' or 'lang=en'")
-    pl.add_argument("-g", "--tag-group-by", default="name")
+    pl.add_argument("-g", "--tag-group-by", "--tag-group-k",
+                    dest="tag_group_by", default="name")
+    pl.add_argument("--incl-unset-group", action="store_true",
+                    help="also keep features whose group tag is unset "
+                         "(cli_args.rs:96-98)")
     pl.add_argument("--min-length-m", type=float, default=None)
     pl.add_argument("--min-length", default=None,
                     help="DSL: 100 | 5km | 10%%longest | 2%%total | "
                          "incl90%%total (way_group.rs:205-245; conflicts "
                          "with --min-length-m)")
     pl.add_argument("--max-length-m", type=float, default=None)
-    pl.add_argument("--only-longest-n", type=int, default=None)
+    pl.add_argument("--only-longest-n", "--only-longest-n-per-file",
+                    dest="only_longest_n", type=int, default=None,
+                    help="keep the N longest features per output file "
+                         "(cli_args.rs:128-130)")
+    pl.add_argument("--only-longest-n-per-group", type=int, default=None,
+                    help="keep the N longest features per tag group "
+                         "(cli_args.rs:124-126)")
+    pl.add_argument("--split-into-single-paths", action="store_true",
+                    help="decompose each group into linear paths, one "
+                         "LineString feature each (cli_args.rs:142-143)")
+    pl.add_argument("--split-into-single-paths-by",
+                    choices=["as-crow-flies", "longest-path"],
+                    default="as-crow-flies",
+                    help="how the largest path is chosen (cli_args.rs:146-157)")
+    pl.add_argument("--only-longest-n-splitted-paths", type=int, default=None,
+                    help="per way group keep only the N longest paths "
+                         "(cli_args.rs:132-134)")
+    pl.add_argument("--max-sinuosity", type=float, default=None,
+                    help="drop paths whose length/straight-line-distance "
+                         "exceeds this (requires --split-into-single-paths)")
+    pl.add_argument("--incl-dist-to-longer", "--incl-distance-to-longer",
+                    dest="incl_dist_to_longer", action="store_true",
+                    help="add dist_to_longer_m per feature: distance to the "
+                         "nearest longer group (the reference DECLARES this "
+                         "flag but asserts it off, main.rs:735 — here it is "
+                         "implemented)")
+    pl.add_argument("--min-dist-to-longer-m", type=float, default=None,
+                    help="keep features at least this far from any longer "
+                         "group (requires --incl-dist-to-longer)")
+    pl.add_argument("--min-upstream-m", type=float, default=None,
+                    help="accepted for parity; the reference lump binary "
+                         "declares but never reads it (cli_args.rs:196-198)")
+    pl.add_argument("--csv-stats-file", default=None,
+                    help="append per-area stats CSV rows (timestamp, "
+                         "iso_timestamp, area, metric, value; "
+                         "cli_args.rs:201-213)")
+    pl.add_argument("--openmetrics", default=None,
+                    help="write the same per-area stats as OpenMetrics "
+                         "gauges (cli_args.rs:215-217)")
     pl.add_argument("--only-these-way-groups", type=int, action="append",
                     help="K8 debug: keep groups containing this way id "
                          "(repeatable)")
@@ -251,14 +324,20 @@ def main(argv=None) -> int:
     pl.add_argument("--only-these-way-groups-divmod", default=None,
                     metavar="M/R", help="K8 debug: keep groups where "
                                         "component_id %% M == R")
-    pl.add_argument("--incl-wayids", action="store_true",
-                    help="add all_wayids JSON-list property per feature")
+    pl.add_argument("--incl-wayids", "--incl-way-ids", "--include-wayids",
+                    "--include-way-ids", dest="incl_wayids",
+                    action="store_true",
+                    help="add all_wayids JSON-list property per feature "
+                         "(conflicts with --split-into-single-paths)")
     pl.add_argument("--output-frames", default=None,
                     help="write G8 frame lines (GeoJSONSeq) to this path")
     pl.add_argument("--frames-group-min-length-m", type=float, default=None)
     pl.add_argument("--betweenness-output", default=None,
                     help="write G9 per-edge betweenness lines to this path")
     pl.add_argument("--betweenness-min-value", type=int, default=0)
+    pl.add_argument("--betweenness-min-fraction", type=float, default=0.0,
+                    help="keep edges with bc_value/max >= this "
+                         "(cli_args.rs:236-242)")
     pl.add_argument("--betweenness-max-nodes", type=int, default=2000)
     pl.add_argument("--save-as-linestrings", action="store_true")
     pl.add_argument("--split-files-by-group", action="store_true")

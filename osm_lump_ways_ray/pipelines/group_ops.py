@@ -452,9 +452,14 @@ def component_compress_stats(edges_g, labels, *, num_partitions: int = 8,
 def component_lines(edges_g, labels, nodes_ds, *, method: str = "random",
                     num_partitions: int = 8,
                     max_group_rows: Optional[int] = MAX_GROUP_ROWS,
-                    grouped_rows=None):
+                    with_geometry: bool = False, grouped_rows=None):
     """G4/G5 per component → path rows (g, component_id, line_idx, n_nodes,
-    dist_ends_m — reference M11 sinuosity prop, main.rs:789-796)."""
+    dist_ends_m — reference M11 sinuosity prop, main.rs:789-796).
+
+    ``with_geometry`` adds per-path ``length_m`` (haversine along the
+    inter-expanded polyline) and the e7 ``lats``/``lons`` — the
+    ``--split-into-single-paths`` writer path (cli_args.rs:143-157;
+    sinuosity = length_m / dist_ends_m, main.rs:789-796)."""
 
     def fn(df):
         import pandas as pd
@@ -463,6 +468,9 @@ def component_lines(edges_g, labels, nodes_ds, *, method: str = "random",
 
         edges, pos = _split_group(df)
         g = _graph_of(edges)
+        # into_lines_* CONSUME the graph (edges + inters) — geometry/length
+        # come from a pristine twin
+        ref = _graph_of(edges) if with_geometry else None
         lines = (g.into_lines_random() if method == "random"
                  else g.into_lines_as_crow_flies(pos))
         rows = []
@@ -473,10 +481,22 @@ def component_lines(edges_g, labels, nodes_ds, *, method: str = "random",
                 dist_ends = float(haversine_m_fp(
                     np.array([a[0]]), np.array([a[1]]),
                     np.array([b[0]]), np.array([b[1]]))[0])
-            rows.append((int(df["g"].iloc[0]), int(df["component_id"].iloc[0]),
-                         i, len(line), dist_ends))
-        return pd.DataFrame(rows, columns=["g", "component_id", "line_idx",
-                                           "n_nodes", "dist_ends_m"])
+            rec = [int(df["g"].iloc[0]), int(df["component_id"].iloc[0]),
+                   i, len(line), dist_ends]
+            if with_geometry:
+                full = [line[0]]
+                length = 0.0
+                for a, b in zip(line, line[1:]):
+                    full.extend(ref.expand(a, b)[1:])
+                    length += ref.edge_length_m(a, b, pos)
+                rec.append(length)
+                rec.append([pos[n][0] for n in full])
+                rec.append([pos[n][1] for n in full])
+            rows.append(tuple(rec))
+        cols = ["g", "component_id", "line_idx", "n_nodes", "dist_ends_m"]
+        if with_geometry:
+            cols += ["length_m", "lats", "lons"]
+        return pd.DataFrame(rows, columns=cols)
 
     rows = grouped_rows if grouped_rows is not None else _grouped_rows(
         edges_g, labels, nodes_ds, num_partitions,

@@ -947,6 +947,60 @@ def q_knn_partitioned(sf_dir: str):
     return out.select_columns(["node_id", "nearest_anchor"])
 
 
+def q_dist_to_longer(sf_dir: str):
+    """Distance to the nearest LONGER group (the reference's
+    --incl-dist-to-longer, cli_args.rs:174-178, declared-but-asserted-off
+    at main.rs:735 — implemented here): nodes grouped by (node_id-1) % 37,
+    each group's 'length' a deterministic hash of the group id; per group
+    the min haversine to any point of a strictly longer group (tie-break
+    lexicographic on (length, g, component_id)). The globally longest group
+    is omitted. Grid-bucketed 3×3 search with widening rounds — no
+    broadcast, no all-pairs (stages/spatial.py dist_to_longer_join)."""
+    from ..stages.spatial import dist_to_longer_join
+
+    nodes = _nodes_pos(sf_dir)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        nid = batch["node_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (nid - 1) % 37
+        length = ((g * 2654435761) % 100003).astype(np.float64)
+        return pa.table({
+            "g": pa.array(g, pa.int64()),
+            "component_id": pa.array(np.zeros(len(g), np.int64), pa.int64()),
+            "length_m": pa.array(length, pa.float64()),
+            "lat": batch["lat"], "lon": batch["lon"],
+        })
+
+    pts = nodes.map_batches(prep, batch_format="pyarrow")
+    out = dist_to_longer_join(pts, res=4, num_partitions=8)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch["dist_to_longer_m"].to_numpy(zero_copy_only=False)
+        dm = np.floor(d * 10 + 0.5).astype(np.int64)
+        return pa.table({"g": batch["g"],
+                         "dist_to_longer_dm": pa.array(dm, pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DIST_TO_LONGER = f"""
+WITH n AS ({NODES_SQL}),
+p AS (
+  SELECT node_id, lat, lon, (node_id - 1) % 37 AS g,
+         CAST(((node_id - 1) % 37) * 2654435761 % 100003 AS DOUBLE) AS len
+  FROM n
+),
+best AS (
+  SELECT a.g AS g,
+         MIN({_hav_sql("a.lat", "a.lon", "b.lat", "b.lon")}) AS d
+  FROM p a JOIN p b
+    ON b.len > a.len OR (b.len = a.len AND b.g > a.g)
+  GROUP BY a.g
+)
+SELECT g, {_dm("d")} AS dist_to_longer_dm FROM best
+"""
+
+
 # ═════════════════════════════════ no-SQL (rows-only) extension queries
 
 def q_minhash_clusters(sf_dir: str):
@@ -1276,6 +1330,7 @@ QUERIES = {
     "pip": q_pip,
     "knn_spatial": q_knn_spatial,
     "knn_partitioned": q_knn_partitioned,
+    "dist_to_longer": q_dist_to_longer,
     "minhash_clusters": q_minhash_clusters,
     "simhash": q_simhash,
     "simhash_clusters": q_simhash_clusters,
@@ -1319,6 +1374,7 @@ ORACLES = {
     "pip": SQL_PIP,
     "knn_spatial": SQL_KNN_SPATIAL,
     "knn_partitioned": SQL_KNN_SPATIAL,
+    "dist_to_longer": SQL_DIST_TO_LONGER,
     "multimodal_stub": SQL_MULTIMODAL_STUB,
     "minhash_clusters": SQL_MINHASH_CLUSTERS,
     "simhash": SQL_SIMHASH,

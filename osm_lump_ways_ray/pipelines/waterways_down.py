@@ -185,7 +185,23 @@ class Pipeline:
     frames_group_min_length_m: Optional[float] = None
     betweenness_output: Optional[str] = None  # G9 (cli_args.rs:219-253)
     betweenness_min_value: int = 0
+    betweenness_min_fraction: float = 0.0  # val/max ratio (main.rs:1126-1130)
     betweenness_max_nodes: int = 2000
+    incl_unset_group: bool = False        # cli_args.rs:96-98
+    only_longest_n_per_group: Optional[int] = None  # cli_args.rs:124-126
+    # --split-into-single-paths family (cli_args.rs:121,134,142-157):
+    # per-path LineString output; 'as-crow-flies' (default) or 'longest-path'
+    split_into_single_paths: bool = False
+    split_into_single_paths_by: str = "as-crow-flies"
+    only_longest_n_splitted_paths: Optional[int] = None
+    max_sinuosity: Optional[float] = None
+    # --incl-dist-to-longer (cli_args.rs:174-178): the reference DECLARES the
+    # flag but asserts it off (main.rs:735); implemented here for real via
+    # the grid-bucketed nearest-longer-group search in stages/spatial.py
+    incl_dist_to_longer: bool = False
+    min_dist_to_longer_m: Optional[float] = None
+    csv_stats_file: Optional[str] = None  # cli_args.rs:201-213
+    openmetrics: Optional[str] = None     # cli_args.rs:215-217
     outputs: Sequence[Output] = field(default_factory=tuple)
     num_partitions: int = 32
     checkpoint_dir: Optional[str] = None
@@ -197,6 +213,18 @@ class Pipeline:
                                        write_features_split)
 
         from ..stages.relational import cogroup_join, snapshot
+
+        if self.split_into_single_paths and self.incl_wayids:
+            raise ValueError("--incl-wayids conflicts with "
+                             "--split-into-single-paths (cli_args.rs:186)")
+        if self.max_sinuosity is not None and not self.split_into_single_paths:
+            raise ValueError("--max-sinuosity requires "
+                             "--split-into-single-paths (cli_args.rs:120-121)")
+        if self.split_into_single_paths_by not in ("as-crow-flies",
+                                                   "longest-path"):
+            raise ValueError("--split-into-single-paths-by must be "
+                             "'as-crow-flies' or 'longest-path' "
+                             f"(got {self.split_into_single_paths_by!r})")
 
         res = lump(pages_ds, num_partitions=self.num_partitions,
                    checkpoint_dir=self.checkpoint_dir,
@@ -218,6 +246,14 @@ class Pipeline:
                 batch_format="pyarrow")
         comps = cogroup_join(comps, gmap, ("g",), how="left_outer",
                              num_partitions=self.num_partitions)
+        if not self.incl_unset_group:
+            # grouping by a key requires it set unless --incl-unset-group
+            # (cli_args.rs:96-98); drop features whose tag value is null
+            import pyarrow.compute as pc
+
+            comps = comps.map_batches(
+                lambda b: b.filter(pc.is_valid(b[gb])),
+                batch_format="pyarrow")
         if self.filter:
             flt = parse_tag_filter(self.filter)
 
@@ -274,6 +310,25 @@ class Pipeline:
         if self.only_longest_n is not None:
             comps = comps.sort("length_m", descending=True) \
                          .limit(self.only_longest_n)
+        if self.only_longest_n_per_group is not None:
+            # K2 per tag group (cli_args.rs:124-126): components-per-group is
+            # bounded, so a per-group nlargest is a small map_groups
+            npg = int(self.only_longest_n_per_group)
+            comps = comps.groupby("g").map_groups(
+                lambda df: df.nlargest(npg, "length_m"),
+                batch_format="pandas")
+        if self.incl_dist_to_longer or self.min_dist_to_longer_m is not None:
+            comps = snapshot(self._with_dist_to_longer(res, comps))
+            if self.min_dist_to_longer_m is not None:
+                thr = float(self.min_dist_to_longer_m)
+
+                # the globally longest group has NO longer neighbor (null
+                # dist) — kept, like an infinite distance
+                def far_enough(r) -> bool:
+                    d = r["dist_to_longer_m"]
+                    return d is None or d >= thr
+
+                comps = comps.filter(far_enough)
         if self.incl_wayids:
             comps = snapshot(cogroup_join(
                 comps, self._component_wayids(res), ("g", "component_id"),
@@ -286,7 +341,9 @@ class Pipeline:
             res["betweenness_written"] = self._write_betweenness(res)
 
         written = []
-        if self.outputs:
+        if self.outputs and self.split_into_single_paths:
+            written = self._write_single_paths(res, comps)
+        elif self.outputs:
             geom = component_multilines(res,
                                         num_partitions=self.num_partitions)
             # inner join → the K-filters above apply to the written features;
@@ -336,7 +393,150 @@ class Pipeline:
                     written.append(write_features_single(spec_rows, spec.path,
                                                          **geo_kwargs))
         res["written"] = written
+        if self.csv_stats_file or self.openmetrics:
+            res["stats_written"] = self._write_stats(pages_ds, res, comps)
         return res
+
+    def _write_single_paths(self, res, comps):
+        """--split-into-single-paths (+ --split-into-single-paths-by /
+        --only-longest-n-splitted-paths / --max-sinuosity,
+        cli_args.rs:121-157): each way group decomposes into single linear
+        paths written as LineString features carrying the PATH's own
+        length_m / num_nodes / dist_ends_m / sinuosity."""
+        from ..pipelines.group_ops import component_lines
+        from ..sources.geojson import (write_features_single,
+                                       write_features_split)
+        from ..stages.relational import cogroup_join as _cj
+        from ..stages.relational import snapshot as _snap
+
+        method = ("crow" if self.split_into_single_paths_by == "as-crow-flies"
+                  else "random")
+        paths = component_lines(res["edges"], res["labels"], res["nodes"],
+                                method=method, with_geometry=True,
+                                num_partitions=self.num_partitions)
+        # inherit the K-filters (and the group tag value for %s split files)
+        keep_cols = ["g", "component_id"] + ([self.group_by]
+                                             if self.group_by else [])
+        rows = _snap(_cj(paths, comps.select_columns(keep_cols),
+                         ("g", "component_id"), how="inner",
+                         num_partitions=self.num_partitions))
+        if self.max_sinuosity is not None:
+            mx = float(self.max_sinuosity)
+
+            # sinuosity = path length / end-to-end crow distance
+            # (main.rs:789-796); degenerate paths (dist_ends 0 / single
+            # node) are dropped like an over-limit sinuosity
+            def sin_ok(r) -> bool:
+                d = r["dist_ends_m"]
+                return (d is not None and d > 0.0
+                        and r["length_m"] / d <= mx)
+
+            rows = rows.filter(sin_ok)
+        if self.only_longest_n_splitted_paths is not None:
+            nsp = int(self.only_longest_n_splitted_paths)
+            rows = rows.groupby(["g", "component_id"]).map_groups(
+                lambda df: df.nlargest(nsp, "length_m"),
+                batch_format="pandas")
+        rows = rows.sort("length_m", descending=True)
+
+        def finish(t: pa.Table) -> pa.Table:
+            sin = [(float(l) / d if (d is not None and d > 0) else None)
+                   for l, d in zip(t["length_m"].to_pylist(),
+                                   t["dist_ends_m"].to_pylist())]
+            return t.rename_columns(
+                ["num_nodes" if c == "n_nodes" else c
+                 for c in t.column_names]) \
+                .append_column("sinuosity", pa.array(sin, pa.float64()))
+
+        rows = rows.map_batches(finish, batch_format="pyarrow")
+        written = []
+        for spec in self.outputs:
+            props = [("num_nodes" if p == "n_nodes" else p)
+                     for p in spec.props if p != "all_wayids"]
+            props += [c for c in ("dist_ends_m", "sinuosity")
+                      if c not in props]
+            props = [p for p in props
+                     if p in ("g", "component_id", "length_m", "num_nodes",
+                              "line_idx", "dist_ends_m", "sinuosity",
+                              self.group_by)]
+            geo_kwargs = dict(props_cols=props, geometry="linestring")
+            if spec.split_by:
+                w = write_features_split(rows, spec.path,
+                                         split_col=spec.split_by,
+                                         **geo_kwargs)
+                written.append({"path": spec.path,
+                                "parts": sorted(r["part"]
+                                                for r in w.take_all())})
+            else:
+                written.append(write_features_single(rows, spec.path,
+                                                     **geo_kwargs))
+        return written
+
+    def _with_dist_to_longer(self, res, comps):
+        """--incl-dist-to-longer: per feature the distance to the nearest
+        point of a longer feature, computed among the OUTPUT feature set
+        (post-filter) via the grid-bucketed search in stages/spatial.py.
+        The reference declares this flag but asserts it off (main.rs:735)."""
+        from ..stages.relational import cogroup_join as _cj
+        from ..stages.spatial import dist_to_longer_join
+
+        pos = res["nodes"].select_columns(["node_id", "lat", "lon"]) \
+            .rename_columns(["node", "lat", "lon"])
+        pts = _cj(res["labels"], pos, ("node",), how="inner",
+                  num_partitions=self.num_partitions)
+        lens = comps.select_columns(["g", "component_id", "length_m"])
+        pts = _cj(pts, lens, ("g", "component_id"), how="inner",
+                  num_partitions=self.num_partitions) \
+            .select_columns(["g", "component_id", "length_m", "lat", "lon"])
+        d = dist_to_longer_join(pts, num_partitions=self.num_partitions)
+        return _cj(comps, d, ("g", "component_id"), how="left_outer",
+                   num_partitions=self.num_partitions)
+
+    def _write_stats(self, pages_ds, res, comps):
+        """--csv-stats-file / --openmetrics (cli_args.rs:201-217): per-area
+        metric rows (timestamp, iso_timestamp, area, metric, value) — area =
+        'planet' plus one row per geocode cell; metrics groups_count /
+        groups_length_m (planet) and nodes_count / components_count (cells,
+        from the tiles table). The timestamp is the data age: max warc_ts
+        over the input pages (the reference stamps its input file's data
+        age the same way)."""
+        import datetime
+
+        from ..sources.csvout import append_stats_csv, write_openmetrics
+
+        ts_max = pages_ds.max("warc_ts")
+        if hasattr(ts_max, "timestamp"):
+            epoch = int(ts_max.timestamp())
+        else:  # already epoch-like
+            epoch = int(ts_max) if ts_max is not None else 0
+        iso = datetime.datetime.fromtimestamp(
+            epoch, datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+        planet_count = comps.count()
+        planet_len = float(comps.sum("length_m") or 0.0)
+        metric_rows = [("planet", "groups_count", planet_count),
+                       ("planet", "groups_length_m", planet_len)]
+        for r in res["tiles"].take_all():  # one row per cell — bounded
+            cell = r.get("cell", r.get("tile"))
+            metric_rows.append((f"cell:{cell}", "components_count",
+                                int(r["num_components"])))
+            metric_rows.append((f"cell:{cell}", "nodes_count",
+                                int(r["num_nodes"])))
+
+        out = {}
+        if self.csv_stats_file:
+            append_stats_csv(
+                self.csv_stats_file,
+                ["timestamp", "iso_timestamp", "area", "metric", "value"],
+                [(epoch, iso, a, m, v) for a, m, v in metric_rows])
+            out["csv_stats_file"] = self.csv_stats_file
+        if self.openmetrics:
+            write_openmetrics(
+                self.openmetrics, "lump_stats",
+                [({"area": a, "metric": m}, v) for a, m, v in metric_rows],
+                help_text="per-area lump statistics")
+            out["openmetrics"] = self.openmetrics
+        return out
 
     # ---------------------------------------------------- K8/G8/G9 plumbing
 
@@ -436,6 +636,14 @@ class Pipeline:
         if self.betweenness_min_value:
             thr = int(self.betweenness_min_value)
             bc = bc.filter(lambda r: r["bc_value"] >= thr)
+        if self.betweenness_min_fraction:
+            # fraction = val / max(val) over the run (main.rs:1126-1130);
+            # max() is one scalar to the driver
+            bc = bc.materialize()
+            mx = bc.max("bc_value") or 0
+            cut = float(self.betweenness_min_fraction) * float(mx)
+            if mx:
+                bc = bc.filter(lambda r: r["bc_value"] >= cut)
         pos = res["nodes"].select_columns(["node_id", "lat", "lon"])
         for side in ("u", "v"):
             bc = _cj(bc,

@@ -681,3 +681,238 @@ def convex_hull_distributed(nodes_ds, *, lat_col: str = "lat",
         lat_col: pa.array(uniq[keep, 1], pa.int64()),
         lon_col: pa.array(uniq[keep, 0], pa.int64()),
     }))
+
+
+# ------------------------------------------- distance to nearest LONGER group
+
+def _longer_local_group(df):
+    """One cell: focal points (kind 0) × replicated candidate points (kind 1)
+    → per focal point the min distance to a candidate whose group strictly
+    outranks the focal's under the (length, g, component_id) lexicographic
+    order. Emits (g, component_id, lat, lon, length_m, best_m) with
+    best_m = inf when the neighborhood held no longer candidate."""
+    import pandas as pd
+
+    pts = df[df["kind"] == 0]
+    cand = df[df["kind"] == 1]
+    n = len(pts)
+    cols = ["g", "component_id", "lat", "lon", "length_m", "best_m"]
+    if n == 0:
+        return pd.DataFrame(columns=cols)
+    fl = pts["length_m"].to_numpy().astype(np.float64)
+    fg = pts["g"].to_numpy().astype(np.int64)
+    fc = pts["component_id"].to_numpy().astype(np.int64)
+    out = {"g": fg, "component_id": fc,
+           "lat": pts["lat"].to_numpy().astype(np.int64),
+           "lon": pts["lon"].to_numpy().astype(np.int64),
+           "length_m": fl}
+    if len(cand) == 0:
+        out["best_m"] = np.full(n, np.inf)
+        return pd.DataFrame(out)
+    c = cand.drop_duplicates(["g", "component_id", "lat", "lon"])
+    cl = c["length_m"].to_numpy().astype(np.float64)
+    cg = c["g"].to_numpy().astype(np.int64)
+    cc = c["component_id"].to_numpy().astype(np.int64)
+    lat = pts["lat"].to_numpy().astype(np.float64)
+    lon = pts["lon"].to_numpy().astype(np.float64)
+    d = haversine_m_fp(lat[:, None], lon[:, None],
+                       c["lat"].to_numpy().astype(np.float64)[None, :],
+                       c["lon"].to_numpy().astype(np.float64)[None, :])
+    # strict lexicographic (length, g, component_id) outranking mask
+    longer = (cl[None, :] > fl[:, None]) \
+        | ((cl[None, :] == fl[:, None])
+           & ((cg[None, :] > fg[:, None])
+              | ((cg[None, :] == fg[:, None]) & (cc[None, :] > fc[:, None]))))
+    d = np.where(longer, d, np.inf)
+    out["best_m"] = d.min(axis=1)
+    return pd.DataFrame(out)
+
+
+def dist_to_longer_join(points_ds, *, res: int = 4,
+                        num_partitions: int = 8):
+    """Per group, the distance (m) to the nearest point of a LONGER group —
+    the reference's ``--incl-dist-to-longer`` (cli_args.rs:174-178), which it
+    declares but asserts off (main.rs:735); implemented here for real.
+
+    ``points_ds``: one row per group point — (g, component_id, length_m,
+    lat, lon) with e7 fixed-point coordinates; every point of a group carries
+    the GROUP's length. "Longer" is the strict (length_m, g, component_id)
+    lexicographic order, so ties are deterministic. Returns one row per group
+    that HAS a longer group: (g, component_id, dist_to_longer_m); the global
+    maximum group is omitted (nothing outranks it).
+
+    Same partitioning scheme as ``knn_join_partitioned`` (3×3 cell
+    replication of the candidate side, conservative boundary-bound
+    confirmation, res−2 widening rounds to the exact global bucket), with one
+    extra upfront step: points of the GLOBAL max group are dropped before the
+    first round — they can never resolve and would otherwise drag every run
+    to the res-0 global bucket. Per-point answers are exact, so the final
+    per-group min is exact."""
+    import logging
+
+    import pyarrow.compute as pc
+
+    from ..functions.cells import cell_id_fp as _cid
+    from .relational import bucket_agg, concat_blocks, snapshot
+
+    # global max (length, g, component_id) — three scalar aggregates to the
+    # driver (lexicographic: max length → max g at that length → max c)
+    points_ds = points_ds.materialize()
+    if points_ds.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "g": pa.array([], pa.int64()),
+            "component_id": pa.array([], pa.int64()),
+            "dist_to_longer_m": pa.array([], pa.float64())}))
+    max_len = float(points_ds.max("length_m"))
+
+    def at_len(batch: pa.Table) -> pa.Table:
+        l = batch["length_m"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(l == max_len))
+
+    top_g = int(points_ds.map_batches(at_len, batch_format="pyarrow").max("g"))
+
+    def at_g(batch: pa.Table) -> pa.Table:
+        l = batch["length_m"].to_numpy(zero_copy_only=False)
+        g = batch["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array((l == max_len) & (g == top_g)))
+
+    top_c = int(points_ds.map_batches(at_g, batch_format="pyarrow")
+                .max("component_id"))
+    top_key = (max_len, top_g, top_c)
+
+    def not_top(batch: pa.Table) -> pa.Table:
+        l = batch["length_m"].to_numpy(zero_copy_only=False)
+        g = batch["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["component_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_top = (l == top_key[0]) & (g == top_key[1]) & (c == top_key[2])
+        return batch.filter(pa.array(~is_top))
+
+    pts = points_ds.map_batches(not_top, batch_format="pyarrow")
+
+    def tag_points(r):
+        def fn(batch: pa.Table) -> pa.Table:
+            cells = _cid(batch["lat"].to_numpy(zero_copy_only=False),
+                         batch["lon"].to_numpy(zero_copy_only=False), r)
+            n = len(batch)
+            return pa.table({
+                "cell": pa.array(cells, pa.int64()),
+                "kind": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+                "g": batch["g"], "component_id": batch["component_id"],
+                "length_m": batch["length_m"],
+                "lat": batch["lat"], "lon": batch["lon"],
+            })
+
+        return fn
+
+    def tag_cands(r):
+        def fn(batch: pa.Table) -> pa.Table:
+            lat = batch["lat"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lon = batch["lon"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cells = _cid(lat, lon, r)
+            nmax = np.int64(1) << r
+            latb = (cells >> 29) & ((1 << 29) - 1)
+            lonb = cells & ((1 << 29) - 1)
+            gs = batch["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cs = batch["component_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            ls = batch["length_m"].to_numpy(zero_copy_only=False)
+            parts = {k: [] for k in ("cell", "g", "c", "l", "lat", "lon")}
+            for dlat in (-1, 0, 1):
+                for dlon in (-1, 0, 1):
+                    lb = latb + dlat
+                    nb = (lonb + dlon) % nmax  # lon wraps
+                    ok = (lb >= 0) & (lb < nmax)
+                    parts["cell"].append((np.int64(r) << 58) | (lb[ok] << 29)
+                                         | nb[ok])
+                    parts["g"].append(gs[ok])
+                    parts["c"].append(cs[ok])
+                    parts["l"].append(ls[ok])
+                    parts["lat"].append(lat[ok])
+                    parts["lon"].append(lon[ok])
+            cell_a = np.concatenate(parts["cell"])
+            n = len(cell_a)
+            return pa.table({
+                "cell": pa.array(cell_a, pa.int64()),
+                "kind": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+                "g": pa.array(np.concatenate(parts["g"]), pa.int64()),
+                "component_id": pa.array(np.concatenate(parts["c"]),
+                                         pa.int64()),
+                "length_m": pa.array(np.concatenate(parts["l"]),
+                                     pa.float64()),
+                "lat": pa.array(np.concatenate(parts["lat"]), pa.int64()),
+                "lon": pa.array(np.concatenate(parts["lon"]), pa.int64()),
+            })
+
+        return fn
+
+    def split_confirm(r):
+        cell_deg_lat = 180.0 / (1 << r)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            best = batch["best_m"].to_numpy(zero_copy_only=False)
+            found = np.isfinite(best)
+            if r == 0:
+                return batch.append_column("confirmed",
+                                           pa.array(np.ones(len(batch), bool)))
+            lat = batch["lat"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64) / 1e7
+            lon = batch["lon"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64) / 1e7
+            nmax = float(1 << r)
+            latb = np.floor((lat + 90.0) / 180.0 * nmax)
+            lonb = np.floor((lon + 180.0) / 360.0 * nmax)
+            lat_lo = latb * 180.0 / nmax - 90.0
+            lon_lo = lonb * 360.0 / nmax - 180.0
+            dlat_deg = np.minimum(lat - lat_lo,
+                                  lat_lo + cell_deg_lat - lat) + cell_deg_lat
+            dlon_deg = np.minimum(lon - lon_lo, lon_lo + 2 * cell_deg_lat
+                                  - lon) + 2 * cell_deg_lat
+            coslat = np.cos(np.radians(np.minimum(
+                np.abs(lat) + 2 * cell_deg_lat, 90.0)))
+            bound_m = np.minimum(
+                dlat_deg * _M_PER_DEG_LAT_MIN,
+                dlon_deg * _M_PER_DEG_LAT_MIN * np.maximum(coslat, 0.0))
+            return batch.append_column("confirmed",
+                                       pa.array(found & (best <= bound_m)))
+
+        return fn
+
+    parts = []
+    r = res
+    while True:
+        tagged = concat_blocks(
+            pts.map_batches(tag_points(r), batch_format="pyarrow"),
+            points_ds.map_batches(tag_cands(r), batch_format="pyarrow"))
+        checked = snapshot(
+            tagged.groupby("cell").map_groups(_longer_local_group,
+                                              batch_format="pandas")
+            .map_batches(split_confirm(r), batch_format="pyarrow"))
+        parts.append(checked.map_batches(
+            lambda b: b.filter(b["confirmed"]), batch_format="pyarrow")
+            .select_columns(["g", "component_id", "best_m"]))
+        residue = checked.map_batches(
+            lambda b: b.filter(pc.invert(b["confirmed"])),
+            batch_format="pyarrow")
+        n_residue = residue.count()
+        if n_residue == 0:
+            break
+        logging.getLogger(__name__).info(
+            "dist_to_longer_join: %d unconfirmed at res %d — widening to "
+            "res %d", n_residue, r, max(r - 2, 0))
+        pts = residue.select_columns(
+            ["g", "component_id", "length_m", "lat", "lon"])
+        r = max(r - 2, 0)
+    per_point = concat_blocks(*parts) if len(parts) > 1 else parts[0]
+    out = bucket_agg(per_point, ["g", "component_id"],
+                     {"dist_to_longer_m": ("best_m", "min")},
+                     num_partitions=num_partitions, combine=True)
+    # inf = no longer candidate existed anywhere (only possible for the
+    # dropped global-max group, which never reaches here) — filtered for
+    # robustness
+    def finite(batch: pa.Table) -> pa.Table:
+        d = batch["dist_to_longer_m"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isfinite(d)))
+
+    return out.map_batches(finite, batch_format="pyarrow")

@@ -211,3 +211,115 @@ def test_cli_down_ends_membership_and_tag(tmp_path, capsys, ray_session):
     assert rows[0].endswith(",lang")
     vals = {r.split(",")[4]: r.split(",")[7] for r in rows[1:]}
     assert vals["4"] == "de" and vals["12"] == "fr"  # only edges TOUCHING the end
+
+
+def test_cli_lump_single_paths_and_per_group_topn(tmp_path, capsys,
+                                                  ray_session):
+    """--split-into-single-paths family + --only-longest-n-per-group +
+    --overwrite guard + the reference's flag aliases."""
+    out = tmp_path / "paths.geojsonl"
+    rc = main(["lump", "--synth", "2000", "-o", str(out),
+               "--split-into-single-paths", "--num-partitions", "4"])
+    assert rc == 0
+    lines = [json.loads(l) for l in out.read_text().splitlines() if l.strip()]
+    assert len(lines) > 0
+    assert all(l["geometry"]["type"] == "LineString" for l in lines)
+    props = lines[0]["properties"]
+    assert {"length_m", "num_nodes", "dist_ends_m", "sinuosity"} <= set(props)
+    # sinuosity = length / end-to-end distance >= 1 up to fp noise
+    assert all(l["properties"]["sinuosity"] is None
+               or l["properties"]["sinuosity"] >= 0.999 for l in lines)
+    # K1: sorted by path length desc
+    plens = [l["properties"]["length_m"] for l in lines]
+    assert plens == sorted(plens, reverse=True)
+
+    # per-component top-1 paths, longest-path method
+    out1 = tmp_path / "top1.geojsonl"
+    rc = main(["lump", "--synth", "2000", "-o", str(out1),
+               "--split-into-single-paths",
+               "--split-into-single-paths-by", "longest-path",
+               "--only-longest-n-splitted-paths", "1",
+               "--num-partitions", "4"])
+    assert rc == 0
+    l1 = [json.loads(l) for l in out1.read_text().splitlines() if l.strip()]
+    from collections import Counter
+
+    per = Counter((l["properties"]["component_id"]) for l in l1)
+    assert per and max(per.values()) == 1
+
+    # a tight --max-sinuosity drops paths (subset of the unfiltered run)
+    out2 = tmp_path / "sin.geojsonl"
+    rc = main(["lump", "--synth", "2000", "-o", str(out2),
+               "--split-into-single-paths", "--max-sinuosity", "3.0",
+               "--num-partitions", "4"])
+    assert rc == 0
+    l2 = [json.loads(l) for l in out2.read_text().splitlines() if l.strip()]
+    assert len(l2) < len(lines)
+    assert all(l["properties"]["sinuosity"] <= 3.0 for l in l2)
+
+    # --only-longest-n-per-group via the --tag-group-k alias
+    outg = tmp_path / "pg.geojson"
+    rc = main(["lump", "--synth", "2000", "--output-filename", str(outg),
+               "--only-longest-n-per-group", "2", "--tag-group-k", "name",
+               "--num-partitions", "4"])
+    assert rc == 0
+    fc = json.loads(outg.read_text())
+    assert len(fc["features"]) > 0
+
+    # --overwrite guard: second run on the same path fails without the flag
+    rc = main(["lump", "--synth", "2000", "-o", str(outg),
+               "--num-partitions", "4"])
+    assert rc == 2
+    rc = main(["lump", "--synth", "2000", "-o", str(outg),
+               "--num-partitions", "4", "--overwrite"])
+    assert rc == 0
+
+    # conflicts: --incl-wayids with --split-into-single-paths
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        main(["lump", "--synth", "2000", "-o", str(tmp_path / "x.geojson"),
+              "--split-into-single-paths", "--incl-wayids",
+              "--num-partitions", "4"])
+
+
+def test_cli_lump_stats_and_dist_to_longer(tmp_path, capsys, ray_session):
+    """--csv-stats-file / --openmetrics per-area stats + the implemented
+    --incl-dist-to-longer (declared-but-asserted-off in the reference)."""
+    out = tmp_path / "st.geojson"
+    csvp = tmp_path / "stats.csv"
+    omp = tmp_path / "stats.om"
+    rc = main(["lump", "--synth", "2000", "-o", str(out),
+               "--csv-stats-file", str(csvp), "--openmetrics", str(omp),
+               "--num-partitions", "4"])
+    assert rc == 0
+    rows = csvp.read_text().splitlines()
+    assert rows[0] == "timestamp,iso_timestamp,area,metric,value"
+    planet = [r for r in rows[1:] if r.split(",")[2] == "planet"]
+    assert {r.split(",")[3] for r in planet} == {"groups_count",
+                                                "groups_length_m"}
+    assert any(r.split(",")[2].startswith("cell:") for r in rows[1:])
+    om = omp.read_text()
+    assert "# TYPE lump_stats gauge" in om and om.rstrip().endswith("# EOF")
+    # append mode: a second run appends rows under one header
+    rc = main(["lump", "--synth", "2000", "-o", str(out),
+               "--csv-stats-file", str(csvp), "--num-partitions", "4",
+               "--overwrite"])
+    assert rc == 0
+    rows2 = csvp.read_text().splitlines()
+    assert len(rows2) == 2 * len(rows) - 1
+
+    out2 = tmp_path / "dtl.geojson"
+    rc = main(["lump", "--synth", "2000", "-o", str(out2),
+               "--incl-dist-to-longer", "--num-partitions", "4"])
+    assert rc == 0
+    fc = json.loads(out2.read_text())
+    dvals = [f["properties"]["dist_to_longer_m"] for f in fc["features"]]
+    # exactly one global-longest feature has no longer neighbor
+    assert sum(1 for d in dvals if d is None) == 1
+    assert all(d > 0 for d in dvals if d is not None)
+    # the longest feature is the null one
+    lens = [f["properties"]["length_m"] for f in fc["features"]]
+    null_len = [f["properties"]["length_m"] for f in fc["features"]
+                if f["properties"]["dist_to_longer_m"] is None][0]
+    assert null_len == max(lens)

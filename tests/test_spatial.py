@@ -353,3 +353,49 @@ def test_distributed_hull_matches_local():
     assert got == exp
     assert {(la, lo) for la, lo, _ in got} >= {(9_500_000, -5_000_000),
                                                (9_500_000, 3_000_000)}
+
+
+def test_dist_to_longer_matches_bruteforce(mk):
+    """Grid-bucketed nearest-longer-group distance must equal the quadratic
+    answer, including groups whose nearest longer point lies outside their
+    3x3 neighborhood (sparse clusters at coarse res force widening)."""
+    from osm_lump_ways_ray.functions.haversine import haversine_m_fp
+    from osm_lump_ways_ray.stages.spatial import dist_to_longer_join
+
+    rng = np.random.RandomState(11)
+    n_groups, pts_per = 12, 8
+    g = np.repeat(np.arange(n_groups, dtype=np.int64), pts_per)
+    c = np.zeros(len(g), np.int64)
+    # distinct lengths (one tie pair to exercise the lexicographic order)
+    lengths = (np.arange(n_groups, dtype=np.float64) * 100.0 + 50.0)
+    lengths[3] = lengths[7]
+    L = lengths[g]
+    lat = rng.randint(-800_000_000, 800_000_000, len(g)).astype(np.int64)
+    lon = rng.randint(-1_700_000_000, 1_700_000_000, len(g)).astype(np.int64)
+    pts = mk(pa.table({"g": pa.array(g), "component_id": pa.array(c),
+                       "length_m": pa.array(L, pa.float64()),
+                       "lat": pa.array(lat), "lon": pa.array(lon)}))
+    got = {(r["g"], r["component_id"]): r["dist_to_longer_m"]
+           for r in dist_to_longer_join(pts, res=5,
+                                        num_partitions=4).take_all()}
+    # quadratic reference
+    d = haversine_m_fp(lat[:, None].astype(np.float64),
+                       lon[:, None].astype(np.float64),
+                       lat[None, :].astype(np.float64),
+                       lon[None, :].astype(np.float64))
+    key = np.stack([L, g.astype(np.float64), c.astype(np.float64)], axis=1)
+    longer = ((key[None, :, 0] > key[:, None, 0])
+              | ((key[None, :, 0] == key[:, None, 0])
+                 & ((key[None, :, 1] > key[:, None, 1])
+                    | ((key[None, :, 1] == key[:, None, 1])
+                       & (key[None, :, 2] > key[:, None, 2])))))
+    dm = np.where(longer, d, np.inf)
+    want = {}
+    for gi in range(n_groups):
+        best = dm[g == gi].min()
+        if np.isfinite(best):
+            want[(gi, 0)] = best
+    assert set(got) == set(want)            # global max group omitted
+    assert (n_groups - 1, 0) not in got
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
