@@ -138,20 +138,87 @@ def cmd_lump(args) -> int:
 
 
 def cmd_down(args) -> int:
+    import pyarrow as pa
+
     ray, owned = _ray_session(args.num_cpus)
+    import numpy as np
     import ray.data
 
     from .pipelines.waterways_down import waterways_down
     from .sources.csvout import write_ends_csv, write_openmetrics
+    from .stages.relational import cogroup_join
+
+    file_outputs = [args.loops, args.ends, args.upstreams, args.grouped_ends,
+                    args.grouped_waterways, args.longest_source_mouth]
+    if not args.overwrite:
+        for p in file_outputs:
+            if p and os.path.exists(p):
+                print(f"error: {p!r} exists; pass --overwrite "
+                      "(-down cli_args.rs:52-54)", file=sys.stderr)
+                return 2
+    if args.loops_incl_nids and args.loops_no_incl_nids:
+        print("error: --loops-incl-nids conflicts with --loops-no-incl-nids",
+              file=sys.stderr)
+        return 2
+    if args.from_upstream and args.flow_split_equally:
+        print("error: --from-upstream conflicts with --flow-split-equally",
+              file=sys.stderr)
+        return 2
 
     edges = ray.data.read_parquet(args.input)
     nodes = ray.data.read_parquet(args.nodes) if args.nodes else None
+
+    summary = {}
+    if args.relations and args.relation_tags_overwrite:
+        # J4 over a membership parquet (way_id, rel_id, rel_tag[, role]):
+        # per-way winning relation tag overwrites the edge's tagid analog
+        # (-down cli_args.rs:315-321; stages/relations.py). Role filter first.
+        from .stages.relations import relation_tags_overwrite
+
+        members = ray.data.read_parquet(args.relations)
+        if args.relation_tags_role:
+            roles = set(args.relation_tags_role)
+            members = members.map_batches(
+                lambda b: b.filter(pa.array(
+                    [r in roles for r in b["role"].to_pylist()])),
+                batch_format="pyarrow")
+        if "way_id" not in edges.schema().names:
+            print("error: --relation-tags-overwrite needs a way_id column "
+                  "on the edges table", file=sys.stderr)
+            return 2
+        wins = relation_tags_overwrite(
+            members, num_partitions=args.num_partitions) \
+            .select_columns(["way_id", "rel_tag"])
+        edges = cogroup_join(edges, wins, ("way_id",), how="left_outer",
+                             num_partitions=args.num_partitions)
+
+        def apply_tag(batch: pa.Table) -> pa.Table:
+            rt = batch["rel_tag"]
+            cols = {c: batch[c] for c in batch.column_names
+                    if c != "rel_tag"}
+            if "tagid" in cols:
+                import pyarrow.compute as pc
+
+                cols["tagid"] = pc.if_else(pc.is_valid(rt),
+                                           rt.cast(pa.int64()),
+                                           batch["tagid"])
+            else:
+                cols["tagid"] = rt.cast(pa.int64())
+            return pa.table(cols)
+
+        edges = edges.map_batches(apply_tag, batch_format="pyarrow")
+        summary["relation_tags_overwrite"] = True
+
+    max_dist = (args.grouped_ends_max_distance_m
+                if args.grouped_ends_max_distance_m is not None
+                else args.max_dist_m)
+    with_tg = args.tag_groups or bool(args.grouped_waterways)
     res = waterways_down(edges, nodes, split_equally=not args.from_upstream,
-                         max_dist_m=args.max_dist_m,
-                         with_tag_groups=args.tag_groups,
+                         max_dist_m=max_dist,
+                         with_tag_groups=with_tg,
                          num_partitions=args.num_partitions,
                          checkpoint_dir=args.checkpoint_dir)
-    summary = {"metrics": res["metrics"]}
+    summary["metrics"] = res["metrics"]
 
     end_tag_vals = {}
     if args.ends_membership or args.ends_tag:
@@ -207,6 +274,224 @@ def cmd_down(args) -> int:
                 for r in vals.take_all():  # one row per END (CSV writer side)
                     end_tag_vals.setdefault(int(r["node"]), {})[key] = r["val"]
             summary["ends_tag"] = args.ends_tag
+    # ---------------- per-product GeoJSON(Seq) files (-down cli_args.rs)
+    from .sources.geojson import write_features_single
+
+    if args.loops:
+        if nodes is None:
+            print("error: --loops needs --nodes (positions)", file=sys.stderr)
+            return 2
+        from .stages.waterways import loop_geometries
+
+        incl = not args.loops_no_incl_nids
+        geo = loop_geometries(edges, nodes, incl_nids=incl,
+                              num_partitions=args.num_partitions)
+        props = ["root_nid", "num_nodes", "length_m"] + (["nids"] if incl
+                                                         else [])
+        summary["loops_file"] = write_features_single(
+            geo, args.loops, props_cols=props, geometry="multilinestring")
+    if args.loops_csv_stats_file or args.loops_openmetrics:
+        if "loops" not in res:
+            print("error: --loops-csv-stats-file/--loops-openmetrics need "
+                  "--nodes", file=sys.stderr)
+            return 2
+        import datetime
+
+        from .sources.csvout import append_stats_csv
+        from .stages.relational import bucket_agg
+
+        per_area = bucket_agg(
+            res["loops"], ["area"],
+            {"loops_count": (None, "count"),
+             "loops_length_m": ("length_m", "sum")},
+            num_partitions=4, combine=True).take_all()
+        total = [("planet", "loops_count",
+                  sum(r["loops_count"] for r in per_area)),
+                 ("planet", "loops_length_m",
+                  sum(r["loops_length_m"] for r in per_area))]
+        rows = total + [(r["area"], m, r[m]) for r in per_area
+                        for m in ("loops_count", "loops_length_m")]
+        epoch = 0
+        iso = datetime.datetime.fromtimestamp(
+            epoch, datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+        if args.loops_csv_stats_file:
+            append_stats_csv(
+                args.loops_csv_stats_file,
+                ["timestamp", "iso_timestamp", "area", "metric", "value"],
+                [(epoch, iso, a, m, v) for a, m, v in rows])
+            summary["loops_csv_stats_file"] = args.loops_csv_stats_file
+        if args.loops_openmetrics:
+            write_openmetrics(
+                args.loops_openmetrics, "waterways_loops",
+                [({"area": a, "metric": m}, v) for a, m, v in rows],
+                help_text="per-area loop statistics")
+            summary["loops_openmetrics"] = args.loops_openmetrics
+    if args.ends:
+        if nodes is None:
+            print("error: --ends needs --nodes (positions)", file=sys.stderr)
+            return 2
+        pos = nodes.select_columns(["node_id", "lat", "lon"]) \
+            .rename_columns(["end_nid", "lat", "lon"])
+        epts = cogroup_join(res["ends"], pos, ("end_nid",), how="inner",
+                            num_partitions=args.num_partitions) \
+            .sort("end_upstream_m", descending=True)
+        eprops = [c for c in
+                  (["end_nid", "end_upstream_m"]
+                   + [f"is_in:{s}" for s in (args.ends_membership or ())]
+                   + (["is_in_count"] if args.ends_membership else []))]
+        summary["ends_file"] = write_features_single(
+            epts, args.ends, props_cols=eprops, geometry="point")
+    if args.upstreams:
+        if nodes is None:
+            print("error: --upstreams needs --nodes (positions)",
+                  file=sys.stderr)
+            return 2
+        from .stages.waterways import upstream_segments
+
+        mult = tuple(int(m) for m in
+                     (args.upstreams_from_upstream_multiple or ()))
+        seg = upstream_segments(
+            res["flow_edges"], nodes,
+            min_upstream_m=args.upstreams_min_upstream_m or 0.0,
+            round_multiples=mult, num_partitions=args.num_partitions)
+        if args.upstream_output_ends_full:
+            # add the draining end per segment: biggest-end assignment of
+            # the segment's downstream node (kind-0 rows)
+            asg = res["assignments_paths"].map_batches(
+                lambda b: (lambda t: pa.table(
+                    {"b": t["node"], "end_nid": t["end_nid"]}))(
+                    b.filter(pa.array(
+                        b["kind"].to_numpy(zero_copy_only=False) == 0))),
+                batch_format="pyarrow")
+            seg = cogroup_join(seg, asg, ("b",), how="left_outer",
+                               num_partitions=args.num_partitions)
+        pos_a = nodes.select_columns(["node_id", "lat", "lon"]) \
+            .rename_columns(["a", "lat_a", "lon_a"])
+        pos_b = nodes.select_columns(["node_id", "lat", "lon"]) \
+            .rename_columns(["b", "lat_b", "lon_b"])
+        seg = cogroup_join(seg, pos_a, ("a",), how="inner",
+                           num_partitions=args.num_partitions)
+        seg = cogroup_join(seg, pos_b, ("b",), how="inner",
+                           num_partitions=args.num_partitions)
+
+        def seg_lines(batch: pa.Table) -> pa.Table:
+            la = batch["lat_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lb = batch["lat_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            oa = batch["lon_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ob = batch["lon_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols = {c: batch[c] for c in batch.column_names
+                    if c not in ("lat_a", "lat_b", "lon_a", "lon_b")}
+            cols["lats"] = pa.array(np.stack([la, lb], axis=1).tolist(),
+                                    pa.list_(pa.int64()))
+            cols["lons"] = pa.array(np.stack([oa, ob], axis=1).tolist(),
+                                    pa.list_(pa.int64()))
+            return pa.table(cols)
+
+        seg = seg.map_batches(seg_lines, batch_format="pyarrow")
+        sprops = ["from_upstream_m", "to_upstream_m"] \
+            + [f"from_upstream_m_{m}" for m in mult] \
+            + (["end_nid"] if args.upstream_output_ends_full else [])
+        summary["upstreams_file"] = write_features_single(
+            seg, args.upstreams, props_cols=sprops, geometry="linestring")
+    if args.grouped_ends:
+        if nodes is None:
+            print("error: --grouped-ends needs --nodes (positions)",
+                  file=sys.stderr)
+            return 2
+        gp = res["assignments_paths"].map_batches(
+            lambda b: b.filter(pa.array(
+                b["kind"].to_numpy(zero_copy_only=False) == 1)),
+            batch_format="pyarrow")
+        if args.grouped_ends_max_upstream_delta is not None:
+            delta = float(args.grouped_ends_max_upstream_delta)
+
+            def within_delta(batch: pa.Table) -> pa.Table:
+                f = batch["from_upstream_m"].to_numpy(zero_copy_only=False)
+                t = batch["to_upstream_m"].to_numpy(zero_copy_only=False)
+                ok = np.abs(t - f) <= delta
+                ok |= np.isnan(f) | np.isnan(t)
+                return batch.filter(pa.array(ok))
+
+            gp = gp.map_batches(within_delta, batch_format="pyarrow")
+        pos = nodes.select_columns(["node_id", "lat", "lon"]) \
+            .rename_columns(["end_nid", "lat", "lon"])
+        gp = cogroup_join(gp, pos, ("end_nid",), how="inner",
+                          num_partitions=args.num_partitions)
+        summary["grouped_ends_file"] = write_features_single(
+            gp, args.grouped_ends,
+            props_cols=["end_nid", "n_nodes", "dist_m", "from_upstream_m",
+                        "to_upstream_m", "avg_upstream_m"],
+            geometry="point")
+    if args.grouped_waterways:
+        if "tag_groups" not in res or res["tag_groups"] is None:
+            print("error: --grouped-waterways needs a tagid column on the "
+                  "edges table", file=sys.stderr)
+            return 2
+        tg = res["tag_groups"]
+        tgp = [c for c in tg.schema().names]
+        summary["grouped_waterways_file"] = write_features_single(
+            tg, args.grouped_waterways, props_cols=tgp, geometry="none")
+    if args.longest_source_mouth:
+        if nodes is None:
+            print("error: --longest-source-mouth needs --nodes (positions)",
+                  file=sys.stderr)
+            return 2
+        from .stages.waterways import longest_source_mouth
+
+        lsm = longest_source_mouth(
+            res["dag_edges"],
+            top_n=args.longest_source_mouth_longest_n,
+            num_partitions=args.num_partitions)
+        if args.longest_source_mouth_min_length_m:
+            lmin = float(args.longest_source_mouth_min_length_m)
+            lsm = lsm.map_batches(
+                lambda b: b.filter(pa.array(
+                    b["river_system_length_m"].to_numpy(zero_copy_only=False)
+                    >= lmin)), batch_format="pyarrow")
+        # name analog: the max non-null tagid over the mouth's in-edges
+        # (our edges carry integer tag ids, not strings); unnamed mouths get
+        # --longest-source-mouth-unnamed-string
+        if "tagid" in edges.schema().names:
+            from .stages.relational import bucket_agg
+
+            mt = bucket_agg(
+                edges.map_batches(
+                    lambda b: pa.table({"mouth_nid": b["dst"],
+                                        "tagid": b["tagid"]}),
+                    batch_format="pyarrow"),
+                ["mouth_nid"], {"name_tag": ("tagid", "max")},
+                num_partitions=args.num_partitions, combine=True)
+            lsm = cogroup_join(lsm, mt, ("mouth_nid",), how="left_outer",
+                               num_partitions=args.num_partitions)
+        else:
+            lsm = lsm.map_batches(
+                lambda b: b.append_column(
+                    "name_tag", pa.array([None] * len(b), pa.int64())),
+                batch_format="pyarrow")
+        unnamed = args.longest_source_mouth_unnamed_string
+
+        def with_name(batch: pa.Table) -> pa.Table:
+            nt = batch["name_tag"].to_pylist()
+            names = [f"t{int(v)}" if v is not None else unnamed for v in nt]
+            cols = {c: batch[c] for c in batch.column_names
+                    if c != "name_tag"}
+            cols["name"] = pa.array(names, pa.string())
+            if args.longest_source_mouth_only_named:
+                keep = pa.array([v is not None for v in nt])
+                return pa.table(cols).filter(keep)
+            return pa.table(cols)
+
+        lsm = lsm.map_batches(with_name, batch_format="pyarrow")
+        pos = nodes.select_columns(["node_id", "lat", "lon"]) \
+            .rename_columns(["mouth_nid", "lat", "lon"])
+        lsm = cogroup_join(lsm, pos, ("mouth_nid",), how="inner",
+                           num_partitions=args.num_partitions)
+        summary["longest_source_mouth_file"] = write_features_single(
+            lsm, args.longest_source_mouth,
+            props_cols=["mouth_nid", "source_nid", "river_system_length_m",
+                        "path_nodes", "name"],
+            geometry="point")
+
     if args.out_dir:
         os.makedirs(args.out_dir, exist_ok=True)
         for name in ("loops", "dag_edges", "flow_edges", "ends",
@@ -237,8 +522,13 @@ def cmd_down(args) -> int:
                  "tags": [end_tag_vals.get(int(r.end_nid), {}).get(k)
                           for k in keys]}
                 for r in ends.itertuples() if pd.notna(r.end_upstream_m)]
-        n = write_ends_csv(args.ends_csv, rows, ends_tag_keys=keys,
-                           min_length_m=args.min_length_m)
+        n = write_ends_csv(
+            args.ends_csv, rows, ends_tag_keys=keys,
+            min_length_m=(args.ends_csv_min_length_m
+                          if args.ends_csv_min_length_m is not None
+                          else args.min_length_m),
+            only_largest_n=args.ends_csv_only_largest_n,
+            only_tagged=args.ends_csv_only_tagged)
         summary["ends_csv"] = {"path": args.ends_csv, "rows": n}
     print(json.dumps(summary))
     if owned:
@@ -345,18 +635,78 @@ def main(argv=None) -> int:
     pl.set_defaults(fn=cmd_lump)
 
     pd = sub.add_parser("down", help="composed -down run over directed edges")
-    pd.add_argument("-i", "--input", required=True,
-                    help="edges Parquet (src, dst, length_m[, tagid])")
+    pd.add_argument("-i", "--input", "--input-filename", dest="input",
+                    required=True,
+                    help="edges Parquet (src, dst, length_m[, tagid, way_id])")
     pd.add_argument("--nodes", default=None,
                     help="nodes Parquet (node_id, lat, lon) for loop features")
+    pd.add_argument("--overwrite", action="store_true",
+                    help="overwrite existing product files "
+                         "(-down cli_args.rs:52-54)")
     pd.add_argument("--tag-groups", action="store_true")
     pd.add_argument("--from-upstream", action="store_true",
                     help="route full upstream to the biggest end "
                          "(default splits equally)")
+    pd.add_argument("--flow-split-equally", action="store_true",
+                    help="split upstream equally over out-edges — the "
+                         "default, made explicit (-down cli_args.rs:276-278)")
     pd.add_argument("--max-dist-m", type=float, default=None)
     pd.add_argument("--out-dir", default=None)
     pd.add_argument("--openmetrics", default=None)
-    pd.add_argument("--ends-csv", default=None)
+    # per-product GeoJSON(Seq) outputs (-down cli_args.rs:177-349)
+    pd.add_argument("--loops", default=None,
+                    help="loop features (MultiLineString per SCC)")
+    pd.add_argument("--loops-incl-nids", action="store_true",
+                    help="include member node ids per loop (default)")
+    pd.add_argument("--loops-no-incl-nids", action="store_true")
+    pd.add_argument("--loops-csv-stats-file", default=None,
+                    help="append per-area loops_count/loops_length_m rows")
+    pd.add_argument("--loops-openmetrics", default=None)
+    pd.add_argument("--ends", default=None,
+                    help="end Point features sorted by end upstream desc")
+    pd.add_argument("--upstreams", default=None,
+                    help="per-segment upstream LineStrings (G17)")
+    pd.add_argument("--upstreams-min-upstream-m", type=float, default=None)
+    pd.add_argument("--upstreams-from-upstream-multiple", type=float,
+                    action="append", default=None,
+                    help="add from_upstream_m_N rounded props (repeatable)")
+    pd.add_argument("--upstream-output-ends-full", action="store_true",
+                    help="add the draining end_nid per segment")
+    pd.add_argument("--grouped-ends", default=None,
+                    help="grouped end-path Point features (G16)")
+    pd.add_argument("--grouped-ends-max-distance-m", type=float, default=None,
+                    help="group ends within this path distance (maps to "
+                         "the pipeline's max_dist_m)")
+    pd.add_argument("--grouped-ends-max-upstream-delta", type=float,
+                    default=None,
+                    help="keep grouped paths with |to-from| upstream "
+                         "within this")
+    pd.add_argument("--grouped-waterways", default=None,
+                    help="per-taggroup stats features (geometry: null); "
+                         "implies --tag-groups")
+    pd.add_argument("--longest-source-mouth", default=None,
+                    help="per-mouth longest-path Point features (G19)")
+    pd.add_argument("--longest-source-mouth-min-length-m", type=float,
+                    default=None)
+    pd.add_argument("--longest-source-mouth-longest-n", type=int,
+                    default=None)
+    pd.add_argument("--longest-source-mouth-only-named", action="store_true")
+    pd.add_argument("--longest-source-mouth-unnamed-string",
+                    default="_unnamed")
+    pd.add_argument("--relations", default=None,
+                    help="relation membership Parquet "
+                         "(way_id, rel_id, rel_tag[, role])")
+    pd.add_argument("--relation-tags-overwrite", action="store_true",
+                    help="overwrite edge tagids with the biggest relation's "
+                         "tag (-down cli_args.rs:315-317)")
+    pd.add_argument("--relation-tags-role", action="append", default=None,
+                    help="only members with this role count (repeatable, "
+                         "-down cli_args.rs:319-321)")
+    pd.add_argument("--ends-csv", "--ends-csv-file", dest="ends_csv",
+                    default=None)
+    pd.add_argument("--ends-csv-min-length-m", type=float, default=None)
+    pd.add_argument("--ends-csv-only-largest-n", type=int, default=None)
+    pd.add_argument("--ends-csv-only-tagged", action="store_true")
     pd.add_argument("--ends-membership", action="append", default=None,
                     help="tag-filter DSL over edge tag columns; adds "
                          "is_in:<filter> flags per end (repeatable, "

@@ -87,10 +87,14 @@ def render_feature_bytes(batch: pa.Table, *, props_cols,
     - ``multilinestring``: lats/lons are list<list<int64>> e7 fixed-point
     - ``linestring``: lats/lons are list<int64>
     - ``point``: lat/lon are int64 scalars
+    - ``none``: properties-only features (``"geometry": null`` — RFC 7946
+      allows it; used for stats products like --grouped-waterways)
     """
     props = {c: batch[c].to_pylist() for c in props_cols}
     n = len(batch)
-    if geometry == "point":
+    if geometry == "none":
+        geoms = ("null" for _ in range(n))
+    elif geometry == "point":
         lats = batch[lat_col].to_pylist()
         lons = batch[lon_col].to_pylist()
         geoms = (f'{{"type":"Point", "coordinates": {_pt(lons[i], lats[i])}}}'

@@ -807,6 +807,73 @@ def _tag_group_full_component(df):
     return pd.DataFrame(out)
 
 
+def loop_geometries(edges_ds, nodes_ds, *, src: str = "src",
+                    dst: str = "dst", num_partitions: int = 8,
+                    scc_labels=None, incl_nids: bool = True):
+    """Per-SCC loop GEOMETRY rows for the -down ``--loops`` writer
+    (-down/main.rs:544-663 output shape): one MultiLineString per loop —
+    each cycle-internal segment a 2-point part — with (root_nid, num_nodes,
+    length_m) props and, when ``incl_nids`` (--loops-incl-nids,
+    -down cli_args.rs:179-187), the sorted member node ids."""
+    scc = scc_labels if scc_labels is not None else (
+        strongly_connected_components(edges_ds, src, dst,
+                                      num_partitions=num_partitions))
+    scc = snapshot(scc)
+    rep_src = scc.map_batches(
+        lambda b: pa.table({src: b["node"], "_cs": b["scc_id"]}),
+        batch_format="pyarrow")
+    rep_dst = scc.map_batches(
+        lambda b: pa.table({dst: b["node"], "_cd": b["scc_id"]}),
+        batch_format="pyarrow")
+    e = cogroup_join(edges_ds.select_columns([src, dst]), rep_src, (src,),
+                     how="inner", num_partitions=num_partitions)
+    e = cogroup_join(e, rep_dst, (dst,), how="inner",
+                     num_partitions=num_partitions)
+
+    def internal(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.equal(batch["_cs"], batch["_cd"]))
+        return pa.table({"scc_id": t["_cs"], src: t[src], dst: t[dst]})
+
+    cyc_edges = snapshot(e.map_batches(internal, batch_format="pyarrow"))
+    pos_a = nodes_ds.select_columns(["node_id", "lat", "lon"]).rename_columns(
+        [src, "lat_a", "lon_a"])
+    pos_b = nodes_ds.select_columns(["node_id", "lat", "lon"]).rename_columns(
+        [dst, "lat_b", "lon_b"])
+    cyc = snapshot(cogroup_join(cyc_edges, pos_a, (src,), how="inner",
+                                num_partitions=num_partitions))
+    cyc = snapshot(cogroup_join(cyc, pos_b, (dst,), how="inner",
+                                num_partitions=num_partitions))
+
+    def per_loop(df):
+        import pandas as pd
+
+        from ..functions.haversine import haversine_m_fp
+
+        df = df.sort_values([src, dst])
+        nodes = sorted(set(int(x) for x in df[src])
+                       | set(int(x) for x in df[dst]))
+        length = float(np.sum(haversine_m_fp(
+            df["lat_a"].to_numpy(), df["lon_a"].to_numpy(),
+            df["lat_b"].to_numpy(), df["lon_b"].to_numpy())))
+        rec = {
+            "root_nid": [min(nodes)],
+            "num_nodes": [len(nodes)],
+            "length_m": [length],
+            "lats": [[[int(a), int(b)] for a, b in
+                      zip(df["lat_a"], df["lat_b"])]],
+            "lons": [[[int(a), int(b)] for a, b in
+                      zip(df["lon_a"], df["lon_b"])]],
+        }
+        if incl_nids:
+            rec["nids"] = [nodes]
+        return pd.DataFrame(rec)
+
+    return map_groups_partitioned(cyc, per_loop, "scc_id",
+                                  num_partitions=num_partitions)
+
+
 def tag_groups_full(dag_flow_edges_ds, *, num_partitions: int = 8):
     """Complete G18 over a flow-annotated tagid DAG edge table
     (src, dst, length_m, tagid, upstream_m) → per-taggroup rows including the

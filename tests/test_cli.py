@@ -323,3 +323,113 @@ def test_cli_lump_stats_and_dist_to_longer(tmp_path, capsys, ray_session):
     null_len = [f["properties"]["length_m"] for f in fc["features"]
                 if f["properties"]["dist_to_longer_m"] is None][0]
     assert null_len == max(lens)
+
+
+def _down_fixture(tmp_path):
+    """Two chains (1→2→3→4 tag 7, 10→11→12 tag 9) + a 3-cycle (tag 5),
+    with way ids and a relation membership table."""
+    src = np.array([1, 2, 3, 10, 11, 20, 21, 22], dtype=np.int64)
+    dst = np.array([2, 3, 4, 11, 12, 21, 22, 20], dtype=np.int64)
+    epath = tmp_path / "edges.parquet"
+    pq.write_table(pa.table({
+        "src": pa.array(src), "dst": pa.array(dst),
+        "length_m": pa.array(np.full(len(src), 10.0)),
+        "tagid": pa.array([7, 7, 7, 9, 9, 5, 5, 5], pa.int64()),
+        "way_id": pa.array(np.arange(100, 108, dtype=np.int64)),
+    }), epath)
+    nodes = np.unique(np.concatenate([src, dst]))
+    npath = tmp_path / "nodes.parquet"
+    pq.write_table(pa.table({
+        "node_id": pa.array(nodes),
+        "lat": pa.array(nodes * 1000), "lon": pa.array(nodes * 2000),
+    }), npath)
+    rpath = tmp_path / "rels.parquet"
+    pq.write_table(pa.table({
+        "way_id": pa.array([100, 101, 102], pa.int64()),
+        "rel_id": pa.array([1, 1, 2], pa.int64()),
+        "rel_tag": pa.array([77, 77, 88], pa.int64()),
+        "role": pa.array(["main", "main", "side"]),
+    }), rpath)
+    return epath, npath, rpath
+
+
+def _read_seq(path):
+    return [json.loads(f) for f in
+            open(path, "rb").read().decode().split("\x1e") if f.strip()]
+
+
+def test_cli_down_product_files(tmp_path, capsys, ray_session):
+    """The -down per-product output flags: --loops/--ends/--upstreams/
+    --grouped-ends/--grouped-waterways/--longest-source-mouth plus their
+    knobs, the relation-tag overwrite, and the ends-csv filters."""
+    epath, npath, rpath = _down_fixture(tmp_path)
+    P = lambda n: str(tmp_path / n)  # noqa: E731
+    rc = main(["down", "-i", str(epath), "--nodes", str(npath),
+               "--loops", P("loops.geojsons"),
+               "--loops-csv-stats-file", P("loops.csv"),
+               "--ends", P("ends.geojsons"),
+               "--upstreams", P("ups.geojsons"),
+               "--upstreams-from-upstream-multiple", "20",
+               "--upstream-output-ends-full",
+               "--grouped-ends", P("ge.geojsons"),
+               "--grouped-ends-max-upstream-delta", "1000",
+               "--grouped-waterways", P("gw.geojsons"),
+               "--longest-source-mouth", P("lsm.geojsons"),
+               "--relations", str(rpath), "--relation-tags-overwrite",
+               "--relation-tags-role", "main",
+               "--ends-csv", P("ends.csv"), "--ends-csv-only-largest-n", "1",
+               "--num-partitions", "4"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    loops = _read_seq(P("loops.geojsons"))
+    assert len(loops) == 1
+    assert loops[0]["properties"]["nids"] == [20, 21, 22]
+    assert loops[0]["geometry"]["type"] == "MultiLineString"
+    csv_rows = open(P("loops.csv")).read().splitlines()
+    assert any(",planet,loops_count,1" in r for r in csv_rows)
+
+    ends = _read_seq(P("ends.geojsons"))
+    assert [f["properties"]["end_nid"] for f in ends] == [4, 12]  # up desc
+    assert all(f["geometry"]["type"] == "Point" for f in ends)
+
+    ups = _read_seq(P("ups.geojsons"))
+    assert len(ups) == 5  # 5 DAG edges (cycle contracted away)
+    p0 = ups[0]["properties"]
+    assert {"from_upstream_m", "to_upstream_m", "from_upstream_m_20",
+            "end_nid"} <= set(p0)
+
+    ge = _read_seq(P("ge.geojsons"))
+    assert {f["properties"]["end_nid"] for f in ge} == {4, 12}
+
+    gw = _read_seq(P("gw.geojsons"))
+    assert len(gw) == 2 and all(f["geometry"] is None for f in gw)
+    assert {f["properties"]["length_dm"] for f in gw} == {300, 200}
+
+    lsm = _read_seq(P("lsm.geojsons"))
+    by_mouth = {f["properties"]["mouth_nid"]: f["properties"] for f in lsm}
+    # relation overwrite: ways 100/101 (role main) get tag 77; the mouth
+    # 4's in-edge is way 102 (role side → filtered), so its name stays t7
+    assert by_mouth[4]["name"] == "t7" and by_mouth[12]["name"] == "t9"
+    assert by_mouth[4]["river_system_length_m"] == 30.0
+
+    # ends CSV only-largest-1
+    rows = open(P("ends.csv")).read().splitlines()
+    assert len(rows) == 2 and rows[1].split(",")[4] == "4"
+
+    # overwrite guard on product files
+    rc = main(["down", "-i", str(epath), "--nodes", str(npath),
+               "--loops", P("loops.geojsons"), "--num-partitions", "4"])
+    assert rc == 2
+    capsys.readouterr()
+
+    # --longest-source-mouth-only-named with no tagid column filters all
+    e2 = tmp_path / "edges2.parquet"
+    t = pq.read_table(epath).drop_columns(["tagid", "way_id"])
+    pq.write_table(t, e2)
+    rc = main(["down", "-i", str(e2), "--nodes", str(npath),
+               "--longest-source-mouth", P("lsm2.geojsons"),
+               "--longest-source-mouth-only-named",
+               "--num-partitions", "4", "--overwrite"])
+    assert rc == 0
+    assert _read_seq(P("lsm2.geojsons")) == []
