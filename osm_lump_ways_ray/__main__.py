@@ -160,12 +160,19 @@ def cmd_down(args) -> int:
         print("error: --loops-incl-nids conflicts with --loops-no-incl-nids",
               file=sys.stderr)
         return 2
-    if args.from_upstream and args.flow_split_equally:
-        print("error: --from-upstream conflicts with --flow-split-equally",
+    follows_tag = bool(args.from_upstream or args.flow_follows_tag)
+    if follows_tag and args.flow_split_equally:
+        print("error: --flow-follows-tag/--from-upstream conflicts with "
+              "--flow-split-equally (-down cli_args.rs:277,282)",
               file=sys.stderr)
         return 2
 
     edges = ray.data.read_parquet(args.input)
+    if args.flow_follows_tag and "tagid" not in edges.schema().names:
+        print("error: --flow-follows-tag needs a tagid column on the edges "
+              "table (the tag is pre-extracted in this data model)",
+              file=sys.stderr)
+        return 2
     nodes = ray.data.read_parquet(args.nodes) if args.nodes else None
 
     summary = {}
@@ -213,7 +220,7 @@ def cmd_down(args) -> int:
                 if args.grouped_ends_max_distance_m is not None
                 else args.max_dist_m)
     with_tg = args.tag_groups or bool(args.grouped_waterways)
-    res = waterways_down(edges, nodes, split_equally=not args.from_upstream,
+    res = waterways_down(edges, nodes, split_equally=not follows_tag,
                          max_dist_m=max_dist,
                          with_tag_groups=with_tg,
                          num_partitions=args.num_partitions,
@@ -645,8 +652,15 @@ def main(argv=None) -> int:
                          "(-down cli_args.rs:52-54)")
     pd.add_argument("--tag-groups", action="store_true")
     pd.add_argument("--from-upstream", action="store_true",
-                    help="route full upstream to the biggest end "
-                         "(default splits equally)")
+                    help="tag-grouped flow allocation at junctions "
+                         "(legacy alias of --flow-follows-tag)")
+    pd.add_argument("--flow-follows-tag", default=None, metavar="TAG",
+                    help="at a multi-out node allocate inflow to out-edges "
+                         "sharing the inflow's tag group (-down "
+                         "cli_args.rs:280-283, main.rs:838-905); our data "
+                         "model pre-extracts the tag into the edges' tagid "
+                         "column, so TAG is accepted for parity and the "
+                         "tagid column must be present")
     pd.add_argument("--flow-split-equally", action="store_true",
                     help="split upstream equally over out-edges — the "
                          "default, made explicit (-down cli_args.rs:276-278)")

@@ -1868,6 +1868,8 @@ def q_tag_group_classify(sf_dir: str):
     # re-attach tagid (the flow output carries src/dst/length/upstream only)
     def retag(batch: pa.Table) -> pa.Table:
         s = batch["src"].to_numpy(zero_copy_only=False)
+        if "tagid" in batch.column_names:  # flow passes tagid through (r4)
+            batch = batch.drop_columns(["tagid"])
         return batch.append_column("tagid", pa.array((s - 1) // 4 % 3, pa.int64()))
 
     full = tag_groups_full(flow.map_batches(retag, batch_format="pyarrow"),

@@ -133,7 +133,9 @@ def upstream_flow_distributed(edges_ds, *, split_equally: bool = True,
     """G13 over a DAG edge Dataset (src, dst, length_m[, tagid]) without any
     per-component task: bucket-local dataflow rounds (module docstring).
     Requires unique (src, dst) pairs (G11 contraction dedupes parallel edges).
-    Returns (src, dst, length_m, upstream_m) like the map_groups path."""
+    Returns (src, dst, length_m[, tagid], upstream_m) like the map_groups
+    path — tagid passes through only when the input carried it."""
+    has_tag = "tagid" in edges_ds.schema().names
 
     def init(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -206,7 +208,9 @@ def upstream_flow_distributed(edges_ds, *, split_equally: bool = True,
         raise RuntimeError(
             f"upstream_flow_distributed: {remaining} edges never finalized "
             f"after {max_rounds} rounds — cycle in input? contract SCCs first (G11)")
-    return state.select_columns(["src", "dst", "length_m", "upstream_m"])
+    return state.select_columns(
+        ["src", "dst", "length_m"] + (["tagid"] if has_tag else [])
+        + ["upstream_m"])
 
 
 # ------------------------------------------------------------------- G14

@@ -629,7 +629,9 @@ def _flow_group(df, split_equally: bool):
                 heapq.heappush(frontier, d)
     if seen != len(nodes):
         raise ValueError("cycle detected in flow graph — contract SCCs first (G11)")
-    out = df[["src", "dst", "length_m"]].copy()
+    cols = ["src", "dst", "length_m"] + (["tagid"] if "tagid" in df.columns
+                                         else [])
+    out = df[cols].copy()
     out["upstream_m"] = edge_up
     return out
 

@@ -49,10 +49,16 @@ def contract_cycles(edges_ds, *, src: str = "src", dst: str = "dst",
     scc = scc_labels if scc_labels is not None else strongly_connected_components(
         edges_ds, src, dst, num_partitions=num_partitions)
     scc = snapshot(scc)
+    # tagid rides through the contraction (r4: --flow-follows-tag and the
+    # tag-group products need it on the DAG; parallel-edge dedupe keeps the
+    # MIN tagid — deterministic, documented)
+    has_tag = "tagid" in edges_ds.schema().names
+    aggs = [Min(length_col, alias_name=length_col)]
+    if has_tag:
+        aggs.append(Min("tagid", alias_name="tagid"))
     if scc.count() == 0:  # already acyclic — nothing to relabel (an empty
         # labels dataset has no schema, which the join layer can't pad)
-        dag = edges_ds.groupby([src, dst]).aggregate(
-            Min(length_col, alias_name=length_col))
+        dag = edges_ds.groupby([src, dst]).aggregate(*aggs)
         return snapshot(dag), scc
     rep_src = scc.map_batches(
         lambda b: pa.table({src: b["node"], "_rs": b["scc_id"]}),
@@ -71,12 +77,14 @@ def contract_cycles(edges_ds, *, src: str = "src", dst: str = "dst",
         s = pc.coalesce(batch["_rs"], batch[src])
         d = pc.coalesce(batch["_rd"], batch[dst])
         keep = pc.invert(pc.equal(s, d))  # drop self loops (cycle-internal)
-        t = pa.table({src: s, dst: d, length_col: batch[length_col]})
-        return t.filter(keep)
+        cols = {src: s, dst: d, length_col: batch[length_col]}
+        if has_tag:
+            cols["tagid"] = batch["tagid"]
+        return pa.table(cols).filter(keep)
 
     dag = e.map_batches(relabel, batch_format="pyarrow")
-    # dedupe parallel edges deterministically (min length)
-    dag = dag.groupby([src, dst]).aggregate(Min(length_col, alias_name=length_col))
+    # dedupe parallel edges deterministically (min length / min tagid)
+    dag = dag.groupby([src, dst]).aggregate(*aggs)
     return snapshot(dag), scc
 
 

@@ -403,8 +403,11 @@ def test_cli_down_product_files(tmp_path, capsys, ray_session):
     assert {f["properties"]["end_nid"] for f in ge} == {4, 12}
 
     gw = _read_seq(P("gw.geojsons"))
-    assert len(gw) == 2 and all(f["geometry"] is None for f in gw)
-    assert {f["properties"]["length_dm"] for f in gw} == {300, 200}
+    # tagid rides through contraction+flow (r4): chain 1 splits into the
+    # relation-overwritten group (ways 100/101 → tag 77, 2 edges) and the
+    # untouched tail (way 102, tag 7, 1 edge); chain 2 is one tag-9 group
+    assert len(gw) == 3 and all(f["geometry"] is None for f in gw)
+    assert sorted(f["properties"]["length_dm"] for f in gw) == [100, 200, 200]
 
     lsm = _read_seq(P("lsm.geojsons"))
     by_mouth = {f["properties"]["mouth_nid"]: f["properties"] for f in lsm}
@@ -433,3 +436,46 @@ def test_cli_down_product_files(tmp_path, capsys, ray_session):
                "--num-partitions", "4", "--overwrite"])
     assert rc == 0
     assert _read_seq(P("lsm2.geojsons")) == []
+
+
+def test_cli_down_flow_follows_tag(tmp_path, capsys, ray_session):
+    """--flow-follows-tag routes a junction's inflow to the out-edge sharing
+    the inflow's tag group (main.rs:838-905); --flow-split-equally halves it."""
+    # Y: 1→3 (tag 7), 2→3 (tag 9); outs 3→4 (tag 7), 3→5 (tag 9)
+    epath = tmp_path / "edges.parquet"
+    pq.write_table(pa.table({
+        "src": pa.array([1, 2, 3, 3], pa.int64()),
+        "dst": pa.array([3, 3, 4, 5], pa.int64()),
+        "length_m": pa.array([100.0, 50.0, 10.0, 10.0]),
+        "tagid": pa.array([7, 9, 7, 9], pa.int64()),
+    }), epath)
+    out_dir = tmp_path / "ft"
+    rc = main(["down", "-i", str(epath), "--flow-follows-tag", "name",
+               "--out-dir", str(out_dir), "--num-partitions", "4"])
+    assert rc == 0
+    capsys.readouterr()
+    flow = pq.read_table(os.path.join(out_dir, "flow_edges")).to_pydict()
+    up = {(s, d): u for s, d, u in zip(flow["src"], flow["dst"],
+                                       flow["upstream_m"])}
+    assert up[(3, 4)] == 100.0 and up[(3, 5)] == 50.0  # follows the tag
+    out_dir2 = tmp_path / "eq"
+    rc = main(["down", "-i", str(epath), "--flow-split-equally",
+               "--out-dir", str(out_dir2), "--num-partitions", "4"])
+    assert rc == 0
+    capsys.readouterr()
+    flow = pq.read_table(os.path.join(out_dir2, "flow_edges")).to_pydict()
+    up = {(s, d): u for s, d, u in zip(flow["src"], flow["dst"],
+                                       flow["upstream_m"])}
+    assert up[(3, 4)] == 75.0 and up[(3, 5)] == 75.0  # (100+50)/2
+
+    # conflicts + missing tagid column
+    rc = main(["down", "-i", str(epath), "--flow-follows-tag", "name",
+               "--flow-split-equally", "--num-partitions", "4"])
+    assert rc == 2
+    capsys.readouterr()
+    e2 = tmp_path / "edges2.parquet"
+    pq.write_table(pq.read_table(epath).drop_columns(["tagid"]), e2)
+    rc = main(["down", "-i", str(e2), "--flow-follows-tag", "name",
+               "--num-partitions", "4"])
+    assert rc == 2
+    capsys.readouterr()
