@@ -337,17 +337,87 @@ def cmd_down(args) -> int:
         if nodes is None:
             print("error: --ends needs --nodes (positions)", file=sys.stderr)
             return 2
-        pos = nodes.select_columns(["node_id", "lat", "lon"]) \
-            .rename_columns(["end_nid", "lat", "lon"])
-        epts = cogroup_join(res["ends"], pos, ("end_nid",), how="inner",
-                            num_partitions=args.num_partitions) \
-            .sort("end_upstream_m", descending=True)
         eprops = [c for c in
                   (["end_nid", "end_upstream_m"]
                    + [f"is_in:{s}" for s in (args.ends_membership or ())]
                    + (["is_in_count"] if args.ends_membership else []))]
-        summary["ends_file"] = write_features_single(
-            epts, args.ends, props_cols=eprops, geometry="point")
+        sel_ends = res["ends"]
+        if args.ends_upstreams_min_upstream_m is not None:
+            emin = float(args.ends_upstreams_min_upstream_m)
+            sel_ends = sel_ends.map_batches(
+                lambda b: b.filter(pa.array(
+                    b["end_upstream_m"].to_numpy(zero_copy_only=False)
+                    >= emin)), batch_format="pyarrow")
+        if args.ends_upstreams:
+            # --ends-upstreams (declared-but-unused in the reference,
+            # -down cli_args.rs:296-306; implemented here): each end's
+            # feature is the MultiLineString of its COMPLETE upstream
+            # network — every DAG edge whose downstream node drains to
+            # this end per the biggest-end assignment (G14 kind-0 rows).
+            # --ends-upstreams-max-nodes caps nodes per end
+            # deterministically ((src,dst)-sorted prefix).
+            asg = res["assignments_paths"].map_batches(
+                lambda b: (lambda t: pa.table(
+                    {"dst": t["node"], "end_nid": t["end_nid"]}))(
+                    b.filter(pa.array(
+                        b["kind"].to_numpy(zero_copy_only=False) == 0))),
+                batch_format="pyarrow")
+            ue = cogroup_join(res["flow_edges"]
+                              .select_columns(["src", "dst"]),
+                              asg, ("dst",), how="inner",
+                              num_partitions=args.num_partitions)
+            ue = cogroup_join(ue, sel_ends, ("end_nid",), how="inner",
+                              num_partitions=args.num_partitions)
+            pos_s = nodes.select_columns(["node_id", "lat", "lon"]) \
+                .rename_columns(["src", "lat_s", "lon_s"])
+            pos_d = nodes.select_columns(["node_id", "lat", "lon"]) \
+                .rename_columns(["dst", "lat_d", "lon_d"])
+            ue = cogroup_join(ue, pos_s, ("src",), how="inner",
+                              num_partitions=args.num_partitions)
+            ue = cogroup_join(ue, pos_d, ("dst",), how="inner",
+                              num_partitions=args.num_partitions)
+            max_nodes = args.ends_upstreams_max_nodes
+
+            def per_end(df):
+                import pandas as pd
+
+                df = df.sort_values(["src", "dst"])
+                if max_nodes is not None:
+                    seen, keep_n = set(), 0
+                    for s, d in zip(df["src"], df["dst"]):
+                        seen.update((int(s), int(d)))
+                        if len(seen) > max_nodes:
+                            break
+                        keep_n += 1
+                    df = df.iloc[:keep_n]
+                if not len(df):
+                    return pd.DataFrame(columns=["end_nid", "end_upstream_m",
+                                                 "n_edges", "lats", "lons"])
+                return pd.DataFrame({
+                    "end_nid": [int(df["end_nid"].iloc[0])],
+                    "end_upstream_m": [float(df["end_upstream_m"].iloc[0])],
+                    "n_edges": [len(df)],
+                    "lats": [[[int(a), int(b)] for a, b in
+                              zip(df["lat_s"], df["lat_d"])]],
+                    "lons": [[[int(a), int(b)] for a, b in
+                              zip(df["lon_s"], df["lon_d"])]],
+                })
+
+            feats = ue.groupby("end_nid").map_groups(
+                per_end, batch_format="pandas") \
+                .sort("end_upstream_m", descending=True)
+            summary["ends_file"] = write_features_single(
+                feats, args.ends,
+                props_cols=["end_nid", "end_upstream_m", "n_edges"],
+                geometry="multilinestring")
+        else:
+            pos = nodes.select_columns(["node_id", "lat", "lon"]) \
+                .rename_columns(["end_nid", "lat", "lon"])
+            epts = cogroup_join(sel_ends, pos, ("end_nid",), how="inner",
+                                num_partitions=args.num_partitions) \
+                .sort("end_upstream_m", descending=True)
+            summary["ends_file"] = write_features_single(
+                epts, args.ends, props_cols=eprops, geometry="point")
     if args.upstreams:
         if nodes is None:
             print("error: --upstreams needs --nodes (positions)",
@@ -678,6 +748,16 @@ def main(argv=None) -> int:
     pd.add_argument("--loops-openmetrics", default=None)
     pd.add_argument("--ends", default=None,
                     help="end Point features sorted by end upstream desc")
+    pd.add_argument("--ends-upstreams", action="store_true",
+                    help="each --ends feature becomes the MultiLineString "
+                         "of its complete upstream network (declared-but-"
+                         "unused in the reference, cli_args.rs:296-298; "
+                         "implemented here via the G14 assignment)")
+    pd.add_argument("--ends-upstreams-min-upstream-m", type=float,
+                    default=None,
+                    help="only ends with at least this much upstream")
+    pd.add_argument("--ends-upstreams-max-nodes", type=int, default=None,
+                    help="cap nodes per end's upstream network")
     pd.add_argument("--upstreams", default=None,
                     help="per-segment upstream LineStrings (G17)")
     pd.add_argument("--upstreams-min-upstream-m", type=float, default=None)

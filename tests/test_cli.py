@@ -479,3 +479,37 @@ def test_cli_down_flow_follows_tag(tmp_path, capsys, ray_session):
                "--num-partitions", "4"])
     assert rc == 2
     capsys.readouterr()
+
+
+def test_cli_down_ends_upstreams(tmp_path, capsys, ray_session):
+    """--ends-upstreams: each end feature is the MultiLineString of its
+    complete upstream network (biggest-end assignment), with min-upstream
+    and max-nodes knobs."""
+    epath, npath, _ = _down_fixture(tmp_path)
+    out = tmp_path / "eu.geojsons"
+    rc = main(["down", "-i", str(epath), "--nodes", str(npath),
+               "--ends", str(out), "--ends-upstreams",
+               "--num-partitions", "4"])
+    assert rc == 0
+    capsys.readouterr()
+    feats = _read_seq(out)
+    by_end = {f["properties"]["end_nid"]: f for f in feats}
+    assert set(by_end) == {4, 12}
+    assert by_end[4]["geometry"]["type"] == "MultiLineString"
+    assert by_end[4]["properties"]["n_edges"] == 3   # 1→2→3→4
+    assert by_end[12]["properties"]["n_edges"] == 2  # 10→11→12
+    # upstream-desc order
+    ups = [f["properties"]["end_upstream_m"] for f in feats]
+    assert ups == sorted(ups, reverse=True)
+
+    # min-upstream filter drops the 20 m chain; max-nodes caps the other
+    rc = main(["down", "-i", str(epath), "--nodes", str(npath),
+               "--ends", str(out), "--ends-upstreams",
+               "--ends-upstreams-min-upstream-m", "25",
+               "--ends-upstreams-max-nodes", "3",
+               "--num-partitions", "4", "--overwrite"])
+    assert rc == 0
+    capsys.readouterr()
+    feats = _read_seq(out)
+    assert [f["properties"]["end_nid"] for f in feats] == [4]
+    assert feats[0]["properties"]["n_edges"] == 2  # 4-node chain capped at 3
