@@ -733,6 +733,97 @@ SQL_TOKEN_STATS = ("SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGIN
                    "COUNT(*) AS n_docs FROM documents GROUP BY lang")
 
 
+def q_det_shuffle(sf_dir: str):
+    """Deterministic global shuffle for training-data sharding: every doc is
+    ordered by md5(seed || ':' || doc_id) — reproducible across runs and
+    engines, unlike ``random_shuffle`` — then assigned (shard, pos) by the
+    distributed ordinal rank (block-count offsets only touch the driver).
+    The md5 is the repo's vectorized RFC-1321 kernel, bit-identical to
+    DuckDB's md5(), so the oracle reorders identically."""
+    from ..functions.hashing import md5_hex_array
+    from ..stages.relational import with_ordinal_rank
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = md5_hex_array([f"42:{x}" for x in d])
+        return pa.table({"doc_id": batch["doc_id"],
+                         "shuffle_key": pa.array(h, pa.string())})
+
+    keyed = docs.map_batches(key, batch_format="pyarrow")
+    ranked = with_ordinal_rank(keyed, ["shuffle_key", "doc_id"],
+                               [False, False], out_col="rk")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rk = batch["rk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "shard": pa.array((rk - 1) // 64, pa.int64()),
+            "pos": pa.array((rk - 1) % 64, pa.int64()),
+        })
+
+    # canonical result order (doc_id asc) — the shuffle lives in (shard, pos)
+    return ranked.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_DET_SHUFFLE = """
+SELECT doc_id,
+       (ROW_NUMBER() OVER (ORDER BY md5('42:' || doc_id), doc_id) - 1)
+         // 64 AS shard,
+       (ROW_NUMBER() OVER (ORDER BY md5('42:' || doc_id), doc_id) - 1)
+         % 64 AS pos
+FROM documents
+"""
+
+
+
+def q_token_packing(sf_dir: str):
+    """Sequence packing for training shards: docs in doc_id order are packed
+    into ~4096-token bins by the cumsum-floor rule — bin = ⌊exclusive prefix
+    token sum / 4096⌋ — so every engine that can window-sum reproduces the
+    assignment exactly. The prefix sum is the distributed block-offset scan
+    (stages/relational.with_running_sum: one (count, sum) pair per block to
+    the driver). Output: per bin (n_docs, bin_tokens)."""
+    from ..stages.relational import bucket_agg, with_running_sum
+    from ..stages.text import token_stats_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    toks = docs.map_batches(token_stats_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "ws_tokens"]) \
+        .rename_columns(["doc_id", "n_tokens"])
+    cum = with_running_sum(toks, "doc_id", "n_tokens", out_col="cum_excl")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = batch["cum_excl"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bin": pa.array((c // 4096).astype(np.int64), pa.int64()),
+            "n_tokens": batch["n_tokens"],
+        })
+
+    return bucket_agg(cum.map_batches(assign, batch_format="pyarrow"),
+                      ["bin"], {"n_docs": (None, "count"),
+                                "bin_tokens": ("n_tokens", "sum")},
+                      num_partitions=8, combine=True).sort("bin")
+
+
+SQL_TOKEN_PACKING = """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+  FROM t
+)
+SELECT CAST(cum_excl // 4096 AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+FROM c GROUP BY 1
+"""
+
+
+
 def q_quality(sf_dir: str):
     """Quality scoring: mean stopword ppm per lang (integer arithmetic)."""
     from ray.data.aggregate import Count, Sum
@@ -5435,3 +5526,9 @@ FROM (SELECT DISTINCT doc_id FROM win) t LEFT JOIN runs r USING (doc_id)
 
 QUERIES.update({"duplicate_span_runs": q_duplicate_span_runs})
 ORACLES.update({"duplicate_span_runs": SQL_DUPLICATE_SPAN_RUNS})
+
+
+QUERIES.update({"det_shuffle": q_det_shuffle,
+                "token_packing": q_token_packing})
+ORACLES.update({"det_shuffle": SQL_DET_SHUFFLE,
+                "token_packing": SQL_TOKEN_PACKING})

@@ -528,6 +528,65 @@ def with_ordinal_rank(ds, keys, descending, out_col: str = "rank"):
         [_annotate.remote(r, int(off)) for r, off in zip(refs, offsets)])
 
 
+def with_running_sum(ds, keys, value_col: str, out_col: str = "cum_excl",
+                     *, base_case_rows: int = 2_000_000):
+    """Distributed EXCLUSIVE prefix sum of ``value_col`` in ``sort(keys)``
+    order (ascending): global sort (range-partitioned ordered blocks) →
+    per-block (count, sum) scalars → driver scan over block SUMMARIES only →
+    per-block local cumsum + offset. The token-packing primitive: at 10^12
+    docs only one (count, sum) pair per block reaches the driver.
+
+    Same small-input base case budget as ``with_ordinal_rank``."""
+    import numpy as np
+    import pyarrow as pa  # noqa: F401
+    import ray
+    import ray.data
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    mat = ds.materialize()
+    if mat.count() <= base_case_rows:
+        tbl = pa.concat_tables(list(mat.iter_batches(batch_format="pyarrow")))
+        df = tbl.to_pandas()
+        df = df.sort_values(keys, kind="mergesort").reset_index(drop=True)
+        v = df[value_col].to_numpy().astype(np.float64)
+        cum = np.cumsum(v)
+        df[out_col] = cum - v  # float64 on both paths (exact ≤ 2^53)
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(df, preserve_index=False))
+
+    mat = mat.sort(keys).materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def _blocksum(t):
+        import pandas as pd
+        import pyarrow as pa
+
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        import pyarrow.compute as pc
+
+        return float(pc.sum(t[value_col]).as_py() or 0)
+
+    sums = ray.get([_blocksum.remote(r) for r in refs])
+    offsets = np.cumsum([0.0] + sums)[:-1]
+
+    @ray.remote
+    def _annotate(t, offset):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cum = np.cumsum(v)
+        return t.append_column(out_col, pa.array(offset + cum - v))
+
+    return ray.data.from_arrow_refs(
+        [_annotate.remote(r, float(off)) for r, off in zip(refs, offsets)])
+
+
 def broadcast_join(left, right_table, on: str, *, select=None):
     """Small-side join: ship an Arrow table/dict once via ray.put, merge per batch
     with pandas — no shuffle. ``right_table`` is a pyarrow Table."""

@@ -318,3 +318,29 @@ def test_embedding_covariance_exact(ray_session):
     for i in range(4):
         for j in range(i, 4):
             assert got[(i + 1, j + 1)] == int(g[i, j])
+
+
+def test_with_running_sum_both_paths(ray_session):
+    """Exclusive prefix sum in key order: driver base case and the
+    sorted-block distributed path must agree with numpy."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osm_lump_ways_ray.stages.relational import with_running_sum
+
+    rng = np.random.RandomState(5)
+    n = 999
+    key = rng.permutation(n).astype(np.int64)
+    val = rng.randint(0, 100, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(key),
+                                       "v": pa.array(val)})) \
+        .repartition(7)
+    order = np.argsort(key)
+    want_sorted = np.cumsum(val[order]) - val[order]
+    want = {int(k): float(c) for k, c in zip(key[order], want_sorted)}
+    for base in (2_000_000, 0):  # driver base case, then distributed path
+        got = {int(r["k"]): float(r["cum_excl"])
+               for r in with_running_sum(ds, "k", "v",
+                                         base_case_rows=base).take_all()}
+        assert got == want, f"base_case_rows={base}"
