@@ -342,8 +342,9 @@ def cmd_down(args) -> int:
                    + [f"is_in:{s}" for s in (args.ends_membership or ())]
                    + (["is_in_count"] if args.ends_membership else []))]
         sel_ends = res["ends"]
-        if args.ends_upstreams_min_upstream_m is not None:
-            emin = float(args.ends_upstreams_min_upstream_m)
+        emin = max(float(args.ends_upstreams_min_upstream_m or 0.0),
+                   float(args.min_upstream_m or 0.0))
+        if emin > 0.0:
             sel_ends = sel_ends.map_batches(
                 lambda b: b.filter(pa.array(
                     b["end_upstream_m"].to_numpy(zero_copy_only=False)
@@ -559,14 +560,52 @@ def cmd_down(args) -> int:
             return pa.table(cols)
 
         lsm = lsm.map_batches(with_name, batch_format="pyarrow")
+        lsm_props = ["mouth_nid", "source_nid", "river_system_length_m",
+                     "path_nodes", "name"]
+        if args.incl_wayids:
+            # member way ids of each mouth's river system (weak component
+            # of the DAG) — -down main.rs:1256 passes incl_wayids to the
+            # LSM writer; needs a way_id column on the input edges
+            if "way_id" not in edges.schema().names:
+                print("error: --incl-wayids needs a way_id column on the "
+                      "edges table", file=sys.stderr)
+                return 2
+            from .stages.graph import connected_components
+
+            labels = connected_components(res["dag_edges"], "src", "dst",
+                                           num_partitions=args.num_partitions)
+            lab_src = labels.select_columns(["node", "component_id"]) \
+                .rename_columns(["src", "component_id"])
+            we = cogroup_join(edges.select_columns(["src", "way_id"]),
+                              lab_src, ("src",), how="inner",
+                              num_partitions=args.num_partitions)
+
+            def per_comp_ways(t: pa.Table) -> pa.Table:
+                w = sorted(set(t["way_id"].to_numpy(zero_copy_only=False)
+                               .astype(np.int64).tolist()))
+                return pa.table({
+                    "component_id": pa.array([t["component_id"][0].as_py()],
+                                             pa.int64()),
+                    "all_wayids": pa.array([[f"w{x}" for x in w]],
+                                           pa.list_(pa.string())),
+                })
+
+            cw = we.groupby("component_id").map_groups(
+                per_comp_ways, batch_format="pyarrow")
+            lab_mouth = labels.select_columns(["node", "component_id"]) \
+                .rename_columns(["mouth_nid", "component_id"])
+            lsm = cogroup_join(lsm, lab_mouth, ("mouth_nid",), how="inner",
+                               num_partitions=args.num_partitions)
+            lsm = cogroup_join(lsm, cw, ("component_id",), how="left_outer",
+                               num_partitions=args.num_partitions)
+            lsm_props.append("all_wayids")
         pos = nodes.select_columns(["node_id", "lat", "lon"]) \
             .rename_columns(["mouth_nid", "lat", "lon"])
         lsm = cogroup_join(lsm, pos, ("mouth_nid",), how="inner",
                            num_partitions=args.num_partitions)
         summary["longest_source_mouth_file"] = write_features_single(
             lsm, args.longest_source_mouth,
-            props_cols=["mouth_nid", "source_nid", "river_system_length_m",
-                        "path_nodes", "name"],
+            props_cols=lsm_props,
             geometry="point")
 
     if args.out_dir:
@@ -801,6 +840,27 @@ def main(argv=None) -> int:
     pd.add_argument("--ends-csv-min-length-m", type=float, default=None)
     pd.add_argument("--ends-csv-only-largest-n", type=int, default=None)
     pd.add_argument("--ends-csv-only-tagged", action="store_true")
+    pd.add_argument("--min-upstream-m", type=float, default=None,
+                    help="only --ends features with at least this upstream "
+                         "(-down main.rs:1068-1071)")
+    pd.add_argument("--incl-wayids", "--incl-way-ids", dest="incl_wayids",
+                    action="store_true",
+                    help="add member way ids to --longest-source-mouth "
+                         "features (-down main.rs:1238,1256; needs a way_id "
+                         "edge column)")
+    # the reference's -down binary declares these but never reads them
+    # (grep of -down/main.rs finds zero uses); accepted for CLI parity
+    for dead in ("--frames-group-min-length-m", "--max-sinuosity",
+                 "--min-dist-to-longer-m", "--output-frames",
+                 "--split-into-single-paths-by", "--tag-group-k"):
+        pd.add_argument(dead, default=None, help=argparse.SUPPRESS)
+    for dead in ("--incl-dist-to-longer", "--incl-unset-group",
+                 "--save-as-linestrings", "--split-files-by-group",
+                 "--split-into-single-paths"):
+        pd.add_argument(dead, action="store_true", help=argparse.SUPPRESS)
+    for dead in ("--only-longest-n-per-file", "--only-longest-n-per-group",
+                 "--only-longest-n-splitted-paths"):
+        pd.add_argument(dead, type=int, default=None, help=argparse.SUPPRESS)
     pd.add_argument("--ends-membership", action="append", default=None,
                     help="tag-filter DSL over edge tag columns; adds "
                          "is_in:<filter> flags per end (repeatable, "

@@ -513,3 +513,29 @@ def test_cli_down_ends_upstreams(tmp_path, capsys, ray_session):
     feats = _read_seq(out)
     assert [f["properties"]["end_nid"] for f in feats] == [4]
     assert feats[0]["properties"]["n_edges"] == 2  # 4-node chain capped at 3
+
+
+def test_cli_down_min_upstream_and_lsm_wayids(tmp_path, capsys, ray_session):
+    """-down --min-upstream-m filters the --ends output (main.rs:1068-1071);
+    --incl-wayids adds the river system's way ids to LSM features
+    (main.rs:1256)."""
+    epath, npath, _ = _down_fixture(tmp_path)
+    out = tmp_path / "ends.geojsons"
+    rc = main(["down", "-i", str(epath), "--nodes", str(npath),
+               "--ends", str(out), "--min-upstream-m", "25",
+               "--num-partitions", "4"])
+    assert rc == 0
+    capsys.readouterr()
+    feats = _read_seq(out)
+    assert [f["properties"]["end_nid"] for f in feats] == [4]  # 30 m only
+
+    lsm = tmp_path / "lsm.geojsons"
+    rc = main(["down", "-i", str(epath), "--nodes", str(npath),
+               "--longest-source-mouth", str(lsm), "--incl-wayids",
+               "--num-partitions", "4"])
+    assert rc == 0
+    capsys.readouterr()
+    by_mouth = {f["properties"]["mouth_nid"]: f["properties"]
+                for f in _read_seq(lsm)}
+    assert by_mouth[4]["all_wayids"] == ["w100", "w101", "w102"]
+    assert by_mouth[12]["all_wayids"] == ["w103", "w104"]
