@@ -459,6 +459,8 @@ def knn_join_partitioned(points_ds, anchors_ds, *, res: int = 4,
             "anchor_dist_dm": pa.array(dm, pa.int64()),
         })
 
+    from .relational import map_groups_partitioned
+
     pts = points_ds.map_batches(
         lambda b: pa.table({"node_id": b[id_col], "lat": b[lat_col],
                             "lon": b[lon_col]}), batch_format="pyarrow")
@@ -468,9 +470,12 @@ def knn_join_partitioned(points_ds, anchors_ds, *, res: int = 4,
         tagged = concat_blocks(
             pts.map_batches(tag_points(r), batch_format="pyarrow"),
             anchors_ds.map_batches(tag_anchors(r), batch_format="pyarrow"))
+        # partition-level grouping (one pandas task per partition, cells
+        # run-split in-process) — the per-cell map_groups task overhead was
+        # the dominant cost of this query at bench scale
         checked = snapshot(
-            tagged.groupby("cell").map_groups(_knn_local_group,
-                                              batch_format="pandas")
+            map_groups_partitioned(tagged, _knn_local_group, "cell",
+                                   num_partitions=num_partitions)
             .map_batches(split_confirm(r), batch_format="pyarrow"))
         parts.append(checked.map_batches(
             lambda b: b.filter(b["confirmed"]), batch_format="pyarrow")
@@ -755,8 +760,8 @@ def dist_to_longer_join(points_ds, *, res: int = 4,
     from ..functions.cells import cell_id_fp as _cid
     from .relational import bucket_agg, concat_blocks, snapshot
 
-    # global max (length, g, component_id) — three scalar aggregates to the
-    # driver (lexicographic: max length → max g at that length → max c)
+    # global max (length, g, component_id) in ONE pass: per-block lexicographic
+    # max → one row per block → driver max over block summaries only
     points_ds = points_ds.materialize()
     if points_ds.count() == 0:
         import ray.data
@@ -765,22 +770,22 @@ def dist_to_longer_join(points_ds, *, res: int = 4,
             "g": pa.array([], pa.int64()),
             "component_id": pa.array([], pa.int64()),
             "dist_to_longer_m": pa.array([], pa.float64())}))
-    max_len = float(points_ds.max("length_m"))
 
-    def at_len(batch: pa.Table) -> pa.Table:
-        l = batch["length_m"].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(l == max_len))
-
-    top_g = int(points_ds.map_batches(at_len, batch_format="pyarrow").max("g"))
-
-    def at_g(batch: pa.Table) -> pa.Table:
+    def block_top(batch: pa.Table) -> pa.Table:
         l = batch["length_m"].to_numpy(zero_copy_only=False)
         g = batch["g"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.filter(pa.array((l == max_len) & (g == top_g)))
+        c = batch["component_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(l) == 0:
+            return pa.table({"l": pa.array([], pa.float64()),
+                             "g": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        i = np.lexsort((c, g, l))[-1]
+        return pa.table({"l": pa.array([l[i]], pa.float64()),
+                         "g": pa.array([g[i]], pa.int64()),
+                         "c": pa.array([c[i]], pa.int64())})
 
-    top_c = int(points_ds.map_batches(at_g, batch_format="pyarrow")
-                .max("component_id"))
-    top_key = (max_len, top_g, top_c)
+    tops = points_ds.map_batches(block_top, batch_format="pyarrow").take_all()
+    top_key = max((r["l"], r["g"], r["c"]) for r in tops)
 
     def not_top(batch: pa.Table) -> pa.Table:
         l = batch["length_m"].to_numpy(zero_copy_only=False)
@@ -793,9 +798,19 @@ def dist_to_longer_join(points_ds, *, res: int = 4,
 
     def tag_points(r):
         def fn(batch: pa.Table) -> pa.Table:
-            cells = _cid(batch["lat"].to_numpy(zero_copy_only=False),
-                         batch["lon"].to_numpy(zero_copy_only=False), r)
             n = len(batch)
+            if r == 0:
+                # exact global round, PARALLELIZED: focal points spread over
+                # num_partitions buckets (candidates replicate into each) —
+                # one giant single-task bucket was the measured wall when the
+                # polar band (where the conservative lon bound is 0) made the
+                # residue a constant fraction instead of a rarity
+                lat = batch["lat"].to_numpy(zero_copy_only=False)
+                cells = (np.arange(n, dtype=np.int64)
+                         + lat.astype(np.int64)) % num_partitions
+            else:
+                cells = _cid(batch["lat"].to_numpy(zero_copy_only=False),
+                             batch["lon"].to_numpy(zero_copy_only=False), r)
             return pa.table({
                 "cell": pa.array(cells, pa.int64()),
                 "kind": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
@@ -810,6 +825,19 @@ def dist_to_longer_join(points_ds, *, res: int = 4,
         def fn(batch: pa.Table) -> pa.Table:
             lat = batch["lat"].to_numpy(zero_copy_only=False).astype(np.int64)
             lon = batch["lon"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if r == 0:  # replicate candidates into every focal bucket
+                n = len(batch)
+                outs = []
+                for p in range(num_partitions):
+                    outs.append(pa.table({
+                        "cell": pa.array(np.full(n, p, np.int64), pa.int64()),
+                        "kind": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+                        "g": batch["g"],
+                        "component_id": batch["component_id"],
+                        "length_m": batch["length_m"],
+                        "lat": batch["lat"], "lon": batch["lon"],
+                    }))
+                return pa.concat_tables(outs)
             cells = _cid(lat, lon, r)
             nmax = np.int64(1) << r
             latb = (cells >> 29) & ((1 << 29) - 1)
@@ -879,22 +907,26 @@ def dist_to_longer_join(points_ds, *, res: int = 4,
 
         return fn
 
+    from .relational import map_groups_partitioned
+
     parts = []
     r = res
     while True:
         tagged = concat_blocks(
             pts.map_batches(tag_points(r), batch_format="pyarrow"),
             points_ds.map_batches(tag_cands(r), batch_format="pyarrow"))
+        # partition-level grouping: one pandas task per PARTITION, cells
+        # run-split in-process (one task per cell was the 13 s wall at sf0.1)
         checked = snapshot(
-            tagged.groupby("cell").map_groups(_longer_local_group,
-                                              batch_format="pandas")
+            map_groups_partitioned(tagged, _longer_local_group, "cell",
+                                   num_partitions=num_partitions)
             .map_batches(split_confirm(r), batch_format="pyarrow"))
         parts.append(checked.map_batches(
             lambda b: b.filter(b["confirmed"]), batch_format="pyarrow")
             .select_columns(["g", "component_id", "best_m"]))
-        residue = checked.map_batches(
+        residue = snapshot(checked.map_batches(
             lambda b: b.filter(pc.invert(b["confirmed"])),
-            batch_format="pyarrow")
+            batch_format="pyarrow"))  # one execution: count + next-round pts
         n_residue = residue.count()
         if n_residue == 0:
             break
