@@ -344,3 +344,41 @@ def test_with_running_sum_both_paths(ray_session):
                for r in with_running_sum(ds, "k", "v",
                                          base_case_rows=base).take_all()}
         assert got == want, f"base_case_rows={base}"
+
+
+def test_det_shuffle_and_packing_parallelism_invariant(ray_session):
+    """The shuffle-shard assignment and token-bin packing must be identical
+    at different partition counts (determinism is their whole point)."""
+    from osm_lump_ways_ray.pipelines.queries import QUERIES
+
+    def rows(name):
+        r = QUERIES[name]("/root/testdata/sf0.001")
+        try:
+            df = r.to_pandas()
+        except AttributeError:
+            df = r
+        return df.to_dict("records")
+
+    import osm_lump_ways_ray.stages.relational as rel
+
+    a = rows("det_shuffle")
+    b = rows("det_shuffle")
+    assert a == b
+    p1 = rows("token_packing")
+    p2 = rows("token_packing")
+    assert p1 == p2
+    # and the prefix-sum primitive is partition-count invariant
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    t = pa.table({"k": pa.array(np.arange(50, dtype=np.int64)),
+                  "v": pa.array((np.arange(50) % 7).astype(np.int64))})
+    outs = []
+    for parts in (1, 3, 9):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got = sorted((int(r["k"]), float(r["cum_excl"])) for r in
+                     rel.with_running_sum(ds, "k", "v",
+                                          base_case_rows=0).take_all())
+        outs.append(got)
+    assert outs[0] == outs[1] == outs[2]
