@@ -58,6 +58,31 @@ def cmd_lump(args) -> int:
 
     if args.synth:
         pages = synth_pages_dataset(args.synth, seed=args.seed)
+    elif args.input.endswith(".pbf"):
+        # the reference's native input (`-i FILENAME.osm.pbf`,
+        # cli_args.rs:22-24): sources/pbf.py readers; the group tag and the
+        # lang analog come straight from the ways' OSM tags
+        import pyarrow as pa
+
+        from .sources.pbf import read_pbf_nodes, read_pbf_ways
+
+        gb = args.tag_group_by
+
+        def shape(batch: pa.Table) -> pa.Table:
+            keys = batch["keys"].to_pylist()
+            vals = batch["vals"].to_pylist()
+            tags = [dict(zip(k, v)) for k, v in zip(keys, vals)]
+            return pa.table({
+                "way_id": batch["way_id"],
+                "node_ids": batch["node_ids"],
+                gb: pa.array([t.get(gb) for t in tags], pa.string()),
+                "lang": pa.array([t.get("lang", "") for t in tags],
+                                 pa.string()),
+            })
+
+        ways = read_pbf_ways(args.input).map_batches(shape,
+                                                     batch_format="pyarrow")
+        pages = (ways, read_pbf_nodes(args.input))
     else:
         import ray.data
 
@@ -76,7 +101,8 @@ def cmd_lump(args) -> int:
                   "(cli_args.rs:43-46)", file=sys.stderr)
             return 2
         outputs.append(Output(path=path, geometry=geometry,
-                              props=("component_id", "length_m", "num_nodes"),
+                              props=(args.tag_group_by, "component_id",
+                                     "length_m", "num_nodes"),
                               split_by=(args.tag_group_by
                                         if args.split_files_by_group else None)))
     if args.min_upstream_m is not None:

@@ -2898,6 +2898,91 @@ def _chain_line_rows_build(sf_dir: str):
         fn, batch_format="pandas")
 
 
+def q_pbf_roundtrip(sf_dir: str):
+    """Native OSM PBF roundtrip (sources/pbf.py): derived nodes + 5-doc ways
+    are ENCODED to an actual .osm.pbf (framed protobuf, zlib blobs,
+    delta+zigzag packed varints, string table — fixture generation, driver
+    side like every writer roundtrip) and read back through the sharded
+    blob-span Ray readers; per way-name tag: way count, ref count and the
+    exact e7 coordinate sums of the referenced nodes, joined from the
+    DECODED node table. A value match certifies framing, compression, the
+    vectorized varint decode, delta chains and the string table."""
+    import tempfile
+
+    from ..sources.pbf import read_pbf_nodes, read_pbf_ways, write_pbf
+    from ..stages.relational import bucket_agg, cogroup_join
+
+    nodes_df = _nodes_pos(sf_dir).to_pandas().sort_values("node_id")
+    ids = nodes_df["node_id"].to_numpy().astype(np.int64)
+    lat = nodes_df["lat"].to_numpy().astype(np.int64)
+    lon = nodes_df["lon"].to_numpy().astype(np.int64)
+    ways = [(int(i + 1), ids[i * 5:(i + 1) * 5],
+             {"name": f"n{i % 11}", "highway": "track"})
+            for i in range((len(ids) + 4) // 5)]
+    path = tempfile.mktemp(suffix=".osm.pbf", dir="/tmp")
+    write_pbf(path, nodes=(ids, lat, lon), ways=ways, features_per_blob=64)
+
+    wds = read_pbf_ways(path)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        refs = batch["node_ids"].to_pylist()
+        keys = batch["keys"].to_pylist()
+        vals = batch["vals"].to_pylist()
+        names, flat = [], []
+        for r, k, v in zip(refs, keys, vals):
+            nm = dict(zip(k, v)).get("name", "")
+            names.extend([nm] * len(r))
+            flat.extend(r)
+        return pa.table({"name": pa.array(names, pa.string()),
+                         "node_id": pa.array(flat, pa.int64())})
+
+    refs = wds.map_batches(explode, batch_format="pyarrow")
+    joined = cogroup_join(refs, read_pbf_nodes(path), ("node_id",),
+                          how="inner", num_partitions=8)
+    per_name = bucket_agg(joined, ["name"],
+                          {"n_refs": (None, "count"),
+                           "sum_lat": ("lat", "sum"),
+                           "sum_lon": ("lon", "sum")},
+                          num_partitions=4, combine=True)
+
+    def wnames(batch: pa.Table) -> pa.Table:
+        keys = batch["keys"].to_pylist()
+        vals = batch["vals"].to_pylist()
+        return pa.table({"name": pa.array(
+            [dict(zip(k, v)).get("name", "") for k, v in zip(keys, vals)],
+            pa.string())})
+
+    counts = bucket_agg(wds.map_batches(wnames, batch_format="pyarrow"),
+                        ["name"], {"n_ways": (None, "count")},
+                        num_partitions=4, combine=True)
+    out = cogroup_join(per_name, counts, ("name",), how="inner",
+                       num_partitions=4)
+    import os
+
+    res = out.to_pandas()
+    res = res.sort_values(sorted(res.columns)).reset_index(drop=True)
+    os.unlink(path)
+    import ray.data
+
+    return ray.data.from_pandas(res)
+
+
+SQL_PBF_ROUNDTRIP = f"""
+WITH n AS ({NODES_SQL}),
+ranked AS (
+  SELECT node_id, lat, lon,
+         (ROW_NUMBER() OVER (ORDER BY node_id) - 1) // 5 AS wi
+  FROM n
+)
+SELECT 'n' || CAST(wi % 11 AS VARCHAR) AS name,
+       COUNT(*) AS n_refs,
+       CAST(SUM(lat) AS BIGINT) AS sum_lat,
+       CAST(SUM(lon) AS BIGINT) AS sum_lon,
+       COUNT(DISTINCT wi) AS n_ways
+FROM ranked GROUP BY 1
+"""
+
+
 def q_geojson_roundtrip(sf_dir: str):
     """S4 writer round-trip: chain components → LineString features →
     FeatureCollection ``.geojson`` on disk (fileio.rs:127-144 framing) →
@@ -5529,6 +5614,8 @@ ORACLES.update({"duplicate_span_runs": SQL_DUPLICATE_SPAN_RUNS})
 
 
 QUERIES.update({"det_shuffle": q_det_shuffle,
-                "token_packing": q_token_packing})
+                "token_packing": q_token_packing,
+                "pbf_roundtrip": q_pbf_roundtrip})
 ORACLES.update({"det_shuffle": SQL_DET_SHUFFLE,
-                "token_packing": SQL_TOKEN_PACKING})
+                "token_packing": SQL_TOKEN_PACKING,
+                "pbf_roundtrip": SQL_PBF_ROUNDTRIP})

@@ -226,9 +226,20 @@ class Pipeline:
                              "'as-crow-flies' or 'longest-path' "
                              f"(got {self.split_into_single_paths_by!r})")
 
-        res = lump(pages_ds, num_partitions=self.num_partitions,
-                   checkpoint_dir=self.checkpoint_dir,
-                   group_tag=self.group_by)
+        if isinstance(pages_ds, tuple):
+            # (ways_ds, nodes_ds) entry — the `-i FILENAME.osm.pbf` path
+            # (sources/pbf.py readers); geometry/cells attach inside
+            from ..pipelines.lump import lump_from_ways
+
+            ways_in, nodes_in = pages_ds
+            res = lump_from_ways(ways_in, nodes_in,
+                                 num_partitions=self.num_partitions,
+                                 checkpoint_dir=self.checkpoint_dir,
+                                 group_tag=self.group_by)
+        else:
+            res = lump(pages_ds, num_partitions=self.num_partitions,
+                       checkpoint_dir=self.checkpoint_dir,
+                       group_tag=self.group_by)
         comps = res["components"]
         # components carry the interned group id (g); rejoin the TAG VALUE
         # from the edge rows (one row per g — tiny right side)
@@ -504,10 +515,13 @@ class Pipeline:
 
         from ..sources.csvout import append_stats_csv, write_openmetrics
 
-        ts_max = pages_ds.max("warc_ts")
+        if isinstance(pages_ds, tuple):  # ways entry: no warc_ts column
+            ts_max = None
+        else:
+            ts_max = pages_ds.max("warc_ts")
         if hasattr(ts_max, "timestamp"):
             epoch = int(ts_max.timestamp())
-        else:  # already epoch-like
+        else:  # already epoch-like (or absent)
             epoch = int(ts_max) if ts_max is not None else 0
         iso = datetime.datetime.fromtimestamp(
             epoch, datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")

@@ -1,0 +1,542 @@
+"""Native OSM PBF source/sink — the reference's ACTUAL input format.
+
+The reference binaries read ``FILENAME.osm.pbf`` (cli_args.rs `-i`); until
+now this engine only read Parquet analogs. PBF needs no external library:
+the container format is 4-byte-BE-framed protobuf (fileformat.proto:
+BlobHeader/Blob) around zlib-compressed protobuf blocks (osmformat.proto:
+PrimitiveBlock → StringTable + DenseNodes/Way/Relation with delta-coded
+zigzag packed varints). Both .proto schemas are public; this module
+implements the wire format directly:
+
+- packed-varint decode is VECTORIZED (numpy): continuation-bit mask →
+  per-varint byte offsets → ≤10 shift/or passes over ALL varints at once —
+  the bulk payload (dense node ids/lats/lons, way refs) never sees a
+  per-value Python loop;
+- per-feature message envelopes (one Way/Relation each) use a light wire
+  walker that skips unknown fields by wire type, so real-world files with
+  Info/denseinfo metadata parse fine;
+- the Ray reader scans blob OFFSETS on the driver (header-size seeks only,
+  no payload reads), then decodes blobs in parallel ``map_batches`` tasks —
+  the sharded-read shape that scales to planet files;
+- the encoder exists for fixtures and as a sink (same pattern as the PNG /
+  WAV codecs: encoder + decoder + roundtrip tests, no media/proto libs).
+
+Reference parity points (semantics only): node positions are decoded to the
+same 1e-7-degree fixed point the engine uses everywhere
+(lat = 1e-9·(lat_offset + granularity·raw); default granularity 100 →
+raw IS the e7 value), matching ``read_node_positions``
+(bin/osm-lump-ways-down/main.rs:1326-1354); ways keep their full tag
+key/value lists for the M1 tag filters (bin/osm-lump-ways/main.rs:264-292).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterable, List, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+# ─────────────────────────────────────────────── varint / zigzag primitives
+
+
+def encode_varint(v: int) -> bytes:
+    """Unsigned LEB128; negative ints are encoded as 64-bit two's complement
+    (10 bytes), per protobuf."""
+    v &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def zigzag_encode(v: int) -> int:
+    return ((v << 1) ^ (v >> 63)) & ((1 << 64) - 1)
+
+
+def encode_packed(values: Iterable[int], *, zigzag: bool = False) -> bytes:
+    out = bytearray()
+    for v in values:
+        v = int(v)  # numpy scalars would wrap the Python shift arithmetic
+        u = ((v << 1) ^ (v >> 63)) & ((1 << 64) - 1) if zigzag else v
+        out += encode_varint(u)
+    return bytes(out)
+
+
+def decode_varints(buf: bytes) -> np.ndarray:
+    """ALL varints in a packed field at once (vectorized): returns int64
+    (two's-complement reinterpretation of the unsigned values, exact for
+    protobuf's 64-bit wrap encoding of negatives)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    starts = np.r_[np.int64(0), ends[:-1] + 1]
+    lens = ends - starts + 1
+    vals = np.zeros(len(ends), dtype=np.uint64)
+    for k in range(int(lens.max())):
+        m = lens > k
+        vals[m] |= ((b[starts[m] + k].astype(np.uint64) & np.uint64(0x7F))
+                    << np.uint64(7 * k))
+    return vals.view(np.int64)
+
+
+def zigzag_decode(v: np.ndarray) -> np.ndarray:
+    u = v.view(np.uint64)
+    return ((u >> np.uint64(1)) ^ (np.uint64(0) - (u & np.uint64(1)))) \
+        .view(np.int64)
+
+
+# ─────────────────────────────────────────────────────── wire-format walker
+
+
+def _walk_fields(buf: memoryview):
+    """Yield (field_no, wire_type, payload) triples; payload is an int for
+    wire type 0 (varint) / 1 (fixed64) / 5 (fixed32) and a memoryview for
+    wire type 2. Unknown fields are the CALLER's job to ignore — this walker
+    always advances correctly by wire type."""
+    i, n = 0, len(buf)
+    while i < n:
+        key = 0
+        shift = 0
+        while True:
+            byte = buf[i]
+            i += 1
+            key |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+        field, wt = key >> 3, key & 7
+        if wt == 0:
+            v = 0
+            shift = 0
+            while True:
+                byte = buf[i]
+                i += 1
+                v |= (byte & 0x7F) << shift
+                if not byte & 0x80:
+                    break
+                shift += 7
+            yield field, 0, v
+        elif wt == 2:
+            ln = 0
+            shift = 0
+            while True:
+                byte = buf[i]
+                i += 1
+                ln |= (byte & 0x7F) << shift
+                if not byte & 0x80:
+                    break
+                shift += 7
+            yield field, 2, buf[i:i + ln]
+            i += ln
+        elif wt == 1:
+            yield field, 1, int.from_bytes(buf[i:i + 8], "little")
+            i += 8
+        elif wt == 5:
+            yield field, 5, int.from_bytes(buf[i:i + 4], "little")
+            i += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt} (field {field})")
+
+
+def _field_bytes(field: int, payload: bytes) -> bytes:
+    return encode_varint((field << 3) | 2) + encode_varint(len(payload)) \
+        + payload
+
+
+def _field_varint(field: int, v: int) -> bytes:
+    return encode_varint(field << 3) + encode_varint(v)
+
+
+# ───────────────────────────────────────────────────────────────── encoder
+
+
+class _StringTable:
+    def __init__(self):
+        self._idx = {"": 0}
+        self._list = [b""]
+
+    def add(self, s: str) -> int:
+        i = self._idx.get(s)
+        if i is None:
+            i = len(self._list)
+            self._idx[s] = i
+            self._list.append(s.encode())
+        return i
+
+    def encode(self) -> bytes:
+        return b"".join(_field_bytes(1, s) for s in self._list)
+
+
+def _encode_primitive_block(nodes=None, ways=(), relations=()) -> bytes:
+    """One PrimitiveBlock. ``nodes`` = (ids, lat_e7, lon_e7) int64 arrays;
+    ``ways`` = [(way_id, refs, tags_dict)]; ``relations`` =
+    [(rel_id, members=[(type_int, member_id, role)], tags_dict)]."""
+    st = _StringTable()
+    groups = []
+    if nodes is not None and len(nodes[0]):
+        ids, lat, lon = (np.asarray(a, dtype=np.int64) for a in nodes)
+        dense = (_field_bytes(1, encode_packed(np.diff(ids, prepend=0),
+                                               zigzag=True))
+                 + _field_bytes(8, encode_packed(np.diff(lat, prepend=0),
+                                                 zigzag=True))
+                 + _field_bytes(9, encode_packed(np.diff(lon, prepend=0),
+                                                 zigzag=True)))
+        groups.append(_field_bytes(2, dense))
+    way_msgs = []
+    for wid, refs, tags in ways:
+        keys = [st.add(k) for k in tags]
+        vals = [st.add(tags[k]) for k in tags]
+        m = _field_varint(1, int(wid))
+        if keys:
+            m += _field_bytes(2, encode_packed(keys))
+            m += _field_bytes(3, encode_packed(vals))
+        m += _field_bytes(8, encode_packed(
+            np.diff(np.asarray(refs, dtype=np.int64), prepend=0),
+            zigzag=True))
+        way_msgs.append(_field_bytes(3, m))
+    if way_msgs:
+        groups.append(b"".join(way_msgs))
+    rel_msgs = []
+    for rid, members, tags in relations:
+        keys = [st.add(k) for k in tags]
+        vals = [st.add(tags[k]) for k in tags]
+        roles = [st.add(r) for _t, _m, r in members]
+        mids = np.asarray([m for _t, m, _r in members], dtype=np.int64)
+        types = [t for t, _m, _r in members]
+        m = _field_varint(1, int(rid))
+        if keys:
+            m += _field_bytes(2, encode_packed(keys))
+            m += _field_bytes(3, encode_packed(vals))
+        if members:
+            m += _field_bytes(8, encode_packed(roles))
+            m += _field_bytes(9, encode_packed(np.diff(mids, prepend=0),
+                                               zigzag=True))
+            m += _field_bytes(10, encode_packed(types))
+        rel_msgs.append(_field_bytes(4, m))
+    if rel_msgs:
+        groups.append(b"".join(rel_msgs))
+    block = _field_bytes(1, st.encode())
+    for g in groups:
+        block += _field_bytes(2, g)
+    # granularity 100 / offsets 0 are the defaults — omitted like real files
+    return block
+
+
+def _frame_blob(blob_type: str, payload: bytes, *, compress: bool = True) -> bytes:
+    if compress:
+        blob = (_field_varint(2, len(payload))
+                + _field_bytes(3, zlib.compress(payload)))
+    else:
+        blob = _field_bytes(1, payload)
+    header = (_field_bytes(1, blob_type.encode())
+              + _field_varint(3, len(blob)))
+    return struct.pack(">i", len(header)) + header + blob
+
+
+def write_pbf(path: str, *, nodes=None, ways: Sequence = (),
+              relations: Sequence = (), features_per_blob: int = 8000,
+              compress: bool = True) -> dict:
+    """Write a valid .osm.pbf: OSMHeader blob + OSMData blobs capped at
+    ``features_per_blob`` primitives each (real files shard the same way —
+    the reader parallelizes per blob). Returns counts + blob count."""
+    header = (_field_bytes(4, b"OsmSchema-V0.6")
+              + _field_bytes(4, b"DenseNodes")
+              + _field_bytes(16, b"osm_lump_ways_ray"))
+    n_blobs = 0
+    with open(path, "wb") as f:
+        f.write(_frame_blob("OSMHeader", header, compress=compress))
+        n_blobs += 1
+        if nodes is not None and len(nodes[0]):
+            ids, lat, lon = (np.asarray(a, dtype=np.int64) for a in nodes)
+            for i in range(0, len(ids), features_per_blob):
+                s = slice(i, i + features_per_blob)
+                f.write(_frame_blob("OSMData", _encode_primitive_block(
+                    nodes=(ids[s], lat[s], lon[s])), compress=compress))
+                n_blobs += 1
+        for seq, kind in ((list(ways), "ways"), (list(relations), "rels")):
+            for i in range(0, len(seq), features_per_blob):
+                chunk = seq[i:i + features_per_blob]
+                blk = (_encode_primitive_block(ways=chunk) if kind == "ways"
+                       else _encode_primitive_block(relations=chunk))
+                f.write(_frame_blob("OSMData", blk, compress=compress))
+                n_blobs += 1
+    return {"path": path, "n_blobs": n_blobs,
+            "n_nodes": 0 if nodes is None else int(len(nodes[0])),
+            "n_ways": len(ways), "n_relations": len(relations)}
+
+
+# ───────────────────────────────────────────────────────────────── decoder
+
+
+def scan_blob_spans(path: str) -> List[Tuple[str, int, int]]:
+    """Driver-side blob index: [(type, offset, size)] — reads only the
+    4-byte frames + BlobHeaders and SEEKS over payloads, so indexing a
+    planet file touches O(#blobs) bytes, not the data."""
+    spans = []
+    with open(path, "rb") as f:
+        while True:
+            raw = f.read(4)
+            if len(raw) < 4:
+                break
+            hlen = struct.unpack(">i", raw)[0]
+            hdr = memoryview(f.read(hlen))
+            btype, dsize = "", 0
+            for field, wt, val in _walk_fields(hdr):
+                if field == 1 and wt == 2:
+                    btype = bytes(val).decode()
+                elif field == 3 and wt == 0:
+                    dsize = val
+            spans.append((btype, f.tell(), dsize))
+            f.seek(dsize, 1)
+    return spans
+
+
+def _blob_payload(buf: bytes) -> bytes:
+    raw = None
+    for field, wt, val in _walk_fields(memoryview(buf)):
+        if field == 1 and wt == 2:
+            raw = bytes(val)
+        elif field == 3 and wt == 2:
+            raw = zlib.decompress(bytes(val))
+    if raw is None:
+        raise ValueError("Blob carries no raw/zlib_data payload")
+    return raw
+
+
+def decode_primitive_block(payload: bytes) -> dict:
+    """PrimitiveBlock → dict of numpy/python structures:
+    nodes (id, lat_e7, lon_e7), ways [(id, refs, keys, vals)],
+    relations [(id, member_ids, member_types, roles, keys, vals)]."""
+    strings: List[str] = []
+    groups = []
+    granularity, lat_off, lon_off = 100, 0, 0
+    for field, wt, val in _walk_fields(memoryview(payload)):
+        if field == 1 and wt == 2:
+            for f2, w2, v2 in _walk_fields(val):
+                if f2 == 1 and w2 == 2:
+                    strings.append(bytes(v2).decode("utf-8", "replace"))
+        elif field == 2 and wt == 2:
+            groups.append(val)
+        elif field == 17 and wt == 0:
+            granularity = val
+        elif field == 19 and wt == 0:
+            lat_off = val
+        elif field == 20 and wt == 0:
+            lon_off = val
+
+    def to_e7(raw: np.ndarray, off: int) -> np.ndarray:
+        # 1e-9·(off + granularity·raw) degrees → e7 fixed point; exact in
+        # int64 when (off + g·raw) is a multiple of 100 (true for the
+        # default g=100/off=0 and any real-world granularity ≥ 100)
+        nano = off + granularity * raw.astype(np.int64)
+        return nano // 100
+
+    nodes_id: List[np.ndarray] = []
+    nodes_lat: List[np.ndarray] = []
+    nodes_lon: List[np.ndarray] = []
+    ways, relations = [], []
+    for g in groups:
+        for field, wt, val in _walk_fields(g):
+            if field == 2 and wt == 2:  # DenseNodes
+                ids = lat = lon = None
+                for f2, w2, v2 in _walk_fields(val):
+                    if f2 == 1 and w2 == 2:
+                        ids = np.cumsum(zigzag_decode(decode_varints(bytes(v2))))
+                    elif f2 == 8 and w2 == 2:
+                        lat = np.cumsum(zigzag_decode(decode_varints(bytes(v2))))
+                    elif f2 == 9 and w2 == 2:
+                        lon = np.cumsum(zigzag_decode(decode_varints(bytes(v2))))
+                if ids is not None:
+                    nodes_id.append(ids.astype(np.int64))
+                    nodes_lat.append(to_e7(lat, lat_off))
+                    nodes_lon.append(to_e7(lon, lon_off))
+            elif field == 1 and wt == 2:  # plain Node (rare; all sint64)
+                def _zz(u):
+                    return int(zigzag_decode(
+                        np.array([u], np.uint64).view(np.int64))[0])
+
+                nid = rlat = rlon = 0
+                for f2, w2, v2 in _walk_fields(val):
+                    if f2 == 1 and w2 == 0:
+                        nid = _zz(v2)
+                    elif f2 == 8 and w2 == 0:
+                        rlat = _zz(v2)
+                    elif f2 == 9 and w2 == 0:
+                        rlon = _zz(v2)
+                nodes_id.append(np.array([nid], np.int64))
+                nodes_lat.append(to_e7(np.array([rlat]), lat_off))
+                nodes_lon.append(to_e7(np.array([rlon]), lon_off))
+            elif field == 3 and wt == 2:  # Way
+                wid, refs, keys, vals = 0, None, [], []
+                for f2, w2, v2 in _walk_fields(val):
+                    if f2 == 1 and w2 == 0:
+                        wid = v2
+                    elif f2 == 2 and w2 == 2:
+                        keys = [strings[i] for i in decode_varints(bytes(v2))]
+                    elif f2 == 3 and w2 == 2:
+                        vals = [strings[i] for i in decode_varints(bytes(v2))]
+                    elif f2 == 8 and w2 == 2:
+                        refs = np.cumsum(
+                            zigzag_decode(decode_varints(bytes(v2))))
+                ways.append((wid,
+                             refs if refs is not None
+                             else np.zeros(0, np.int64),
+                             keys, vals))
+            elif field == 4 and wt == 2:  # Relation
+                rid, keys, vals = 0, [], []
+                roles: List[str] = []
+                mids = np.zeros(0, np.int64)
+                types = np.zeros(0, np.int64)
+                for f2, w2, v2 in _walk_fields(val):
+                    if f2 == 1 and w2 == 0:
+                        rid = v2
+                    elif f2 == 2 and w2 == 2:
+                        keys = [strings[i] for i in decode_varints(bytes(v2))]
+                    elif f2 == 3 and w2 == 2:
+                        vals = [strings[i] for i in decode_varints(bytes(v2))]
+                    elif f2 == 8 and w2 == 2:
+                        roles = [strings[i]
+                                 for i in decode_varints(bytes(v2))]
+                    elif f2 == 9 and w2 == 2:
+                        mids = np.cumsum(
+                            zigzag_decode(decode_varints(bytes(v2))))
+                    elif f2 == 10 and w2 == 2:
+                        types = decode_varints(bytes(v2))
+                relations.append((rid, mids, types, roles, keys, vals))
+    return {
+        "node_id": (np.concatenate(nodes_id) if nodes_id
+                    else np.zeros(0, np.int64)),
+        "lat": (np.concatenate(nodes_lat) if nodes_lat
+                else np.zeros(0, np.int64)),
+        "lon": (np.concatenate(nodes_lon) if nodes_lon
+                else np.zeros(0, np.int64)),
+        "ways": ways,
+        "relations": relations,
+    }
+
+
+# ─────────────────────────────────────────────────────────────── Ray reader
+
+
+def _spans_dataset(path: str):
+    import ray.data
+
+    spans = [{"path": path, "offset": off, "size": size}
+             for btype, off, size in scan_blob_spans(path)
+             if btype == "OSMData"]
+    return ray.data.from_items(spans) if spans else None
+
+
+def _decode_span_batch(batch: pa.Table) -> List[dict]:
+    out = []
+    paths = batch["path"].to_pylist()
+    offs = batch["offset"].to_pylist()
+    sizes = batch["size"].to_pylist()
+    for p, o, s in zip(paths, offs, sizes):
+        with open(p, "rb") as f:
+            f.seek(o)
+            out.append(decode_primitive_block(_blob_payload(f.read(s))))
+    return out
+
+
+def read_pbf_nodes(path: str):
+    """(node_id, lat, lon) Dataset — S2 over the real format; e7 ints."""
+    import ray.data
+
+    ds = _spans_dataset(path)
+    if ds is None:
+        return ray.data.from_arrow(pa.table({
+            "node_id": pa.array([], pa.int64()),
+            "lat": pa.array([], pa.int64()),
+            "lon": pa.array([], pa.int64())}))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        blocks = _decode_span_batch(batch)
+        return pa.table({
+            "node_id": pa.array(np.concatenate(
+                [b["node_id"] for b in blocks]), pa.int64()),
+            "lat": pa.array(np.concatenate([b["lat"] for b in blocks]),
+                            pa.int64()),
+            "lon": pa.array(np.concatenate([b["lon"] for b in blocks]),
+                            pa.int64()),
+        })
+
+    return ds.map_batches(decode, batch_format="pyarrow", batch_size=4)
+
+
+def read_pbf_ways(path: str):
+    """(way_id, node_ids list, keys list, vals list) Dataset — S1 over the
+    real format; tag key/value lists feed the M1 filter DSL."""
+    import ray.data
+
+    ds = _spans_dataset(path)
+    if ds is None:
+        return ray.data.from_arrow(pa.table({
+            "way_id": pa.array([], pa.int64()),
+            "node_ids": pa.array([], pa.list_(pa.int64())),
+            "keys": pa.array([], pa.list_(pa.string())),
+            "vals": pa.array([], pa.list_(pa.string()))}))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        blocks = _decode_span_batch(batch)
+        wid, refs, keys, vals = [], [], [], []
+        for b in blocks:
+            for w, r, k, v in b["ways"]:
+                wid.append(w)
+                refs.append(r.tolist())
+                keys.append(k)
+                vals.append(v)
+        return pa.table({
+            "way_id": pa.array(wid, pa.int64()),
+            "node_ids": pa.array(refs, pa.list_(pa.int64())),
+            "keys": pa.array(keys, pa.list_(pa.string())),
+            "vals": pa.array(vals, pa.list_(pa.string())),
+        })
+
+    return ds.map_batches(decode, batch_format="pyarrow", batch_size=4)
+
+
+def read_pbf_relations(path: str):
+    """(rel_id, member_ids, member_types, roles, keys, vals) Dataset — S3
+    over the real format (types: 0 node / 1 way / 2 relation)."""
+    import ray.data
+
+    ds = _spans_dataset(path)
+    if ds is None:
+        return ray.data.from_arrow(pa.table({
+            "rel_id": pa.array([], pa.int64()),
+            "member_ids": pa.array([], pa.list_(pa.int64())),
+            "member_types": pa.array([], pa.list_(pa.int64())),
+            "roles": pa.array([], pa.list_(pa.string())),
+            "keys": pa.array([], pa.list_(pa.string())),
+            "vals": pa.array([], pa.list_(pa.string()))}))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        blocks = _decode_span_batch(batch)
+        rid, mids, types, roles, keys, vals = [], [], [], [], [], []
+        for b in blocks:
+            for r, m, t, ro, k, v in b["relations"]:
+                rid.append(r)
+                mids.append(m.tolist())
+                types.append(t.tolist())
+                roles.append(ro)
+                keys.append(k)
+                vals.append(v)
+        return pa.table({
+            "rel_id": pa.array(rid, pa.int64()),
+            "member_ids": pa.array(mids, pa.list_(pa.int64())),
+            "member_types": pa.array(types, pa.list_(pa.int64())),
+            "roles": pa.array(roles, pa.list_(pa.string())),
+            "keys": pa.array(keys, pa.list_(pa.string())),
+            "vals": pa.array(vals, pa.list_(pa.string())),
+        })
+
+    return ds.map_batches(decode, batch_format="pyarrow", batch_size=4)

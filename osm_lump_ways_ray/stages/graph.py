@@ -757,16 +757,26 @@ def connected_components(
 def intern_group_ids(ds, value_col: str, out_col: str = "g"):
     """Append an int64 group-id column derived from a string group-value column
     by md5-based hashing (deterministic across workers; collision probability
-    negligible for realistic distinct-tag-value counts ≲ 10^8)."""
-    from ..functions.hashing import hash64_array
+    negligible for realistic distinct-tag-value counts ≲ 10^8). NULL group
+    values (ways without the group tag — the PBF entry) share one reserved
+    id distinct from every string's hash, so the facade's
+    ``--incl-unset-group`` filter can keep or drop them as a unit."""
+    from ..functions.hashing import hash64, hash64_array
+
+    unset_g = np.int64(hash64("\x00<unset-group>\x00"))
 
     def add(batch: pa.Table) -> pa.Table:
         # group values repeat heavily — md5 only the UNIQUE values and gather
         # (r2 verdict #5: the per-row to_pylist+hash loop was a hot spot)
         vals = batch[value_col].to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(vals, return_inverse=True)
+        isnull = np.array([v is None for v in vals], dtype=bool)
+        safe = vals.copy()
+        safe[isnull] = ""
+        uniq, inv = np.unique(safe, return_inverse=True)
         hashed = np.asarray(hash64_array(list(uniq)), dtype=np.int64)
-        return batch.append_column(out_col, pa.array(hashed[inv], pa.int64()))
+        out = hashed[inv]
+        out[isnull] = unset_g
+        return batch.append_column(out_col, pa.array(out, pa.int64()))
 
     return ds.map_batches(add, batch_format="pyarrow")
 

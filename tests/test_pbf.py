@@ -1,0 +1,179 @@
+"""Native OSM PBF codec + Ray readers (sources/pbf.py): protobuf wire
+roundtrips, delta/zigzag extremes, nonstandard granularity, unknown-field
+skipping, multi-blob sharding, and the Dataset readers."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from osm_lump_ways_ray.sources.pbf import (_blob_payload, _field_bytes,
+                                           _field_varint,
+                                           decode_primitive_block,
+                                           decode_varints, encode_packed,
+                                           encode_varint, scan_blob_spans,
+                                           write_pbf, zigzag_decode,
+                                           zigzag_encode)
+
+
+def test_varint_zigzag_roundtrip_extremes():
+    vals = [0, 1, 127, 128, 300, 2**32, 2**63 - 1, -1, -2**63, -12345]
+    dec = zigzag_decode(decode_varints(encode_packed(vals, zigzag=True)))
+    assert dec.tolist() == vals
+    # unsigned path incl the full-64-bit wrap
+    u = [0, 5, 2**63 - 1, 2**64 - 1]
+    assert decode_varints(encode_packed(u)).view(np.uint64).tolist() == u
+    assert zigzag_encode(-1) == 1 and zigzag_encode(1) == 2
+    assert decode_varints(encode_varint(2**64 - 1)).view(np.uint64)[0] \
+        == 2**64 - 1
+
+
+def _fixture(tmp_path, features_per_blob=200):
+    rng = np.random.RandomState(3)
+    ids = np.unique(rng.randint(1, 10**12, 600).astype(np.int64))[:500]
+    lat = rng.randint(-900000000, 900000000, len(ids)).astype(np.int64)
+    lon = rng.randint(-1800000000, 1800000000, len(ids)).astype(np.int64)
+    ways = [(int(1000 + i),
+             ids[rng.choice(len(ids), rng.randint(2, 9), replace=False)],
+             {"name": f"w{i % 7}", "waterway": "river"} if i % 3 == 0 else {})
+            for i in range(60)]
+    rels = [(int(5000 + i),
+             [(1, int(1000 + j), "main") for j in range(i % 4 + 1)],
+             {"type": "waterway"}) for i in range(9)]
+    path = str(tmp_path / "rt.osm.pbf")
+    info = write_pbf(path, nodes=(ids, lat, lon), ways=ways, relations=rels,
+                     features_per_blob=features_per_blob)
+    return path, info, (ids, lat, lon), ways, rels
+
+
+def test_pbf_file_roundtrip(tmp_path):
+    path, info, (ids, lat, lon), ways, rels = _fixture(tmp_path)
+    assert info["n_blobs"] >= 4  # header + ≥3 sharded data blobs
+    nid, nlat, nlon, ws, rl = [], [], [], [], []
+    for btype, off, size in scan_blob_spans(path):
+        if btype != "OSMData":
+            continue
+        with open(path, "rb") as f:
+            f.seek(off)
+            blk = decode_primitive_block(_blob_payload(f.read(size)))
+        nid.append(blk["node_id"])
+        nlat.append(blk["lat"])
+        nlon.append(blk["lon"])
+        ws.extend(blk["ways"])
+        rl.extend(blk["relations"])
+    assert np.array_equal(np.concatenate(nid), ids)
+    assert np.array_equal(np.concatenate(nlat), lat)
+    assert np.array_equal(np.concatenate(nlon), lon)
+    assert len(ws) == 60 and len(rl) == 9
+    w0 = ws[0]
+    assert w0[0] == 1000 and np.array_equal(w0[1], ways[0][1])
+    assert dict(zip(w0[2], w0[3])) == ways[0][2]
+    r2 = rl[2]
+    assert (r2[0] == 5002 and r2[1].tolist() == [1000, 1001, 1002]
+            and r2[2].tolist() == [1, 1, 1] and r2[3] == ["main"] * 3)
+
+
+def test_pbf_nonstandard_granularity_and_unknown_fields():
+    """A hand-built PrimitiveBlock with granularity 1000 / offsets plus
+    injected unknown fields must decode to the right e7 coordinates."""
+    st = _field_bytes(1, _field_bytes(1, b""))
+    dense = (_field_bytes(1, encode_packed([7], zigzag=True))
+             + _field_bytes(8, encode_packed([123456], zigzag=True))
+             + _field_bytes(9, encode_packed([-654321], zigzag=True))
+             + _field_bytes(20, b"unknown-inner"))  # skipped by wire type
+    group = _field_bytes(2, dense) + _field_varint(15, 99)  # unknown varint
+    block = (st + _field_bytes(2, group)
+             + _field_varint(17, 1000)           # granularity
+             + _field_varint(19, 500)            # lat_offset (nanodeg)
+             + _field_varint(20, 100)            # lon_offset
+             + _field_bytes(99, b"future-ext"))  # unknown top-level
+    blk = decode_primitive_block(block)
+    assert blk["node_id"].tolist() == [7]
+    # lat = (500 + 1000*123456) nanodeg → e7 = //100
+    assert blk["lat"].tolist() == [(500 + 1000 * 123456) // 100]
+    assert blk["lon"].tolist() == [(100 + 1000 * -654321) // 100]
+
+
+def test_pbf_uncompressed_blob(tmp_path):
+    path = str(tmp_path / "raw.osm.pbf")
+    ids = np.array([5, 9], np.int64)
+    write_pbf(path, nodes=(ids, ids * 10, ids * 20), compress=False)
+    spans = scan_blob_spans(path)
+    assert [t for t, _o, _s in spans] == ["OSMHeader", "OSMData"]
+    with open(path, "rb") as f:
+        f.seek(spans[1][1])
+        blk = decode_primitive_block(_blob_payload(f.read(spans[1][2])))
+    assert blk["node_id"].tolist() == [5, 9]
+    assert blk["lat"].tolist() == [50, 90]
+
+
+def test_pbf_ray_readers(tmp_path, ray_session):
+    from osm_lump_ways_ray.sources.pbf import (read_pbf_nodes,
+                                               read_pbf_relations,
+                                               read_pbf_ways)
+
+    path, _info, (ids, lat, lon), ways, rels = _fixture(tmp_path,
+                                                        features_per_blob=100)
+    nd = read_pbf_nodes(path).to_pandas().sort_values("node_id")
+    assert np.array_equal(nd["node_id"].to_numpy(), ids)
+    assert np.array_equal(
+        nd.sort_values("node_id")["lat"].to_numpy(),
+        lat[np.argsort(ids, kind="stable")])
+    wd = read_pbf_ways(path).to_pandas().sort_values("way_id")
+    assert wd["way_id"].tolist() == [w[0] for w in ways]
+    got_refs = [list(r) for r in wd["node_ids"]]
+    assert got_refs == [list(w[1]) for w in ways]
+    tagged = wd[wd["way_id"] == 1000].iloc[0]
+    assert dict(zip(tagged["keys"], tagged["vals"])) == ways[0][2]
+    rd = read_pbf_relations(path).to_pandas().sort_values("rel_id")
+    assert rd["rel_id"].tolist() == [r[0] for r in rels]
+    assert list(rd.iloc[2]["member_ids"]) == [1000, 1001, 1002]
+    assert list(rd.iloc[2]["roles"]) == ["main"] * 3
+
+
+def test_cli_lump_from_pbf(tmp_path, capsys, ray_session):
+    """`lump -i FILE.osm.pbf` end-to-end: grouped features from a real PBF,
+    grouped by the ways' own `name` tag; untagged ways drop unless
+    --incl-unset-group (reference semantics)."""
+    import json
+
+    from osm_lump_ways_ray.__main__ import main
+
+    # two named chains sharing tag "a" (disconnected → 2 groups) + one "b"
+    # chain + one UNTAGGED way
+    ids = np.arange(1, 13, dtype=np.int64)
+    lat = (ids * 1_000_000).astype(np.int64)
+    lon = (ids * 2_000_000).astype(np.int64)
+    ways = [
+        (1, np.array([1, 2, 3], np.int64), {"name": "a"}),
+        (2, np.array([4, 5], np.int64), {"name": "a"}),
+        (3, np.array([6, 7, 8], np.int64), {"name": "b"}),
+        (4, np.array([9, 10], np.int64), {}),
+    ]
+    path = str(tmp_path / "in.osm.pbf")
+    write_pbf(path, nodes=(ids, lat, lon), ways=ways)
+
+    out = tmp_path / "groups.geojson"
+    rc = main(["lump", "-i", path, "-o", str(out), "-g", "name",
+               "--num-partitions", "4"])
+    assert rc == 0
+    capsys.readouterr()
+    fc = json.loads(out.read_text())
+    names = sorted(f["properties"]["name"] for f in fc["features"])
+    assert names == ["a", "a", "b"]  # untagged way dropped by default
+    nn = {f["properties"]["name"]: f["properties"]["num_nodes"]
+          for f in fc["features"] if f["properties"]["name"] == "b"}
+    # num_nodes counts PILLAR nodes (the interior degree-2 node 7 contracts
+    # into the chain — same semantics as the pages lump)
+    assert nn["b"] == 2
+    # …but the geometry carries the full 3-point chain
+    bgeo = [f["geometry"] for f in fc["features"]
+            if f["properties"]["name"] == "b"][0]
+    assert sum(len(part) for part in bgeo["coordinates"]) == 3
+
+    out2 = tmp_path / "groups2.geojson"
+    rc = main(["lump", "-i", path, "-o", str(out2), "-g", "name",
+               "--incl-unset-group", "--num-partitions", "4"])
+    assert rc == 0
+    capsys.readouterr()
+    fc2 = json.loads(out2.read_text())
+    assert len(fc2["features"]) == 4  # the untagged way survives
