@@ -193,13 +193,23 @@ def cmd_down(args) -> int:
               file=sys.stderr)
         return 2
 
-    edges = ray.data.read_parquet(args.input)
-    if args.flow_follows_tag and "tagid" not in edges.schema().names:
-        print("error: --flow-follows-tag needs a tagid column on the edges "
-              "table (the tag is pre-extracted in this data model)",
-              file=sys.stderr)
-        return 2
-    nodes = ray.data.read_parquet(args.nodes) if args.nodes else None
+    if args.input.endswith(".pbf"):
+        # the reference's native input: ways explode into directed
+        # consecutive-pair edges (way order = flow direction), lengths by
+        # haversine, tagid interned from --flow-follows-tag's key (or name)
+        from .sources.pbf import pbf_directed_edges
+
+        edges, nodes = pbf_directed_edges(
+            args.input, tag_key=args.flow_follows_tag or "name",
+            num_partitions=args.num_partitions)
+    else:
+        edges = ray.data.read_parquet(args.input)
+        if args.flow_follows_tag and "tagid" not in edges.schema().names:
+            print("error: --flow-follows-tag needs a tagid column on the "
+                  "edges table (the tag is pre-extracted in this data model)",
+                  file=sys.stderr)
+            return 2
+        nodes = ray.data.read_parquet(args.nodes) if args.nodes else None
 
     summary = {}
     if args.relations and args.relation_tags_overwrite:

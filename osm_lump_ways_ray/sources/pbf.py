@@ -540,3 +540,82 @@ def read_pbf_relations(path: str):
         })
 
     return ds.map_batches(decode, batch_format="pyarrow", batch_size=4)
+
+
+def pbf_directed_edges(path: str, *, tag_key: str = "name",
+                       num_partitions: int = 16):
+    """PBF → the -down engine's directed edge table (src, dst, length_m,
+    tagid, way_id): every way explodes into consecutive node pairs in way
+    order (waterway direction = node order, -down/main.rs:330-420), lengths
+    by haversine over the joined positions, tagid = interned ``tag_key``
+    value (the -down flow-follows-tag group; -1 when untagged). Returns
+    (edges_ds, nodes_ds)."""
+    from ..functions.haversine import haversine_m_fp
+    from ..stages.graph import intern_group_ids
+    from ..stages.relational import cogroup_join
+
+    nodes = read_pbf_nodes(path)
+    ways = read_pbf_ways(path)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["node_ids"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        flat = ids.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = ids.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        n_pairs = np.maximum(lens - 1, 0)
+        wid = batch["way_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = batch["keys"].to_pylist()
+        vals = batch["vals"].to_pylist()
+        tagv = [dict(zip(k, v)).get(tag_key) for k, v in zip(keys, vals)]
+        # consecutive-pair indices per way, vectorized over the flat buffer
+        base = np.repeat(offs[:-1], n_pairs)
+        step = (np.arange(int(n_pairs.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(n_pairs) - n_pairs, n_pairs))
+        a = flat[base + step]
+        b = flat[base + step + 1]
+        return pa.table({
+            "src": pa.array(a, pa.int64()),
+            "dst": pa.array(b, pa.int64()),
+            "way_id": pa.array(np.repeat(wid, n_pairs), pa.int64()),
+            "_tag": pa.array(np.repeat(np.array(tagv, object), n_pairs)
+                             .tolist(), pa.string()),
+        })
+
+    e = ways.map_batches(explode, batch_format="pyarrow")
+    pos_s = nodes.rename_columns(["src", "lat_s", "lon_s"])
+    pos_d = nodes.rename_columns(["dst", "lat_d", "lon_d"])
+    e = cogroup_join(e, pos_s, ("src",), how="inner",
+                     num_partitions=num_partitions)
+    e = cogroup_join(e, pos_d, ("dst",), how="inner",
+                     num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = haversine_m_fp(
+            batch["lat_s"].to_numpy(zero_copy_only=False).astype(np.float64),
+            batch["lon_s"].to_numpy(zero_copy_only=False).astype(np.float64),
+            batch["lat_d"].to_numpy(zero_copy_only=False).astype(np.float64),
+            batch["lon_d"].to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table({
+            "src": batch["src"], "dst": batch["dst"],
+            "length_m": pa.array(d, pa.float64()),
+            "way_id": batch["way_id"], "_tag": batch["_tag"],
+        })
+
+    e = e.map_batches(finish, batch_format="pyarrow")
+    e = intern_group_ids(e, "_tag", out_col="tagid")
+
+    def drop_tag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch["_tag"]
+        tag = pc.if_else(pc.is_valid(t), batch["tagid"],
+                         pa.scalar(-1, pa.int64()))
+        return pa.table({
+            "src": batch["src"], "dst": batch["dst"],
+            "length_m": batch["length_m"], "tagid": tag,
+            "way_id": batch["way_id"],
+        })
+
+    return e.map_batches(drop_tag, batch_format="pyarrow"), nodes

@@ -177,3 +177,46 @@ def test_cli_lump_from_pbf(tmp_path, capsys, ray_session):
     capsys.readouterr()
     fc2 = json.loads(out2.read_text())
     assert len(fc2["features"]) == 4  # the untagged way survives
+
+
+def test_cli_down_from_pbf(tmp_path, capsys, ray_session):
+    """`down -i FILE.osm.pbf`: the directed graph derives from way node
+    order; loops/ends/flow all run off the real format."""
+    import json
+
+    from osm_lump_ways_ray.__main__ import main
+
+    # chain way 1→2→3→4 named "r", side way 5→3 named "s", cycle 20→21→22→20
+    ids = np.array([1, 2, 3, 4, 5, 20, 21, 22], np.int64)
+    lat = (ids * 1_000_000).astype(np.int64)
+    lon = (ids * 2_000_000).astype(np.int64)
+    ways = [
+        (1, np.array([1, 2, 3, 4], np.int64), {"name": "r"}),
+        (2, np.array([5, 3], np.int64), {"name": "s"}),
+        (3, np.array([20, 21, 22, 20], np.int64), {}),
+    ]
+    path = str(tmp_path / "w.osm.pbf")
+    write_pbf(path, nodes=(ids, lat, lon), ways=ways)
+
+    out_dir = tmp_path / "out"
+    ends_f = tmp_path / "ends.geojsons"
+    loops_f = tmp_path / "loops.geojsons"
+    rc = main(["down", "-i", path, "--out-dir", str(out_dir),
+               "--ends", str(ends_f), "--loops", str(loops_f),
+               "--flow-follows-tag", "name", "--num-partitions", "4"])
+    assert rc == 0
+    capsys.readouterr()
+    import pyarrow.parquet as pq
+
+    flow = pq.read_table(str(out_dir / "flow_edges")).to_pydict()
+    up = {(s, d): u for s, d, u in zip(flow["src"], flow["dst"],
+                                       flow["upstream_m"])}
+    # node 3 has inflows from way r (2→3) and way s (5→3); the single out
+    # (3→4) gets everything
+    assert (3, 4) in up and up[(3, 4)] > 0
+    ends = [json.loads(l) for l in
+            open(ends_f, "rb").read().decode().split("\x1e") if l.strip()]
+    assert [f["properties"]["end_nid"] for f in ends] == [4]
+    loops = [json.loads(l) for l in
+             open(loops_f, "rb").read().decode().split("\x1e") if l.strip()]
+    assert len(loops) == 1 and loops[0]["properties"]["nids"] == [20, 21, 22]
