@@ -212,13 +212,64 @@ def cmd_down(args) -> int:
         nodes = ray.data.read_parquet(args.nodes) if args.nodes else None
 
     summary = {}
+    if (args.input.endswith(".pbf") and args.relation_tags_overwrite
+            and not args.relations):
+        # the reference reads relation memberships from the SAME pbf
+        # (relation_tags.rs); derive (way_id, rel_id, rel_tag, role) rows
+        # from the file's Relation messages (way members only) using the
+        # flow tag key as the relation tag analog
+        from .sources.pbf import read_pbf_relations
+
+        tagk = args.flow_follows_tag or "name"
+
+        def members(batch: pa.Table) -> pa.Table:
+            rid = batch["rel_id"].to_pylist()
+            mids = batch["member_ids"].to_pylist()
+            mtyp = batch["member_types"].to_pylist()
+            roles = batch["roles"].to_pylist()
+            keys = batch["keys"].to_pylist()
+            vals = batch["vals"].to_pylist()
+            w, r, t, ro = [], [], [], []
+            for i in range(len(rid)):
+                tag = dict(zip(keys[i], vals[i])).get(tagk)
+                if tag is None:
+                    continue
+                for m, ty, role in zip(mids[i], mtyp[i], roles[i]):
+                    if ty == 1:  # way member
+                        w.append(m)
+                        r.append(rid[i])
+                        t.append(tag)
+                        ro.append(role)
+            return pa.table({"way_id": pa.array(w, pa.int64()),
+                             "rel_id": pa.array(r, pa.int64()),
+                             "rel_tag": pa.array(t, pa.string()),
+                             "role": pa.array(ro, pa.string())})
+
+        pbf_members = read_pbf_relations(args.input) \
+            .map_batches(members, batch_format="pyarrow")
+        # intern the string tag to the edges' tagid space (same hash)
+        from .stages.graph import intern_group_ids
+
+        pbf_members = intern_group_ids(pbf_members, "rel_tag",
+                                       out_col="rel_tagid")
+        pbf_members = pbf_members.map_batches(
+            lambda b: pa.table({"way_id": b["way_id"],
+                                "rel_id": b["rel_id"],
+                                "rel_tag": b["rel_tagid"],
+                                "role": b["role"]}),
+            batch_format="pyarrow")
+        args.relations = "__pbf__"
+        _pbf_members = pbf_members
+    else:
+        _pbf_members = None
     if args.relations and args.relation_tags_overwrite:
         # J4 over a membership parquet (way_id, rel_id, rel_tag[, role]):
         # per-way winning relation tag overwrites the edge's tagid analog
         # (-down cli_args.rs:315-321; stages/relations.py). Role filter first.
         from .stages.relations import relation_tags_overwrite
 
-        members = ray.data.read_parquet(args.relations)
+        members = (_pbf_members if _pbf_members is not None
+                   else ray.data.read_parquet(args.relations))
         if args.relation_tags_role:
             roles = set(args.relation_tags_role)
             members = members.map_batches(

@@ -104,6 +104,16 @@ def loop_features(edges_ds, nodes_ds, polygons=None, *,
     scc = scc_labels if scc_labels is not None else strongly_connected_components(
         edges_ds, src, dst, num_partitions=num_partitions)
     scc = snapshot(scc)
+    if scc.count() == 0:  # acyclic input → no loops (empty labels have no
+        # schema, which the join layer can't pad)
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "root_nid": pa.array([], pa.int64()),
+            "num_nodes": pa.array([], pa.int64()),
+            "length_m": pa.array([], pa.float64()),
+            "num_segments": pa.array([], pa.int64()),
+            "area": pa.array([], pa.string())}))
     rep_src = scc.map_batches(
         lambda b: pa.table({src: b["node"], "_cs": b["scc_id"]}),
         batch_format="pyarrow")
@@ -827,6 +837,17 @@ def loop_geometries(edges_ds, nodes_ds, *, src: str = "src",
         strongly_connected_components(edges_ds, src, dst,
                                       num_partitions=num_partitions))
     scc = snapshot(scc)
+    if scc.count() == 0:  # acyclic input → no loop geometries
+        import ray.data
+
+        cols = {"root_nid": pa.array([], pa.int64()),
+                "num_nodes": pa.array([], pa.int64()),
+                "length_m": pa.array([], pa.float64()),
+                "lats": pa.array([], pa.list_(pa.list_(pa.int64()))),
+                "lons": pa.array([], pa.list_(pa.list_(pa.int64())))}
+        if incl_nids:
+            cols["nids"] = pa.array([], pa.list_(pa.int64()))
+        return ray.data.from_arrow(pa.table(cols))
     rep_src = scc.map_batches(
         lambda b: pa.table({src: b["node"], "_cs": b["scc_id"]}),
         batch_format="pyarrow")

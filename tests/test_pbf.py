@@ -220,3 +220,50 @@ def test_cli_down_from_pbf(tmp_path, capsys, ray_session):
     loops = [json.loads(l) for l in
              open(loops_f, "rb").read().decode().split("\x1e") if l.strip()]
     assert len(loops) == 1 and loops[0]["properties"]["nids"] == [20, 21, 22]
+
+
+def test_cli_down_pbf_relation_tags(tmp_path, capsys, ray_session):
+    """--relation-tags-overwrite over a PBF input reads memberships from the
+    SAME file: a relation tagged name=R re-tags its member ways, so the
+    tag-grouped flow treats them as one group (interned into the same tagid
+    space as the way tags)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from osm_lump_ways_ray.__main__ import main
+
+    # Y junction: 1→3 (way 1, name p), 2→3 (way 2, name q), outs
+    # 3→4 (way 3, name p), 3→5 (way 4, name q). Relation R makes ways
+    # 2 and 3 one group (q-inflow follows to the p-side out).
+    ids = np.array([1, 2, 3, 4, 5], np.int64)
+    ways = [
+        (1, np.array([1, 3], np.int64), {"name": "p"}),
+        (2, np.array([2, 3], np.int64), {"name": "q"}),
+        (3, np.array([3, 4], np.int64), {"name": "p"}),
+        (4, np.array([3, 5], np.int64), {"name": "q"}),
+    ]
+    rels = [(9, [(1, 2, "main"), (1, 3, "main")], {"name": "R"})]
+    path = str(tmp_path / "rel.osm.pbf")
+    write_pbf(path, nodes=(ids, ids * 10_000_000, ids * 20_000_000),
+              ways=ways, relations=rels)
+
+    out_dir = tmp_path / "out"
+    rc = main(["down", "-i", path, "--flow-follows-tag", "name",
+               "--relation-tags-overwrite", "--out-dir", str(out_dir),
+               "--num-partitions", "4"])
+    assert rc == 0
+    capsys.readouterr()
+    flow = pq.read_table(str(out_dir / "flow_edges")).to_pydict()
+    up = {(s, d): u for s, d, u in zip(flow["src"], flow["dst"],
+                                       flow["upstream_m"])}
+    # ways 2 and 3 share tag R: the 2→3 inflow goes to 3→4; the 1→3 inflow
+    # (tag p, no matching out group) splits equally over both outs
+    in_p = up[(1, 3)] + [l for s, d, l in zip(flow["src"], flow["dst"],
+                                              flow["length_m"])
+                         if (s, d) == (1, 3)][0]
+    in_r = up[(2, 3)] + [l for s, d, l in zip(flow["src"], flow["dst"],
+                                              flow["length_m"])
+                         if (s, d) == (2, 3)][0]
+    assert up[(3, 4)] == in_r + in_p / 2
+    assert up[(3, 5)] == in_p / 2
