@@ -1660,6 +1660,40 @@ SELECT MAX(dst) AS end_nid, COUNT(*) + 1 AS n_nodes FROM runs GROUP BY run, dec
 """
 
 
+def q_grouped_paths_dist(sf_dir: str):
+    """G16 via the FORCED distributed list-ranking kernel (``max_group_rows=0``
+    routes EVERY component through levelflow.grouped_paths_distributed —
+    pointer-doubling, no per-component task): per-end path rows with the
+    walked distance. Same semantics as grouped_paths (-down/main.rs
+    grouped-ends), exercising the giant-component scale path end to end."""
+    from ..stages.waterways import biggest_end_and_grouped_paths
+
+    edges = _decade_chain_edges(sf_dir, with_len=True)
+
+    def with_flow(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "upstream_m", pa.array(np.zeros(len(batch)), pa.float64()))
+
+    out = biggest_end_and_grouped_paths(
+        edges.map_batches(with_flow, batch_format="pyarrow"),
+        num_partitions=8, max_group_rows=0)
+
+    def paths_only(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["kind"], pa.scalar(1, pa.int64())))
+        d = t["dist_m"].to_numpy(zero_copy_only=False)
+        return pa.table({"end_nid": t["end_nid"], "n_nodes": t["n_nodes"],
+                         "dist_m": pa.array(np.rint(d).astype(np.int64))})
+
+    return out.map_batches(paths_only, batch_format="pyarrow")
+
+
+SQL_GROUPED_PATHS_DIST = _CHAIN_RUNS_SQL + """
+SELECT MAX(dst) AS end_nid, COUNT(*) + 1 AS n_nodes,
+       CAST(SUM(len) AS BIGINT) AS dist_m
+FROM runs GROUP BY run, dec
+"""
+
+
 def q_tag_groups(sf_dir: str):
     """G18 flood fill over the chain DAG with tagid = doc%3 → per-taggroup
     segment counts (stream levels excluded from the oracle compare)."""
@@ -2172,6 +2206,7 @@ QUERIES.update({
     "down_composed": q_down_composed,
     "biggest_end": q_biggest_end,
     "grouped_paths": q_grouped_paths,
+    "grouped_paths_dist": q_grouped_paths_dist,
     "tag_groups": q_tag_groups,
     "longest_source_mouth": q_longest_source_mouth,
     "loop_stats": q_loop_stats,
@@ -2186,6 +2221,7 @@ ORACLES.update({
     "down_composed": SQL_DOWN_COMPOSED,
     "biggest_end": SQL_BIGGEST_END,
     "grouped_paths": SQL_GROUPED_PATHS,
+    "grouped_paths_dist": SQL_GROUPED_PATHS_DIST,
     "tag_groups": SQL_TAG_GROUPS,
     "longest_source_mouth": SQL_LONGEST_SOURCE_MOUTH,
     "loop_stats": SQL_LOOP_STATS,

@@ -23,6 +23,8 @@ from typing import Optional, Sequence
 import numpy as np
 import pyarrow as pa
 
+from ..stages.relational import vfilter as _vf
+
 
 def waterways_down(edges_ds, nodes_ds=None, *, split_equally: bool = True,
                    max_dist_m: Optional[float] = None,
@@ -311,13 +313,13 @@ class Pipeline:
 
             thr = resolve_min_length_m(parse_min_length(self.min_length),
                                        comps)
-            comps = comps.filter(lambda r: r["length_m"] >= thr)
+            comps = _vf(comps, "length_m", "greater_equal", thr)
         if self.min_length_m is not None:
-            comps = comps.filter(
-                lambda r: r["length_m"] >= self.min_length_m)
+            comps = _vf(comps, "length_m", "greater_equal",
+                        float(self.min_length_m))
         if self.max_length_m is not None:
-            comps = comps.filter(
-                lambda r: r["length_m"] <= self.max_length_m)
+            comps = _vf(comps, "length_m", "less_equal",
+                        float(self.max_length_m))
         if self.only_longest_n is not None:
             comps = comps.sort("length_m", descending=True) \
                          .limit(self.only_longest_n)
@@ -648,8 +650,8 @@ class Pipeline:
                                    max_nodes=self.betweenness_max_nodes,
                                    num_partitions=self.num_partitions)
         if self.betweenness_min_value:
-            thr = int(self.betweenness_min_value)
-            bc = bc.filter(lambda r: r["bc_value"] >= thr)
+            bc = _vf(bc, "bc_value", "greater_equal",
+                     int(self.betweenness_min_value))
         if self.betweenness_min_fraction:
             # fraction = val / max(val) over the run (main.rs:1126-1130);
             # max() is one scalar to the driver
@@ -657,7 +659,7 @@ class Pipeline:
             mx = bc.max("bc_value") or 0
             cut = float(self.betweenness_min_fraction) * float(mx)
             if mx:
-                bc = bc.filter(lambda r: r["bc_value"] >= cut)
+                bc = _vf(bc, "bc_value", "greater_equal", cut)
         pos = res["nodes"].select_columns(["node_id", "lat", "lon"])
         for side in ("u", "v"):
             bc = _cj(bc,

@@ -921,7 +921,8 @@ def duplicate_span_runs(docs_ds, *, window_w: int = 8, id_col: str = "doc_id",
     Returns (doc_id, max_run) with max_run in WINDOWS (0 = clean doc)."""
     import pyarrow.compute as pc
 
-    from .relational import bucket_agg, cogroup_join, concat_blocks, snapshot
+    from .relational import (bucket_agg, cogroup_join, concat_blocks,
+                             snapshot, vfilter)
 
     def pos_rows(batch: pa.Table) -> pa.Table:
         texts = batch[text_col]
@@ -957,7 +958,7 @@ def duplicate_span_runs(docs_ds, *, window_w: int = 8, id_col: str = "doc_id",
                             num_partitions=num_partitions, combine=True)
     nd = bucket_agg(per_doc_sh, ["sh"], {"ndocs": (None, "count")},
                     num_partitions=num_partitions)
-    dup_sh = nd.filter(lambda r: r["ndocs"] >= 2).select_columns(["sh"])
+    dup_sh = vfilter(nd, "ndocs", "greater_equal", 2).select_columns(["sh"])
     dup = cogroup_join(rows, dup_sh, ("sh",), how="inner",
                        num_partitions=num_partitions)
 

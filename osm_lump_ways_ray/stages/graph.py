@@ -1285,19 +1285,22 @@ def kcore(edges_ds, k: int, *, u_col: str = "u", v_col: str = "v",
     {"local", "distributed"} pins a path for parity tests."""
     import ray.data
 
-    from .relational import bucket_agg, cogroup_join, snapshot
+    from .relational import bucket_agg, cogroup_join, snapshot, vfilter
 
-    oriented = edges_ds.map_batches(
-        lambda b: (lambda a, c: pa.table({
-            "u": pa.array(np.minimum(a, c), pa.int64()),
-            "v": pa.array(np.maximum(a, c), pa.int64())}))(
-            b[u_col].to_numpy(zero_copy_only=False).astype(np.int64),
-            b[v_col].to_numpy(zero_copy_only=False).astype(np.int64)),
-        batch_format="pyarrow")
-    # SIMPLE graph: self-loops dropped, duplicates collapsed (a duplicate
+    # SIMPLE graph: self-loops dropped (vectorized mask in the same batch
+    # pass, never a per-row filter), duplicates collapsed (a duplicate
     # row must not double a vertex's degree)
+    def orient(b: pa.Table) -> pa.Table:
+        a = b[u_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b[v_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != c
+        return pa.table({
+            "u": pa.array(np.minimum(a, c)[keep], pa.int64()),
+            "v": pa.array(np.maximum(a, c)[keep], pa.int64())})
+
+    oriented = edges_ds.map_batches(orient, batch_format="pyarrow")
     e = snapshot(bucket_agg(
-        oriented.filter(lambda r: r["u"] != r["v"]),
+        oriented,
         ["u", "v"], {"m": (None, "count")},
         num_partitions=num_partitions, combine=True).select_columns(["u", "v"]))
     empty = pa.table({"node": pa.array([], pa.int64()),
@@ -1329,7 +1332,7 @@ def kcore(edges_ds, k: int, *, u_col: str = "u", v_col: str = "v",
         deg = snapshot(bucket_agg(e.map_batches(sym, batch_format="pyarrow"),
                                   ["node"], {"deg": (None, "count")},
                                   num_partitions=num_partitions, combine=True))
-        bad = snapshot(deg.filter(lambda r, k=k: r["deg"] < k)
+        bad = snapshot(vfilter(deg, "deg", "less", k)
                        .select_columns(["node"]))
         if bad.count() == 0:
             return deg

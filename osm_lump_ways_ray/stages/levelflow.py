@@ -413,3 +413,300 @@ def biggest_end_distributed(flow_edges_ds, *, num_partitions: int = 8,
             f"biggest_end_distributed: {undone} nodes unassigned after "
             f"{max_rounds} rounds — cycle in input?")
     return states.select_columns(["node", "end_nid"])
+
+
+# ------------------------------------------------------------ G16 distributed
+
+def _succ_table(flow_edges_ds, assign_ds, *, num_partitions: int = 8):
+    """Per-node successor for the G16 upstream walk: for every node d, the
+    in-edge (s → d) maximizing (upstream_m, s, length_m) among predecessors
+    s in the SAME G14 assignment class (-down/main.rs grouped-ends candidate
+    rule, mirrored by waterways._component_walks `max(cands)`). Self-loops
+    excluded. Output rows: (node, ptr, hop_len, hop_up) — walking up from
+    ``node`` continues at ``ptr`` along an edge of length ``hop_len`` whose
+    upstream value is ``hop_up``."""
+    from .relational import cogroup_join
+
+    e = flow_edges_ds.map_batches(
+        lambda b: pa.table({"src": b["src"], "dst": b["dst"],
+                            "length_m": b["length_m"],
+                            "upstream_m": b["upstream_m"]}),
+        batch_format="pyarrow")
+    a_src = assign_ds.map_batches(
+        lambda b: pa.table({"src": b["node"], "_as": b["end_nid"]}),
+        batch_format="pyarrow")
+    a_dst = assign_ds.map_batches(
+        lambda b: pa.table({"dst": b["node"], "_ad": b["end_nid"]}),
+        batch_format="pyarrow")
+    e = cogroup_join(e, a_src, ("src",), how="inner",
+                     num_partitions=num_partitions)
+    e = cogroup_join(e, a_dst, ("dst",), how="inner",
+                     num_partitions=num_partitions)
+
+    def same_class(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        asn = b["_as"].to_numpy(zero_copy_only=False)
+        adn = b["_ad"].to_numpy(zero_copy_only=False)
+        keep = (asn == adn) & (s != d)
+        bkt = (d[keep].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               >> np.uint64(17)).astype(np.int64) % num_partitions
+        return pa.table({
+            "node": pa.array(d[keep], pa.int64()),
+            "ptr": pa.array(s[keep], pa.int64()),
+            "hop_len": b["length_m"].to_numpy(zero_copy_only=False)[keep],
+            "hop_up": b["upstream_m"].to_numpy(zero_copy_only=False)[keep],
+            "_b": pa.array(bkt, pa.int64()),
+        })
+
+    cand = e.map_batches(same_class, batch_format="pyarrow")
+
+    def argmax_per_node(t: pa.Table) -> pa.Table:
+        d = t["node"].to_numpy(zero_copy_only=False)
+        s = t["ptr"].to_numpy(zero_copy_only=False)
+        ln = t["hop_len"].to_numpy(zero_copy_only=False)
+        up = t["hop_up"].to_numpy(zero_copy_only=False)
+        # sort by node asc, then (up, s, ln) DESC — first row per node wins
+        order = np.lexsort((-ln, -s, -up, d))
+        d, s, ln, up = d[order], s[order], ln[order], up[order]
+        first = np.zeros(len(d), dtype=bool)
+        first[0:1] = True
+        first[1:] = d[1:] != d[:-1]
+        return pa.table({
+            "node": pa.array(d[first], pa.int64()),
+            "ptr": pa.array(s[first], pa.int64()),
+            "hop_len": pa.array(ln[first], pa.float64()),
+            "hop_up": pa.array(up[first], pa.float64()),
+        })
+
+    return snapshot(cand.groupby("_b").map_groups(argmax_per_node,
+                                                  batch_format="pyarrow"))
+
+
+def _compose_levels(left, right, *, num_partitions: int = 8,
+                    inner_only: bool = False):
+    """Compose chain segments: for each row x of ``left`` (covering hops
+    x→x.ptr), extend by ``right``'s segment at x.ptr when one exists. With
+    ``inner_only`` the un-extendable rows are dropped (binary-lifting level
+    construction); otherwise they pass through unchanged (Wyllie pointer
+    jumping). Returns (dataset, n_extended)."""
+    from .relational import cogroup_join, concat_blocks
+
+    rview = right.map_batches(
+        lambda b: pa.table({"ptr": b["node"], "_p2": b["ptr"],
+                            "_d2": b["hop_len"], "_s2": b["_s"],
+                            "_u2": b["hop_up"]}),
+        batch_format="pyarrow")
+    inner = cogroup_join(left, rview, ("ptr",), how="inner",
+                         num_partitions=num_partitions)
+
+    def compose(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["node"],
+            "ptr": b["_p2"],
+            "hop_len": pa.array(
+                b["hop_len"].to_numpy(zero_copy_only=False)
+                + b["_d2"].to_numpy(zero_copy_only=False), pa.float64()),
+            "hop_up": b["_u2"],
+            "_s": pa.array(
+                b["_s"].to_numpy(zero_copy_only=False)
+                + b["_s2"].to_numpy(zero_copy_only=False), pa.int64()),
+        })
+
+    composed = snapshot(inner.map_batches(compose, batch_format="pyarrow"))
+    n_ext = composed.count()
+    if inner_only:
+        return composed, n_ext
+    rest = cogroup_join(left, rview, ("ptr",), how="left_anti",
+                        num_partitions=num_partitions)
+    rest = rest.map_batches(
+        lambda b: pa.table({"node": b["node"], "ptr": b["ptr"],
+                            "hop_len": b["hop_len"], "hop_up": b["hop_up"],
+                            "_s": b["_s"]}),
+        batch_format="pyarrow")
+    return snapshot(concat_blocks(composed, rest)), n_ext
+
+
+def grouped_paths_distributed(flow_edges_ds, assign_ds, *,
+                              max_dist_m: Optional[float] = None,
+                              num_partitions: int = 8, max_rounds: int = 48):
+    """G16 path rows WITHOUT per-component tasks — distributed list ranking.
+
+    Semantics (-down/main.rs:1426-1714, parity vs waterways._component_walks):
+    from every end (outdeg-0 node) walk UP the in-edge maximizing
+    (upstream_m, src, length_m) among same-assignment predecessors, cutting
+    when no candidate remains or cumulative distance would exceed
+    ``max_dist_m``. Ends' walks are provably disjoint — each stays inside its
+    own G14 assignment class (one end per class) and the successor function is
+    acyclic on a DAG — so the reference's shared used-set never changes the
+    result and each path is the pointer chain e → succ(e) → succ²(e) → ….
+
+    Distributed shape: (1) one bucketed argmax builds the successor table;
+    (2) Wyllie pointer doubling compresses every chain in O(log chain-hops)
+    join rounds, each state row carrying (ptr, Σ hop_len, hop count, upstream
+    of the hop entering ptr); (3) uncapped: each end reads its own fully
+    compressed state; capped: the doubling levels are KEPT (2^r-hop exact
+    segments) and each end binary-lifts down them greedily — take a 2^r jump
+    iff cumulative stays ≤ cap, exact because hop lengths are nonnegative so
+    cumulative distance is monotone along the chain. No task ever holds a
+    whole component; rounds are joins over (node, ptr, scalars) rows only.
+
+    Returns path rows: (end_nid, n_nodes, dist_m, from_upstream_m,
+    to_upstream_m) — one per end reachable from the edge set."""
+    from .relational import bucket_agg, cogroup_join, concat_blocks
+
+    succ = _succ_table(flow_edges_ds, assign_ds,
+                       num_partitions=num_partitions)
+    lvl0 = snapshot(succ.map_batches(
+        lambda b: b.append_column("_s", pa.array(
+            np.ones(len(b), dtype=np.int64))),
+        batch_format="pyarrow"))
+
+    # ends = distinct dst never appearing as src (outdeg 0; isolated nodes
+    # are absent from the edge set, matching the sequential walk's universe)
+    dsts = bucket_agg(flow_edges_ds.map_batches(
+        lambda b: pa.table({"node": b["dst"]}), batch_format="pyarrow"),
+        ["node"], {"_n": (None, "count")},
+        num_partitions=num_partitions, combine=True).select_columns(["node"])
+    srcs = bucket_agg(flow_edges_ds.map_batches(
+        lambda b: pa.table({"node": b["src"]}), batch_format="pyarrow"),
+        ["node"], {"_n": (None, "count")},
+        num_partitions=num_partitions, combine=True).select_columns(["node"])
+    ends = snapshot(cogroup_join(dsts, srcs, ("node",), how="left_anti",
+                                 num_partitions=num_partitions))
+
+    # first hop per end (to_upstream_m = hop_up + hop_len, main.rs:1651-1660)
+    first = cogroup_join(ends, succ, ("node",), how="inner",
+                         num_partitions=num_partitions)
+    first = snapshot(first.map_batches(
+        lambda b: pa.table({
+            "node": b["node"],
+            "to_up": pa.array(
+                b["hop_up"].to_numpy(zero_copy_only=False)
+                + b["hop_len"].to_numpy(zero_copy_only=False), pa.float64())}),
+        batch_format="pyarrow"))
+    lone = cogroup_join(ends, succ, ("node",), how="left_anti",
+                        num_partitions=num_partitions)
+
+    if max_dist_m is None:
+        # Wyllie pointer jumping to convergence; each end's state is then the
+        # whole chain: hops=_s, dist=hop_len, from_upstream_m=hop_up
+        states = lvl0
+        for _ in range(max_rounds):
+            states, n_ext = _compose_levels(states, states,
+                                            num_partitions=num_partitions)
+            if n_ext == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"grouped_paths_distributed: chains not compressed after "
+                f"{max_rounds} doubling rounds — cycle in input?")
+        est = cogroup_join(first, states, ("node",), how="inner",
+                           num_partitions=num_partitions)
+
+        def finish(b: pa.Table) -> pa.Table:
+            f = b["hop_up"].to_numpy(zero_copy_only=False)
+            t = b["to_up"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "end_nid": b["node"].cast(pa.int64()),
+                "n_nodes": pa.array(
+                    b["_s"].to_numpy(zero_copy_only=False) + 1, pa.int64()),
+                "dist_m": b["hop_len"].cast(pa.float64()),
+                "from_upstream_m": pa.array(f, pa.float64()),
+                "to_upstream_m": pa.array(t, pa.float64()),
+            })
+
+        walked = est.map_batches(finish, batch_format="pyarrow")
+    else:
+        # binary lifting: levels[r] = exact 2^r-hop segments; greedy descent
+        levels = [lvl0]
+        for _ in range(max_rounds):
+            nxt, n_ext = _compose_levels(levels[-1], levels[-1],
+                                         num_partitions=num_partitions,
+                                         inner_only=True)
+            if n_ext == 0:
+                break
+            levels.append(nxt)
+        else:
+            raise RuntimeError(
+                f"grouped_paths_distributed: >2^{max_rounds}-hop chain — "
+                "cycle in input?")
+        est = snapshot(ends.map_batches(
+            lambda b: pa.table({
+                "end": b["node"], "cur": b["node"],
+                "dist": pa.array(np.zeros(len(b)), pa.float64()),
+                "hops": pa.array(np.zeros(len(b), dtype=np.int64)),
+                "last_up": pa.array(np.full(len(b), np.nan), pa.float64()),
+            }), batch_format="pyarrow"))
+        for lv in reversed(levels):
+            lview = lv.map_batches(
+                lambda b: pa.table({"cur": b["node"], "_p": b["ptr"],
+                                    "_d": b["hop_len"], "_u": b["hop_up"],
+                                    "_n": b["_s"]}),
+                batch_format="pyarrow")
+            j = cogroup_join(est, lview, ("cur",), how="inner",
+                             num_partitions=num_partitions)
+
+            def take_if_fits(b: pa.Table, cap=float(max_dist_m)) -> pa.Table:
+                dist = b["dist"].to_numpy(zero_copy_only=False)
+                d2 = b["_d"].to_numpy(zero_copy_only=False)
+                ok = dist + d2 <= cap
+                lu = b["last_up"].to_numpy(zero_copy_only=False)
+                return pa.table({
+                    "end": b["end"],
+                    "cur": pa.array(np.where(
+                        ok, b["_p"].to_numpy(zero_copy_only=False),
+                        b["cur"].to_numpy(zero_copy_only=False)), pa.int64()),
+                    "dist": pa.array(np.where(ok, dist + d2, dist),
+                                     pa.float64()),
+                    "hops": pa.array(np.where(
+                        ok, b["hops"].to_numpy(zero_copy_only=False)
+                        + b["_n"].to_numpy(zero_copy_only=False),
+                        b["hops"].to_numpy(zero_copy_only=False)), pa.int64()),
+                    "last_up": pa.array(np.where(
+                        ok, b["_u"].to_numpy(zero_copy_only=False), lu),
+                        pa.float64()),
+                })
+
+            moved = j.map_batches(take_if_fits, batch_format="pyarrow")
+            stay = cogroup_join(est, lview, ("cur",), how="left_anti",
+                                num_partitions=num_partitions)
+            stay = stay.map_batches(
+                lambda b: pa.table({"end": b["end"], "cur": b["cur"],
+                                    "dist": b["dist"], "hops": b["hops"],
+                                    "last_up": b["last_up"]}),
+                batch_format="pyarrow")
+            est = snapshot(concat_blocks(moved, stay))
+        est = est.map_batches(
+            lambda b: pa.table({"node": b["end"], "dist": b["dist"],
+                                "hops": b["hops"], "last_up": b["last_up"]}),
+            batch_format="pyarrow")
+        est = cogroup_join(est, first, ("node",), how="inner",
+                           num_partitions=num_partitions)
+
+        def finish_cap(b: pa.Table) -> pa.Table:
+            hops = b["hops"].to_numpy(zero_copy_only=False)
+            took = hops >= 1
+            f = b["last_up"].to_numpy(zero_copy_only=False)
+            t = np.where(took, b["to_up"].to_numpy(zero_copy_only=False),
+                         np.nan)
+            return pa.table({
+                "end_nid": b["node"].cast(pa.int64()),
+                "n_nodes": pa.array(hops + 1, pa.int64()),
+                "dist_m": b["dist"].cast(pa.float64()),
+                "from_upstream_m": pa.array(np.where(took, f, np.nan),
+                                            pa.float64()),
+                "to_upstream_m": pa.array(t, pa.float64()),
+            })
+
+        walked = est.map_batches(finish_cap, batch_format="pyarrow")
+
+    lone_rows = lone.map_batches(
+        lambda b: pa.table({
+            "end_nid": b["node"].cast(pa.int64()),
+            "n_nodes": pa.array(np.ones(len(b), dtype=np.int64)),
+            "dist_m": pa.array(np.zeros(len(b)), pa.float64()),
+            "from_upstream_m": pa.array(np.full(len(b), np.nan), pa.float64()),
+            "to_upstream_m": pa.array(np.full(len(b), np.nan), pa.float64()),
+        }), batch_format="pyarrow")
+    return concat_blocks(walked, lone_rows)

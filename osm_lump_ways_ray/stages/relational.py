@@ -26,6 +26,25 @@ def hash_join(left, right, on: Tuple[str, ...], how: str = "inner",
     )
 
 
+def vfilter(ds, col: str, op: str, value=None, *, other_col: str = None):
+    """Vectorized row filter: ``map_batches`` + a ``pyarrow.compute``
+    comparison mask instead of per-row Python ``Dataset.filter(lambda)``
+    (which invokes the predicate once per row — O(V) Python calls per pass
+    on unbounded tables). ``op`` is a pyarrow.compute binary comparison
+    kernel name ("equal", "not_equal", "less", "less_equal", "greater",
+    "greater_equal"); compare ``col`` against the scalar ``value`` or, with
+    ``other_col``, against another column."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    def fn(b: "_pa.Table", col=col, op=op, value=value,
+           other_col=other_col) -> "_pa.Table":
+        rhs = b[other_col] if other_col is not None else value
+        return b.filter(getattr(_pc, op)(b[col], rhs))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def cogroup_join(left, right, on, how: str = "inner", num_partitions: int = 16):
     """Partitioned hash join built ONLY from union + groupby + map_groups —
     no ``Dataset.join`` operator.

@@ -252,10 +252,20 @@ def test_biggest_end_distributed_matches_walk(mk):
     assert got == assigned
 
 
+def _path_rows(rows):
+    def v(x):
+        return None if x is None or (isinstance(x, float) and x != x) else \
+            round(float(x), 6)
+
+    return sorted((r["end_nid"], r["n_nodes"], v(r["dist_m"]),
+                   v(r["from_upstream_m"]), v(r["to_upstream_m"]))
+                  for r in rows if r["kind"] == 1)
+
+
 def test_biggest_end_grouped_paths_auto_routes(mk):
-    """biggest_end_and_grouped_paths must auto-route the G14 half to the
-    level-synchronous kernel above max_group_rows, with assignment rows
-    identical to the per-component walk path."""
+    """biggest_end_and_grouped_paths must auto-route to the distributed
+    kernels above max_group_rows, with assignment rows AND path rows (the
+    list-ranking G16, r5) identical to the per-component walk path."""
     from osm_lump_ways_ray.stages.waterways import biggest_end_and_grouped_paths
 
     t = _giant_dag_table(600)
@@ -268,6 +278,30 @@ def test_biggest_end_grouped_paths_auto_routes(mk):
     a_seq = {r["node"]: r["end_nid"] for r in seq if r["kind"] == 0}
     a_dist = {r["node"]: r["end_nid"] for r in dist if r["kind"] == 0}
     assert a_dist == a_seq
-    # the giant component is over-cap → its path rows are skipped by contract
-    assert sum(1 for r in dist if r["kind"] == 1) <= \
-        sum(1 for r in seq if r["kind"] == 1)
+    assert _path_rows(dist) == _path_rows(seq)
+
+
+def test_grouped_paths_distributed_pure_path(mk):
+    """max_group_rows=0 forces EVERY component through the distributed G16
+    list-ranking kernel; multi-branch + multi-component parity vs the
+    sequential walk, uncapped and with a max-distance cut."""
+    from osm_lump_ways_ray.stages.waterways import biggest_end_and_grouped_paths
+
+    # two components: the giant fixture + a small multi-branch Y with ties
+    t = _giant_dag_table(300)
+    y = pa.table({"src": pa.array([901001, 901002, 901002, 901005], pa.int64()),
+                  "dst": pa.array([901002, 901003, 901004, 901002], pa.int64()),
+                  "length_m": pa.array([4.0, 9.0, 2.0, 4.0], pa.float64())})
+    both = pa.concat_tables([t, y])
+    flow = upstream_flow(mk(both), distributed=False)
+    flow_tbl = pa.concat_tables(list(flow.iter_batches(batch_format="pyarrow")))
+
+    for cap in (None, 40.0, 3.0):
+        seq = biggest_end_and_grouped_paths(mk(flow_tbl),
+                                            max_dist_m=cap).take_all()
+        dist = biggest_end_and_grouped_paths(mk(flow_tbl), max_dist_m=cap,
+                                             max_group_rows=0).take_all()
+        assert _path_rows(dist) == _path_rows(seq), f"cap={cap}"
+        a_seq = {r["node"]: r["end_nid"] for r in seq if r["kind"] == 0}
+        a_dist = {r["node"]: r["end_nid"] for r in dist if r["kind"] == 0}
+        assert a_dist == a_seq
