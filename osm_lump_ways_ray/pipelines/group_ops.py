@@ -63,13 +63,12 @@ def _guard_group_sizes(e, max_group_rows: Optional[int], op: str,
             f"(> max_group_rows={max_group_rows}); one in-memory map_groups "
             f"task cannot hold a giant component. Compression "
             f"(component_compress_stats) auto-routes to its distributed "
-            f"formulation, and frames have the distributed "
+            f"formulation, frames have the distributed "
             f"frames_skeleton_distributed path (hull-of-hulls + one keyed "
-            f"multi-source SSSP pass — same module); betweenness relies on "
-            f"K7 sampling (the reference also runs these on one in-memory "
-            f"graph per way-group, src/graph/undirected_graph.rs) — raise "
-            f"max_group_rows only if each worker's heap can hold the "
-            f"component.")
+            f"multi-source SSSP pass — same module), and betweenness "
+            f"auto-routes to its broadcast-compressed source-chunk fan-out "
+            f"(_betweenness_giant) — raise max_group_rows only if each "
+            f"worker's heap can hold the component.")
 
 
 def _grouped_rows(edges_g, labels, nodes_ds, num_partitions: int = 8,
@@ -538,7 +537,8 @@ def component_frames(edges_g, labels, nodes_ds, *, num_partitions: int = 8,
 def component_betweenness(edges_g, labels, nodes_ds, *, max_nodes: int = 2000,
                           seed: int = 42, num_partitions: int = 8,
                           max_group_rows: Optional[int] = MAX_GROUP_ROWS,
-                          source_chunks: int = 1, grouped_rows=None):
+                          source_chunks: int = 1, grouped_rows=None,
+                          giant_source_chunks: int = 32, force=None):
     """G9 per component → per-edge (g, component_id, u, v, bc_value) with the
     reference's default 2000-node sampling cap (cli_args.rs:244-253).
 
@@ -550,7 +550,17 @@ def component_betweenness(edges_g, labels, nodes_ds, *, max_nodes: int = 2000,
     bucketed aggregate. Replication × parallelism is the trade a
     shared-memory thread pool gets for free; use it when ONE component
     dominates the wall (the planet waterway graph). Parity with
-    ``source_chunks=1`` is exact (tests/test_group_ops.py)."""
+    ``source_chunks=1`` is exact (tests/test_group_ops.py).
+
+    Components over ``max_group_rows`` AUTO-ROUTE to the giant path
+    (``_betweenness_giant``): sample+compress once per component, broadcast
+    the compressed graph via ``ray.put``, fan ``giant_source_chunks`` source
+    slices as tasks against it, and sum per-edge partials in one bucketed
+    aggregate — the sampling already bounds the COMPRESSED graph, so only the
+    one-off build task sees the raw component (the reference's own memory
+    shape: it holds the full graph in RAM for every run,
+    src/graph/undirected_graph.rs:552-638). ``force`` ∈ {"local", "giant"}
+    pins a path for parity tests."""
 
     def fn(df):
         import pandas as pd
@@ -573,24 +583,185 @@ def component_betweenness(edges_g, labels, nodes_ds, *, max_nodes: int = 2000,
                  a, b, int(v)) for (a, b), v in sorted(bc.items())]
         return pd.DataFrame(rows, columns=["g", "component_id", "u", "v", "bc_value"])
 
-    rows = grouped_rows if grouped_rows is not None else _grouped_rows(
-        edges_g, labels, nodes_ds, num_partitions,
-        max_group_rows=max_group_rows, op="component_betweenness")
-    if source_chunks <= 1:
-        return rows.groupby(["g", "component_id"]).map_groups(
-            fn, batch_format="pandas")
+    def run_local(rows):
+        if source_chunks <= 1:
+            return rows.groupby(["g", "component_id"]).map_groups(
+                fn, batch_format="pandas")
 
-    def replicate(batch: pa.Table) -> pa.Table:
-        outs = []
-        for ch in range(source_chunks):
-            outs.append(batch.append_column(
-                "chunk", pa.array(np.full(len(batch), ch, np.int64),
-                                  pa.int64())))
+        def replicate(batch: pa.Table) -> pa.Table:
+            outs = []
+            for ch in range(source_chunks):
+                outs.append(batch.append_column(
+                    "chunk", pa.array(np.full(len(batch), ch, np.int64),
+                                      pa.int64())))
+            return pa.concat_tables(outs)
+
+        partial = rows.map_batches(replicate, batch_format="pyarrow") \
+            .groupby(["g", "component_id", "chunk"]) \
+            .map_groups(fn, batch_format="pandas")
+        return bucket_agg(partial, ["g", "component_id", "u", "v"],
+                          {"bc_value": ("bc_value", "sum")},
+                          num_partitions=num_partitions, combine=True)
+
+    if grouped_rows is not None:
+        return run_local(grouped_rows)
+    if force == "local" or max_group_rows is None:
+        return run_local(_grouped_rows(
+            edges_g, labels, nodes_ds, num_partitions,
+            max_group_rows=max_group_rows, op="component_betweenness"))
+
+    e = snapshot(_labeled_edges(edges_g, labels, num_partitions))
+    if force == "giant":
+        return _betweenness_giant(e, nodes_ds, max_nodes=max_nodes,
+                                  seed=seed, num_partitions=num_partitions,
+                                  giant_source_chunks=giant_source_chunks)
+    if _biggest_component_rows(e, num_partitions) <= max_group_rows:
+        return run_local(_grouped_rows(
+            edges_g, labels, nodes_ds, num_partitions, max_group_rows=None,
+            op="component_betweenness", _e=e))
+
+    # mixed route: under-cap components stay on the in-memory path, over-cap
+    # ones take the broadcast-compressed giant fan-out; same output schema
+    sizes = bucket_agg(e.select_columns(["g", "component_id"]),
+                       ["g", "component_id"], {"n_edges": (None, "count")},
+                       num_partitions=num_partitions, combine=True)
+    from ..stages.relational import vfilter
+    big = vfilter(sizes, "n_edges", "greater", max_group_rows) \
+        .select_columns(["g", "component_id"]).take_all()
+    big_keys = {(r["g"], r["component_id"]) for r in big}
+    big_g = np.array(sorted({k[0] for k in big_keys}), dtype=np.int64)
+    big_c = np.array(sorted({k[1] for k in big_keys}), dtype=np.int64)
+
+    def split(keep_big: bool):
+        def fsplit(batch: pa.Table) -> pa.Table:
+            g = batch["g"].to_numpy(zero_copy_only=False)
+            c = batch["component_id"].to_numpy(zero_copy_only=False)
+            m = np.isin(g, big_g) & np.isin(c, big_c)
+            if len(big_keys) and m.any():
+                # exact pair membership for the coarse mask's hits
+                hit = np.flatnonzero(m)
+                ok = np.fromiter(((g[i], c[i]) in big_keys for i in hit),
+                                 dtype=bool, count=len(hit))
+                m[hit] = ok
+            return batch.filter(pa.array(m if keep_big else ~m))
+        return fsplit
+
+    outs = []
+    e_small = snapshot(e.map_batches(split(False), batch_format="pyarrow"))
+    if e_small.count():
+        outs.append(run_local(_grouped_rows(
+            edges_g, labels, nodes_ds, num_partitions, max_group_rows=None,
+            op="component_betweenness", _e=e_small)))
+    e_big = e.map_batches(split(True), batch_format="pyarrow")
+    outs.append(_betweenness_giant(e_big, nodes_ds, max_nodes=max_nodes,
+                                   seed=seed, num_partitions=num_partitions,
+                                   giant_source_chunks=giant_source_chunks))
+    return concat_blocks(*outs) if len(outs) > 1 else outs[0]
+
+
+def _betweenness_giant(e, nodes_ds, *, max_nodes: int, seed: int,
+                       num_partitions: int, giant_source_chunks: int):
+    """Giant-component G9 (VERDICT r4 next-step #3): source-chunked fan-out
+    against a broadcast COMPRESSED component.
+
+    Shape: (1) ONE build task per component assembles the graph, K7-samples,
+    spike-removes and compresses with the sample as keep-set — byte-identical
+    code to the in-memory path, so parity is exact by construction — and
+    emits only the COMPRESSED edges (with precomputed integer-cm lengths) and
+    the ordered sample; (2) those bounded rows come to the driver and are
+    ``ray.put`` ONCE; (3) ``giant_source_chunks`` tasks per component each
+    rebuild the small compressed graph from the broadcast and run their
+    source-index slice (the pair set partitions exactly across slices, so
+    partials SUM to the full run); (4) one bucketed aggregate reduces
+    per-edge partials. Only the build task ever holds a raw component — the
+    reference's own bound (it runs the whole planet graph in one process,
+    src/graph/undirected_graph.rs:552-638); the O(sample²) Dijkstra wall,
+    which dominates, fans out against the compressed broadcast."""
+    import ray
+    import ray.data
+
+    rows = _grouped_rows(None, None, nodes_ds, num_partitions,
+                         max_group_rows=None, op="betweenness_giant", _e=e)
+
+    def build(df):
+        import pandas as pd
+
+        edges, pos = _split_group(df)
+        g = _graph_of(edges)
+        sample = g.sample_vertexes(min(max_nodes, g.num_vertices()), pos,
+                                   seed=seed)
+        keep = set(sample)
+        g.remove_spikes(never_remove=lambda n: n in keep)
+        g.compress(never_remove=lambda n: n in keep)
+        gid = int(df["g"].iloc[0])
+        cid = int(df["component_id"].iloc[0])
+        out = []
+        if not g.is_empty():
+            for a, b in g.edges():
+                out.append((gid, cid, 0, a, b,
+                            int(round(g.edge_length_m(a, b, pos) * 100))))
+            for i, n in enumerate(sample):
+                out.append((gid, cid, 1, i, n, 0))
+        return pd.DataFrame(
+            out, columns=["g", "component_id", "kind", "a", "b", "len_cm"])
+
+    compressed = rows.groupby(["g", "component_id"]).map_groups(
+        build, batch_format="pandas").take_all()
+
+    graphs = {}
+    for r in compressed:
+        key = (int(r["g"]), int(r["component_id"]))
+        rec = graphs.setdefault(key, {"edges": [], "sample": []})
+        if r["kind"] == 0:
+            rec["edges"].append((int(r["a"]), int(r["b"]), int(r["len_cm"])))
+        else:
+            rec["sample"].append((int(r["a"]), int(r["b"])))
+    payload = {}
+    items = []
+    for key, rec in graphs.items():
+        rec["sample"].sort()
+        payload[key] = (rec["edges"],
+                        [n for _i, n in rec["sample"]])
+        nch = max(1, min(giant_source_chunks, len(rec["sample"])))
+        for ch in range(nch):
+            items.append({"g": key[0], "component_id": key[1],
+                          "chunk": ch, "nch": nch})
+    empty = pa.table({"g": pa.array([], pa.int64()),
+                      "component_id": pa.array([], pa.int64()),
+                      "u": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64()),
+                      "bc_value": pa.array([], pa.int64())})
+    if not items:
+        return ray.data.from_arrow(empty)
+    ref = ray.put(payload)
+
+    def run_chunk(batch: pa.Table) -> pa.Table:
+        data = ray.get(ref)
+        outs = [empty]
+        for gid, cid, ch, nch in zip(
+                batch["g"].to_pylist(), batch["component_id"].to_pylist(),
+                batch["chunk"].to_pylist(), batch["nch"].to_pylist()):
+            edges, sample = data[(gid, cid)]
+            g = ComponentGraph()
+            elc = {}
+            for a, b, lc in edges:
+                g.add_edge(a, b)
+                elc[(a, b)] = lc
+            bc = g.betweenness(sample, None,
+                               source_indices=range(ch, len(sample), nch),
+                               edge_len_cm=elc)
+            ks = sorted(bc)
+            outs.append(pa.table({
+                "g": pa.array(np.full(len(ks), gid, np.int64)),
+                "component_id": pa.array(np.full(len(ks), cid, np.int64)),
+                "u": pa.array([a for a, _b in ks], pa.int64()),
+                "v": pa.array([b for _a, b in ks], pa.int64()),
+                "bc_value": pa.array([int(bc[k]) for k in ks], pa.int64()),
+            }))
         return pa.concat_tables(outs)
 
-    partial = rows.map_batches(replicate, batch_format="pyarrow") \
-        .groupby(["g", "component_id", "chunk"]) \
-        .map_groups(fn, batch_format="pandas")
+    partial = ray.data.from_items(items).map_batches(
+        run_chunk, batch_format="pyarrow", batch_size=1)
     return bucket_agg(partial, ["g", "component_id", "u", "v"],
                       {"bc_value": ("bc_value", "sum")},
                       num_partitions=num_partitions, combine=True)

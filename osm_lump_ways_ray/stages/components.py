@@ -357,7 +357,9 @@ class ComponentGraph:
 
     # ------------------------------------------------------------------ G9
     def betweenness(self, nodes: List[int], pos,
-                    source_indices=None) -> Dict[Tuple[int, int], int]:
+                    source_indices=None,
+                    edge_len_cm: Optional[Dict[Tuple[int, int], int]] = None,
+                    ) -> Dict[Tuple[int, int], int]:
         """Sampled edge betweenness (undirected_graph.rs:552-638): integer-cm
         edge lengths, per-source Dijkstra (single-predecessor), backward
         accumulation of path counts into per-edge u64.
@@ -366,10 +368,17 @@ class ComponentGraph:
         Dijkstra source (each source still pairs with every LATER node of the
         full list) — the unit of the intra-component fan-out: the pair set
         partitions exactly across disjoint index subsets, so partial results
-        SUM to the full run (pipelines/group_ops.component_betweenness)."""
-        edge_len_cm = {}
-        for a, b in self.edges():
-            edge_len_cm[(a, b)] = int(round(self.edge_length_m(a, b, pos) * 100))
+        SUM to the full run (pipelines/group_ops.component_betweenness).
+
+        ``edge_len_cm`` supplies precomputed integer-cm lengths so the
+        giant-component fan-out can ship a broadcast compressed graph WITHOUT
+        its chain geometry (pipelines/group_ops._betweenness_giant); when
+        None they are derived from ``pos`` exactly as before."""
+        if edge_len_cm is None:
+            edge_len_cm = {}
+            for a, b in self.edges():
+                edge_len_cm[(a, b)] = int(
+                    round(self.edge_length_m(a, b, pos) * 100))
         bc: Dict[Tuple[int, int], int] = {e: 0 for e in edge_len_cm}
         idxs = range(len(nodes)) if source_indices is None else source_indices
         for i in idxs:

@@ -147,6 +147,55 @@ def test_betweenness_source_chunk_fanout_parity(ray_session):
     assert one == four
     assert any(v > 0 for *_k, v in one)
 
+    # giant path (broadcast compressed graph + source-chunk fan-out): exact
+    # parity by construction — the build task runs the SAME sample/spike/
+    # compress code, and the chunk partials sum over disjoint source slices
+    giant = rows(component_betweenness(edges, labels, nodes, max_nodes=30,
+                                       num_partitions=4, force="giant",
+                                       giant_source_chunks=5))
+    assert giant == one
+
+    # auto-route: a cap below the component's edge count must route to the
+    # giant path (NOT raise) and still match
+    auto = rows(component_betweenness(edges, labels, nodes, max_nodes=30,
+                                      num_partitions=4, max_group_rows=10))
+    assert auto == one
+
+
+def test_betweenness_mixed_route_parity(ray_session):
+    """Two components — one over a tiny cap, one under — must split across
+    the in-memory and giant paths and together match the all-local run."""
+    from osm_lump_ways_ray.pipelines.group_ops import component_betweenness
+    from osm_lump_ways_ray.stages.graph import connected_components
+
+    rng = np.random.RandomState(7)
+    pairs = [(i, i + 1) for i in range(30)]          # big chain component
+    pairs += [(int(a), int(b)) for a, b in
+              rng.randint(0, 31, size=(12, 2)) if a != b]
+    pairs += [(100, 101), (101, 102), (102, 100), (102, 103)]  # small comp
+    tbl = _edges_tbl(pairs)
+    edges = ray.data.from_arrow(tbl)
+    labels = connected_components(edges, "u", "v", "g", num_partitions=4)
+    ids = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    nodes = ray.data.from_arrow(pa.table({
+        "node_id": pa.array(np.array(ids, dtype=np.int64)),
+        "lat": pa.array(rng.randint(-800, 800, len(ids)).astype(np.int64)
+                        * 10000),
+        "lon": pa.array(rng.randint(-1700, 1700, len(ids)).astype(np.int64)
+                        * 10000),
+    }))
+
+    def rows(ds):
+        return sorted((r["g"], r["component_id"], r["u"], r["v"],
+                       r["bc_value"]) for r in ds.take_all())
+
+    local = rows(component_betweenness(edges, labels, nodes, max_nodes=100,
+                                       num_partitions=4, force="local",
+                                       max_group_rows=None))
+    mixed = rows(component_betweenness(edges, labels, nodes, max_nodes=100,
+                                       num_partitions=4, max_group_rows=20))
+    assert mixed == local
+
 
 def test_frames_skeleton_distributed_parity():
     """Distributed frames skeleton == per-pair local Dijkstra union on a
