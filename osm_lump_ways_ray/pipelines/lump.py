@@ -401,7 +401,13 @@ def attach_way_geometry(ways_ds, nodes_ds, *, num_partitions: int = 16):
     """(way_id, node_ids, …) ⋈ positions → + node_lats/node_lons i32 list
     columns (same offsets as node_ids). Explode → hash join → per-partition
     VECTORIZED reassembly (sort by (way_id, seq), boundary run-split, Arrow
-    lists from offsets — no per-way Python)."""
+    lists from offsets — no per-way Python).
+
+    FAILS LOUDLY when a way references a node id absent from the positions
+    table (boundary-clipped extracts): a silently-shortened geometry list
+    would desynchronize the flattened-offsets slicing in the contraction and
+    corrupt every later way in the block. The reference panics on a missing
+    node position too (osm-lump-ways-down/main.rs:1359 unwrap)."""
     from ..stages.relational import cogroup_join
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -453,8 +459,35 @@ def attach_way_geometry(ways_ds, nodes_ds, *, num_partitions: int = 16):
 
     geom = j.map_batches(add_part, batch_format="pyarrow") \
         .groupby("_part").map_groups(per_part, batch_format="pandas")
-    return cogroup_join(ways_ds, geom, ("way_id",), how="inner",
-                        num_partitions=num_partitions)
+    out = cogroup_join(ways_ds, geom, ("way_id",), how="left_outer",
+                       num_partitions=num_partitions)
+
+    def check_complete(batch: pa.Table) -> pa.Table:
+        ids = batch["node_ids"]
+        lats = batch["node_lats"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if isinstance(lats, pa.ChunkedArray):
+            lats = lats.combine_chunks()
+        n_ids = np.diff(ids.offsets.to_numpy(zero_copy_only=False))
+        # a way whose EVERY node is missing gets a null geometry list
+        null_geo = lats.is_null().to_numpy(zero_copy_only=False)
+        n_geo = np.where(null_geo, 0,
+                         np.diff(lats.offsets.to_numpy(zero_copy_only=False)))
+        bad = np.flatnonzero(n_geo != n_ids)
+        if len(bad):
+            wid = batch["way_id"].to_numpy(zero_copy_only=False)
+            missing = int((n_ids[bad] - n_geo[bad]).sum())
+            raise ValueError(
+                f"attach_way_geometry: {len(bad)} way(s) reference "
+                f"{missing} node id(s) with no position in the input "
+                f"(first way_ids: {wid[bad][:5].tolist()}). The input is "
+                f"incomplete (boundary-clipped extract?); the reference "
+                f"fails on a missing node position too "
+                f"(osm-lump-ways-down/main.rs:1359).")
+        return batch
+
+    return out.map_batches(check_complete, batch_format="pyarrow")
 
 
 def _lump_core(ways, nodes_ds, *, metrics: dict, t0: float, ckpt,
@@ -486,6 +519,9 @@ def _lump_core(ways, nodes_ds, *, metrics: dict, t0: float, ckpt,
         pillars_ds = None
         n_pillars = None
         use_broadcast = broadcast_pillars
+    # deduped carry list: group_tag == "lang" must not produce a
+    # duplicate column (ADVICE r4 — `-g lang` over a PBF input)
+    _carry = [group_tag] + (["lang"] if group_tag != "lang" else [])
     if use_broadcast:
         if pillars_ds is not None:
             parts = [b["node_id"].to_numpy() for b in
@@ -495,13 +531,13 @@ def _lump_core(ways, nodes_ds, *, metrics: dict, t0: float, ckpt,
         else:
             pillars = pillar_node_array(ways)
         pillar_ref = ray.put(pillars)
-        edges = contract_ways(ways, pillar_ref, carry_cols=[group_tag, "lang"])
+        edges = contract_ways(ways, pillar_ref, carry_cols=_carry)
         metrics["pillars"] = int(len(pillars))
     else:
         from ..stages.graph import contract_ways_joined
 
         pillar_ref = None  # joined path: no broadcast array exists
-        edges = contract_ways_joined(ways, carry_cols=[group_tag, "lang"],
+        edges = contract_ways_joined(ways, carry_cols=_carry,
                                      num_partitions=num_partitions,
                                      pillars_ds=pillars_ds)
         metrics["pillars"] = int(n_pillars) if n_pillars is not None else -1
@@ -512,7 +548,7 @@ def _lump_core(ways, nodes_ds, *, metrics: dict, t0: float, ckpt,
     # verdict). res["edges"] stays the full lazy view (one cheap map re-run
     # over the materialized ways when the facade needs it).
     edges_g = edges_full.select_columns(
-        ["u", "v", "g", "chain_lats", "chain_lons", group_tag, "lang"]) \
+        ["u", "v", "g", "chain_lats", "chain_lons"] + _carry) \
         .materialize()
     metrics["edges"] = edges_g.count()
     metrics["t_contract_s"] = round(time.monotonic() - t1, 3)

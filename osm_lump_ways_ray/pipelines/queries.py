@@ -2961,16 +2961,19 @@ def q_pbf_roundtrip(sf_dir: str):
     wds = read_pbf_ways(path)
 
     def explode(batch: pa.Table) -> pa.Table:
-        refs = batch["node_ids"].to_pylist()
-        keys = batch["keys"].to_pylist()
-        vals = batch["vals"].to_pylist()
-        names, flat = [], []
-        for r, k, v in zip(refs, keys, vals):
-            nm = dict(zip(k, v)).get("name", "")
-            names.extend([nm] * len(r))
-            flat.extend(r)
-        return pa.table({"name": pa.array(names, pa.string()),
-                         "node_id": pa.array(flat, pa.int64())})
+        # flat refs + per-way repeat of the vectorized tag lookup — no
+        # per-way Python (VERDICT r4 next-step #4)
+        from ..sources.pbf import way_tag_values
+
+        ids = batch["node_ids"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        lens = np.diff(ids.offsets.to_numpy(zero_copy_only=False))
+        names = way_tag_values(batch, "name")
+        names[names == None] = ""  # noqa: E711 — object-array sentinel
+        return pa.table({
+            "name": pa.array(np.repeat(names, lens).tolist(), pa.string()),
+            "node_id": ids.flatten().cast(pa.int64())})
 
     refs = wds.map_batches(explode, batch_format="pyarrow")
     joined = cogroup_join(refs, read_pbf_nodes(path), ("node_id",),
@@ -2982,11 +2985,11 @@ def q_pbf_roundtrip(sf_dir: str):
                           num_partitions=4, combine=True)
 
     def wnames(batch: pa.Table) -> pa.Table:
-        keys = batch["keys"].to_pylist()
-        vals = batch["vals"].to_pylist()
-        return pa.table({"name": pa.array(
-            [dict(zip(k, v)).get("name", "") for k, v in zip(keys, vals)],
-            pa.string())})
+        from ..sources.pbf import way_tag_values
+
+        names = way_tag_values(batch, "name")
+        names[names == None] = ""  # noqa: E711
+        return pa.table({"name": pa.array(names.tolist(), pa.string())})
 
     counts = bucket_agg(wds.map_batches(wnames, batch_format="pyarrow"),
                         ["name"], {"n_ways": (None, "count")},

@@ -517,8 +517,10 @@ class Pipeline:
 
         from ..sources.csvout import append_stats_csv, write_openmetrics
 
-        if isinstance(pages_ds, tuple):  # ways entry: no warc_ts column
-            ts_max = None
+        if isinstance(pages_ds, tuple):  # (ways, nodes) PBF entry: Info ts
+            ways_ds = pages_ds[0]
+            ts_max = (ways_ds.max("ts")
+                      if "ts" in ways_ds.schema().names else None)
         else:
             ts_max = pages_ds.max("warc_ts")
         if hasattr(ts_max, "timestamp"):

@@ -48,7 +48,9 @@ def _fixture(tmp_path, features_per_blob=200):
 def test_pbf_file_roundtrip(tmp_path):
     path, info, (ids, lat, lon), ways, rels = _fixture(tmp_path)
     assert info["n_blobs"] >= 4  # header + ≥3 sharded data blobs
-    nid, nlat, nlon, ws, rl = [], [], [], [], []
+    nid, nlat, nlon = [], [], []
+    wid, wrefs, wkeys, wvals = [], [], [], []
+    rid, rmids, rtypes, rroles = [], [], [], []
     for btype, off, size in scan_blob_spans(path):
         if btype != "OSMData":
             continue
@@ -58,18 +60,55 @@ def test_pbf_file_roundtrip(tmp_path):
         nid.append(blk["node_id"])
         nlat.append(blk["lat"])
         nlon.append(blk["lon"])
-        ws.extend(blk["ways"])
-        rl.extend(blk["relations"])
+        st = blk["strings"]
+
+        def segs(flat, lens):
+            return (np.split(flat, np.cumsum(lens)[:-1]) if len(lens)
+                    else [])
+
+        wid.extend(blk["way_id"].tolist())
+        wrefs.extend(segs(blk["way_refs"], blk["way_refs_len"]))
+        wkeys.extend([st[i] for i in seg] for seg in
+                     segs(blk["way_key_idx"], blk["way_kv_len"]))
+        wvals.extend([st[i] for i in seg] for seg in
+                     segs(blk["way_val_idx"], blk["way_kv_len"]))
+        rid.extend(blk["rel_id"].tolist())
+        rmids.extend(segs(blk["rel_mids"], blk["rel_mids_len"]))
+        rtypes.extend(segs(blk["rel_types"], blk["rel_mids_len"]))
+        rroles.extend([st[i] for i in seg] for seg in
+                      segs(blk["rel_role_idx"], blk["rel_mids_len"]))
     assert np.array_equal(np.concatenate(nid), ids)
     assert np.array_equal(np.concatenate(nlat), lat)
     assert np.array_equal(np.concatenate(nlon), lon)
-    assert len(ws) == 60 and len(rl) == 9
-    w0 = ws[0]
-    assert w0[0] == 1000 and np.array_equal(w0[1], ways[0][1])
-    assert dict(zip(w0[2], w0[3])) == ways[0][2]
-    r2 = rl[2]
-    assert (r2[0] == 5002 and r2[1].tolist() == [1000, 1001, 1002]
-            and r2[2].tolist() == [1, 1, 1] and r2[3] == ["main"] * 3)
+    assert len(wid) == 60 and len(rid) == 9
+    assert wid[0] == 1000 and np.array_equal(wrefs[0], ways[0][1])
+    assert dict(zip(wkeys[0], wvals[0])) == ways[0][2]
+    assert (rid[2] == 5002 and rmids[2].tolist() == [1000, 1001, 1002]
+            and rtypes[2].tolist() == [1, 1, 1] and rroles[2] == ["main"] * 3)
+
+
+def test_pbf_timestamps_roundtrip(tmp_path, ray_session):
+    """Way Info + denseinfo timestamps survive encode→decode (epoch sec);
+    the ways reader exposes them as the ``ts`` column (A8 latest-ts over a
+    real-format input, bin/osm-lump-ways/main.rs:253)."""
+    from osm_lump_ways_ray.sources.pbf import read_pbf_ways
+
+    ids = np.array([1, 2, 3], np.int64)
+    nts = np.array([1_600_000_000, 1_600_000_100, 1_500_000_000], np.int64)
+    ways = [(10, np.array([1, 2], np.int64), {"name": "a"}, 1_700_000_000),
+            (11, np.array([2, 3], np.int64), {}, 1_650_000_000),
+            (12, np.array([1, 3], np.int64), {})]  # no metadata → ts 0
+    path = str(tmp_path / "ts.osm.pbf")
+    write_pbf(path, nodes=(ids, ids * 10, ids * 20, nts), ways=ways)
+
+    spans = scan_blob_spans(path)
+    with open(path, "rb") as f:
+        f.seek(spans[1][1])
+        blk = decode_primitive_block(_blob_payload(f.read(spans[1][2])))
+    assert blk["node_ts"].tolist() == nts.tolist()
+
+    wd = read_pbf_ways(path).to_pandas().sort_values("way_id")
+    assert wd["ts"].tolist() == [1_700_000_000, 1_650_000_000, 0]
 
 
 def test_pbf_nonstandard_granularity_and_unknown_fields():
@@ -267,3 +306,76 @@ def test_cli_down_pbf_relation_tags(tmp_path, capsys, ray_session):
                          if (s, d) == (2, 3)][0]
     assert up[(3, 4)] == in_r + in_p / 2
     assert up[(3, 5)] == in_p / 2
+
+
+def test_cli_down_pbf_ends_csv_timestamp(tmp_path, capsys, ray_session):
+    """--ends-csv over a PBF input keys rows by the input's LATEST way Info
+    timestamp (ends_csv.rs:85-99 data-age semantics), not epoch 0."""
+    import csv
+
+    from osm_lump_ways_ray.__main__ import main
+
+    ids = np.array([1, 2, 3, 4], np.int64)
+    ways = [(1, np.array([1, 2, 3], np.int64), {"name": "r"}, 1_690_000_000),
+            (2, np.array([3, 4], np.int64), {"name": "r"}, 1_700_000_123)]
+    path = str(tmp_path / "ts.osm.pbf")
+    write_pbf(path, nodes=(ids, ids * 1_000_000, ids * 2_000_000), ways=ways)
+
+    ends_csv = tmp_path / "ends.csv"
+    rc = main(["down", "-i", path, "--ends-csv", str(ends_csv),
+               "--num-partitions", "4"])
+    assert rc == 0
+    capsys.readouterr()
+    rows = list(csv.DictReader(ends_csv.read_text().splitlines()))
+    assert rows and all(r["timestamp"] == "1700000123" for r in rows)
+    assert rows[0]["iso_datetime"] == "2023-11-14T22:15:23Z"
+
+
+def test_pbf_missing_node_position_fails_loudly(tmp_path, ray_session):
+    """A way referencing a node id with no position must raise — never
+    silently shorten geometry lists (ADVICE r4: a shortened list corrupts
+    every later way in the block) nor silently delete edges."""
+    from ray.exceptions import RayTaskError
+
+    from osm_lump_ways_ray.__main__ import main
+    from osm_lump_ways_ray.sources.pbf import pbf_directed_edges
+
+    ids = np.array([1, 2], np.int64)  # node 3 is MISSING
+    ways = [(1, np.array([1, 2, 3], np.int64), {"name": "r"})]
+    path = str(tmp_path / "clip.osm.pbf")
+    write_pbf(path, nodes=(ids, ids * 1_000_000, ids * 2_000_000), ways=ways)
+
+    edges, _nodes = pbf_directed_edges(path)
+    with pytest.raises((RayTaskError, ValueError),
+                       match="pbf_directed_edges"):
+        edges.materialize()
+
+    with pytest.raises((RayTaskError, ValueError),
+                       match="attach_way_geometry"):
+        main(["lump", "-i", path, "-o", str(tmp_path / "o.geojson"),
+              "-g", "name", "--num-partitions", "4"])
+
+
+def test_cli_lump_pbf_group_by_lang(tmp_path, capsys, ray_session):
+    """--tag-group-by lang must group by the ways' lang tag — the previous
+    shape() built a colliding dict key and silently dropped the group
+    values (ADVICE r4)."""
+    import json
+
+    from osm_lump_ways_ray.__main__ import main
+
+    ids = np.arange(1, 7, dtype=np.int64)
+    ways = [(1, np.array([1, 2], np.int64), {"lang": "de"}),
+            (2, np.array([3, 4], np.int64), {"lang": "fr"}),
+            (3, np.array([5, 6], np.int64), {})]
+    path = str(tmp_path / "lang.osm.pbf")
+    write_pbf(path, nodes=(ids, ids * 1_000_000, ids * 2_000_000), ways=ways)
+
+    out = tmp_path / "langs.geojson"
+    rc = main(["lump", "-i", path, "-o", str(out), "-g", "lang",
+               "--num-partitions", "4"])
+    assert rc == 0
+    capsys.readouterr()
+    fc = json.loads(out.read_text())
+    assert sorted(f["properties"]["lang"] for f in fc["features"]) \
+        == ["de", "fr"]
