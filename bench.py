@@ -312,6 +312,26 @@ def main() -> int:
     import ray
 
     ray.shutdown()
+    if not headline_only and os.environ.get("GRAFT_BENCH_NO_10M") != "1":
+        # the driver-visible LARGE-scale headline (VERDICT r4 #6): 10M pages
+        # in a fresh full-CPU process, so BENCH_r{N}.json carries the number
+        # directly instead of a BASELINE.md prose entry
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_HEADLINE_ONLY="1",
+                   GRAFT_PAGES_OVERRIDE=os.environ.get(
+                       "GRAFT_BENCH_10M_PAGES", "10000000"))
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True)
+        try:
+            big = json.loads(r.stdout.strip().splitlines()[-1])
+            out["headline_10m"] = {
+                "pages": big["pages"], "num_cpus": big["num_cpus"],
+                "sec": big["value"], "runs": big["headline_runs"],
+                "rows_per_sec": big["rows_per_sec"],
+                "phase_metrics": big["phase_metrics"],
+            }
+        except Exception:  # noqa: BLE001 — report, don't sink the bench
+            out["headline_10m"] = {"error": r.stderr[-500:]}
     if not headline_only and os.environ.get("GRAFT_BENCH_NO_SCALING") != "1":
         # embed the scaling criterion in the default output so BENCH_r{N}.json
         # carries {scaling_mode, efficiency} directly (VERDICT r3 #8);

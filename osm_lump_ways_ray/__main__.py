@@ -111,6 +111,15 @@ def cmd_lump(args) -> int:
 
         pages = ray.data.read_parquet(args.input)
 
+    if (args.split_into_single_paths
+            and args.split_into_single_paths_by == "longest-path"):
+        # declared-but-unimplemented in the reference: the lump binary
+        # asserts as-crow-flies (bin/osm-lump-ways/main.rs:761-765), the
+        # -down binary never reads the flag (cli_args.rs:147)
+        print("error: --split-into-single-paths-by longest-path is declared "
+              "but unimplemented in the reference (main.rs:761-765 asserts "
+              "as-crow-flies); use as-crow-flies", file=sys.stderr)
+        return 2
     geometry = "linestring" if args.save_as_linestrings else "multilinestring"
     outputs = []
     for path in args.output or ():

@@ -422,6 +422,17 @@ class Pipeline:
         from ..stages.relational import cogroup_join as _cj
         from ..stages.relational import snapshot as _snap
 
+        if self.split_into_single_paths_by == "longest-path":
+            # the reference DECLARES LongestPath but never implements it:
+            # the lump binary asserts AsCrowFlies (bin/osm-lump-ways/
+            # main.rs:761-765 assert_eq!) and the -down binary never reads
+            # the flag (cli_args.rs:147, zero uses). Reject loudly instead
+            # of silently substituting a different decomposition (ADVICE r4).
+            raise ValueError(
+                "--split-into-single-paths-by longest-path is declared but "
+                "unimplemented in the reference (bin/osm-lump-ways/"
+                "main.rs:761-765 asserts as-crow-flies); use "
+                "'as-crow-flies'.")
         method = ("crow" if self.split_into_single_paths_by == "as-crow-flies"
                   else "random")
         paths = component_lines(res["edges"], res["labels"], res["nodes"],

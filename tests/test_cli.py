@@ -233,11 +233,11 @@ def test_cli_lump_single_paths_and_per_group_topn(tmp_path, capsys,
     plens = [l["properties"]["length_m"] for l in lines]
     assert plens == sorted(plens, reverse=True)
 
-    # per-component top-1 paths, longest-path method
+    # per-component top-1 paths (longest-path is rejected — the reference
+    # never implements it, main.rs:761-765; see the dedicated test below)
     out1 = tmp_path / "top1.geojsonl"
     rc = main(["lump", "--synth", "2000", "-o", str(out1),
                "--split-into-single-paths",
-               "--split-into-single-paths-by", "longest-path",
                "--only-longest-n-splitted-paths", "1",
                "--num-partitions", "4"])
     assert rc == 0
@@ -539,3 +539,18 @@ def test_cli_down_min_upstream_and_lsm_wayids(tmp_path, capsys, ray_session):
                 for f in _read_seq(lsm)}
     assert by_mouth[4]["all_wayids"] == ["w100", "w101", "w102"]
     assert by_mouth[12]["all_wayids"] == ["w103", "w104"]
+
+
+def test_split_paths_longest_path_rejected(tmp_path, capsys, ray_session):
+    """--split-into-single-paths-by longest-path must be rejected loudly —
+    the reference declares it but never implements it (bin/osm-lump-ways/
+    main.rs:761-765 asserts as-crow-flies) — not silently mapped to the
+    random decomposition (ADVICE r4)."""
+    from osm_lump_ways_ray.__main__ import main
+
+    rc = main(["lump", "--synth", "500", "-o", str(tmp_path / "x.geojson"),
+               "--split-into-single-paths",
+               "--split-into-single-paths-by", "longest-path",
+               "--num-partitions", "4"])
+    assert rc == 2
+    assert "longest-path" in capsys.readouterr().err
