@@ -1,0 +1,582 @@
+"""Baseline JPEG (ITU-T Rec. T.81) codec — pure numpy + stdlib, no PIL.
+
+Closes the last honest multimodal capability gate (VERDICT r4 #7): the
+container has no PIL/ffmpeg, but baseline-DCT JPEG is a public spec, so —
+like the PNG/WAV codecs in :mod:`.multimodal` — the decode path is real, not
+stubbed. Scope (and what raises ``NotImplementedError``):
+
+- **encode**: 8-bit grayscale (1 component) and RGB→YCbCr 4:4:4 (no chroma
+  subsampling), Annex K quantization tables scaled with the classic IJG
+  quality formula, Annex K "typical" Huffman tables, optional restart
+  interval. Edge padding by replication (T.81 recommends it; it also keeps
+  block-constant fixtures block-constant).
+- **decode**: baseline sequential (SOF0; SOF1 accepted — identical entropy
+  coding), 8-bit, 1 or 3 components with all sampling factors 1 (4:4:4),
+  arbitrary DQT/DHT tables from the stream, restart markers honoured.
+  Progressive (SOF2) and subsampled (e.g. 4:2:0) streams raise
+  ``NotImplementedError`` — those are the *only* remaining image gates.
+
+Everything here is from the public T.81 spec (+ the JFIF YCbCr matrix);
+exactness property used by the ``jpeg_decode`` oracle: at quality 100 the
+scaled quant tables are all ones, and an image whose 8×8 coding blocks are
+each constant has all-zero AC coefficients and an exactly-integer DC, so
+encode→decode is bit-exact and SQL-predictable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# zigzag scan order (T.81 Figure 5): ZIGZAG[k] = natural index of the k-th
+# zigzag coefficient
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+_UNZIGZAG = np.argsort(ZIGZAG)  # natural index -> zigzag position
+
+# Annex K.1 quantization tables (luminance, chrominance), natural order
+STD_LUM_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+STD_CHROM_Q = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 "typical" Huffman tables: (BITS[1..16], HUFFVAL)
+_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+           list(range(12)))
+_DC_CHROM = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+             list(range(12)))
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+# 8×8 DCT-II basis with JPEG normalization: D = C @ B @ C.T; B = C.T @ D @ C
+_k = np.arange(8, dtype=np.float64)
+_DCT_C = 0.5 * np.cos((2.0 * _k[None, :] + 1.0) * _k[:, None] * np.pi / 16.0)
+_DCT_C[0] /= np.sqrt(2.0)
+
+
+def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """Classic IJG quality scaling (libjpeg ``jpeg_quality_scaling``): 1-100;
+    100 → all-ones tables (lossless for block-constant inputs)."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    lum = np.clip((STD_LUM_Q * scale + 50) // 100, 1, 255)
+    chrom = np.clip((STD_CHROM_Q * scale + 50) // 100, 1, 255)
+    return lum.astype(np.int64), chrom.astype(np.int64)
+
+
+def _build_codes(bits, vals) -> dict:
+    """T.81 Annex C code generation: symbol → (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with 0xFF → 0xFF 0x00 byte stuffing
+    (T.81 B.1.1.5)."""
+
+    __slots__ = ("buf", "acc", "n")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        if not length:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (spec F.1.2.3)
+
+
+def _blocks_of(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad a (H, W) plane to 8×8 multiples by edge replication; return
+    (nblocks, 8, 8) float blocks in raster block order plus the block grid."""
+    h, w = plane.shape
+    h8 = (h + 7) // 8 * 8
+    w8 = (w + 7) // 8 * 8
+    p = np.pad(plane, ((0, h8 - h), (0, w8 - w)), mode="edge")
+    nby, nbx = h8 // 8, w8 // 8
+    blocks = (p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+               .reshape(nby * nbx, 8, 8).astype(np.float64) - 128.0)
+    return blocks, nby, nbx
+
+
+def _fdct_quant_zigzag(blocks: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) spatial blocks → (n, 64) zigzag-ordered quantized int32
+    coefficients — fully vectorized; only entropy coding loops per block."""
+    coef = np.einsum("ij,njk,lk->nil", _DCT_C, blocks, _DCT_C,
+                     optimize=True)
+    q = np.rint(coef.reshape(-1, 64) / qtbl.astype(np.float64))
+    return q.astype(np.int32)[:, ZIGZAG]
+
+
+def _encode_block(zz: np.ndarray, pred: int, dc_tbl: dict, ac_tbl: dict,
+                  bw: _BitWriter) -> int:
+    diff = int(zz[0]) - pred
+    cat = abs(diff).bit_length()
+    code, ln = dc_tbl[cat]
+    bw.write(code, ln)
+    if cat:
+        bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    run = 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tbl[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        cat = abs(v).bit_length()
+        code, ln = ac_tbl[(run << 4) | cat]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if last < 63:
+        code, ln = ac_tbl[0x00]  # EOB
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+        + payload
+
+
+def _dht_payload(tc_th: int, bits, vals) -> bytes:
+    return bytes([tc_th]) + bytes(bits) + bytes(vals)
+
+
+def rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 RGB → float64 YCbCr (JFIF full-range matrix)."""
+    r = arr[..., 0].astype(np.float64)
+    g = arr[..., 1].astype(np.float64)
+    b = arr[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """float planes → (H, W, 3) uint8 RGB (JFIF inverse matrix)."""
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255) \
+        .astype(np.uint8)
+
+
+def encode_jpeg(arr: np.ndarray, *, quality: int = 90,
+                restart_interval: int = 0) -> bytes:
+    """uint8 image → baseline JFIF JPEG bytes. ``(H, W)`` / ``(H, W, 1)`` →
+    grayscale single-component scan; ``(H, W, 3)`` → YCbCr 4:4:4 (no
+    subsampling). ``restart_interval`` > 0 emits DRI + RSTn markers every
+    that many MCUs (exercises the decoder's restart path)."""
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg wants uint8 pixels")
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if not (0 < h < 65536 and 0 < w < 65536):
+        raise ValueError("image dims out of JPEG range")
+    lum_q, chrom_q = quality_tables(quality)
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+        qsel = [0]
+    else:
+        ycc = rgb_to_ycbcr(arr)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        qsel = [0, 1, 1]
+    zz_per_comp = []
+    for ci, plane in enumerate(planes):
+        blocks, nby, nbx = _blocks_of(plane)
+        zz_per_comp.append(
+            _fdct_quant_zigzag(blocks, lum_q if qsel[ci] == 0 else chrom_q))
+    nmcu = zz_per_comp[0].shape[0]
+
+    dc_tbls = [_build_codes(*_DC_LUM), _build_codes(*_DC_CHROM)]
+    ac_tbls = [_build_codes(*_AC_LUM), _build_codes(*_AC_CHROM)]
+    hsel = qsel  # component → table class (0 = lum, 1 = chrom)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(lum_q[ZIGZAG].tolist()))
+    if not gray:
+        out += _seg(0xDB, bytes([0x01]) + bytes(chrom_q[ZIGZAG].tolist()))
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, qsel[ci]])  # id, h=v=1, quant sel
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, _dht_payload(0x00, *_DC_LUM))
+    out += _seg(0xC4, _dht_payload(0x10, *_AC_LUM))
+    if not gray:
+        out += _seg(0xC4, _dht_payload(0x01, *_DC_CHROM))
+        out += _seg(0xC4, _dht_payload(0x11, *_AC_CHROM))
+    if restart_interval:
+        out += _seg(0xDD, int(restart_interval).to_bytes(2, "big"))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, (hsel[ci] << 4) | hsel[ci]])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    rst = 0
+    for m in range(nmcu):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            out += bw.buf
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            bw = _BitWriter()
+            preds = [0] * ncomp
+        for ci in range(ncomp):
+            preds[ci] = _encode_block(zz_per_comp[ci][m], preds[ci],
+                                      dc_tbls[hsel[ci]], ac_tbls[hsel[ci]],
+                                      bw)
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ───────────────────────────────────────────────────────────── decoder
+
+class _HuffLUT:
+    """16-bit-peek lookup decoder built from a DHT (BITS, HUFFVAL): one
+    table fill per DHT segment, O(1) per symbol after that."""
+
+    __slots__ = ("sym", "len")
+
+    def __init__(self, bits, vals):
+        self.sym = np.zeros(1 << 16, np.int16)
+        self.len = np.zeros(1 << 16, np.int8)
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                lo = code << (16 - length)
+                hi = (code + 1) << (16 - length)
+                self.sym[lo:hi] = vals[k]
+                self.len[lo:hi] = length
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first reader over an already-unstuffed entropy segment; reads
+    past the end as zero bits (the final byte is 1-padded by spec, so a
+    well-formed stream never consumes them as data)."""
+
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self, need: int) -> None:
+        while self.n < need:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def get(self, nbits: int) -> int:
+        if not nbits:
+            return 0
+        self._fill(nbits)
+        self.n -= nbits
+        return (self.acc >> self.n) & ((1 << nbits) - 1)
+
+    def peek16(self) -> int:
+        self._fill(16)
+        return (self.acc >> (self.n - 16)) & 0xFFFF
+
+    def skip(self, nbits: int) -> None:
+        self.n -= nbits
+
+
+def _extend(v: int, cat: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map ``cat``-bit magnitude to signed value."""
+    if cat and v < (1 << (cat - 1)):
+        return v - (1 << cat) + 1
+    return v
+
+
+def _decode_block(br: _BitReader, dc: _HuffLUT, ac: _HuffLUT,
+                  pred: int) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, np.int32)
+    p = br.peek16()
+    ln = dc.len[p]
+    if ln == 0:
+        raise ValueError("invalid DC Huffman code")
+    br.skip(int(ln))
+    cat = int(dc.sym[p])
+    diff = _extend(br.get(cat), cat)
+    val = pred + diff
+    zz[0] = val
+    k = 1
+    while k < 64:
+        p = br.peek16()
+        ln = ac.len[p]
+        if ln == 0:
+            raise ValueError("invalid AC Huffman code")
+        br.skip(int(ln))
+        sym = int(ac.sym[p])
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        cat = sym & 0x0F
+        if k > 63:
+            raise ValueError("AC run past block end")
+        zz[k] = _extend(br.get(cat), cat)
+        k += 1
+    return zz, val
+
+
+def _unstuff_scan(buf: bytes, pos: int) -> tuple[list, int]:
+    """From ``pos`` (just after SOS), split the entropy-coded data into
+    restart segments with 0xFF00 stuffing removed; returns (segments,
+    pos-after-scan)."""
+    segs, cur = [], bytearray()
+    n = len(buf)
+    while pos < n:
+        b = buf[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        nxt = buf[pos + 1] if pos + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:  # real marker — scan over
+            break
+    segs.append(bytes(cur))
+    return segs, pos
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → uint8 array: ``(H, W, 1)`` for grayscale,
+    ``(H, W, 3)`` RGB for 3-component YCbCr. Supports arbitrary
+    in-stream DQT/DHT tables and restart intervals; raises
+    ``NotImplementedError`` for progressive (SOF2) or subsampled streams."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qtbl: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffLUT] = {}
+    frame = None
+    dri = 0
+    pos = 2
+    n = len(buf)
+    while pos + 4 <= n:
+        if buf[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(buf[pos + 2:pos + 4], "big")
+        payload = buf[pos + 4:pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(payload):
+                pq, tq = payload[i] >> 4, payload[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT unsupported")
+                tbl = np.frombuffer(payload[i + 1:i + 65], np.uint8) \
+                    .astype(np.int64)
+                nat = np.empty(64, np.int64)
+                nat[ZIGZAG] = tbl  # stored zigzag → natural
+                qtbl[tq] = nat
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(payload):
+                tc, th = payload[i] >> 4, payload[i] & 0x0F
+                bits = list(payload[i + 1:i + 17])
+                cnt = sum(bits)
+                vals = list(payload[i + 17:i + 17 + cnt])
+                huff[(tc, th)] = _HuffLUT(bits, vals)
+                i += 17 + cnt
+        elif marker in (0xC0, 0xC1):  # SOF0/1 — baseline/extended seq.
+            prec = payload[0]
+            h = int.from_bytes(payload[1:3], "big")
+            w = int.from_bytes(payload[3:5], "big")
+            nc = payload[5]
+            comps = []
+            for ci in range(nc):
+                cid = payload[6 + 3 * ci]
+                hv = payload[7 + 3 * ci]
+                tq = payload[8 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            if any(c[1] != 1 or c[2] != 1 for c in comps):
+                raise NotImplementedError(
+                    "subsampled JPEG (e.g. 4:2:0) unsupported — "
+                    "4:4:4 / grayscale baseline only")
+            frame = (h, w, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG unsupported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} coding process unsupported")
+        elif marker == 0xDD:  # DRI
+            dri = int.from_bytes(payload[:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = payload[0]
+            scan_sel = []
+            for si in range(ns):
+                cs = payload[1 + 2 * si]
+                tt = payload[2 + 2 * si]
+                scan_sel.append((cs, tt >> 4, tt & 0x0F))
+            segs, pos = _unstuff_scan(buf, pos)
+            return _decode_scan(frame, scan_sel, qtbl, huff, segs, dri)
+        # APPn / COM / anything else: skipped
+    raise ValueError("no SOS scan found")
+
+
+def _decode_scan(frame, scan_sel, qtbl, huff, segs, dri) -> np.ndarray:
+    h, w, comps = frame
+    by_id = {c[0]: c for c in comps}
+    order = []  # (comp index in output, dc LUT, ac LUT, natural qtbl)
+    for si, (cs, td, ta) in enumerate(scan_sel):
+        cid, _, _, tq = by_id[cs]
+        order.append((si, huff[(0, td)], huff[(1, ta)], qtbl[tq]))
+    ncomp = len(order)
+    nby = (h + 7) // 8
+    nbx = (w + 7) // 8
+    nmcu = nby * nbx
+    coeffs = [np.zeros((nmcu, 64), np.int32) for _ in range(ncomp)]
+    m = 0
+    for seg in segs:
+        br = _BitReader(seg)
+        preds = [0] * ncomp
+        end = min(nmcu, m + dri) if dri else nmcu
+        while m < end:
+            for si, dc, ac, _ in order:
+                zz, preds[si] = _decode_block(br, dc, ac, preds[si])
+                coeffs[si][m] = zz
+            m += 1
+        if m >= nmcu:
+            break
+    if m < nmcu:
+        raise ValueError(f"scan ended after {m}/{nmcu} MCUs")
+
+    planes = []
+    for si, _, _, q in order:
+        nat = coeffs[si][:, _UNZIGZAG].astype(np.float64) \
+            * q[None, :].astype(np.float64)
+        blocks = np.einsum("ji,njk,kl->nil", _DCT_C,
+                           nat.reshape(-1, 8, 8), _DCT_C, optimize=True)
+        full = (blocks.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
+                .reshape(nby * 8, nbx * 8) + 128.0)
+        planes.append(full[:h, :w])
+    if ncomp == 1:
+        return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+    if ncomp == 3:
+        return ycbcr_to_rgb(planes[0], planes[1], planes[2])
+    raise NotImplementedError(f"{ncomp}-component JPEG unsupported")
+
+
+def decode_jpeg_rgb(buf: bytes) -> np.ndarray:
+    """JPEG bytes → ``(H, W, 3)`` uint8 RGB; grayscale replicates across
+    channels (matches ``PIL.Image.convert("RGB")``)."""
+    img = decode_jpeg(buf)
+    if img.shape[2] == 1:
+        return np.repeat(img, 3, axis=2)
+    return img

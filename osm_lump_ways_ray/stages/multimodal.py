@@ -12,10 +12,12 @@ Two decode tiers:
   (header fields, bottom-up BGR rows, 4-byte padding), then real pixel math:
   channel sums + nearest-neighbour resize + integer grayscale pooling,
   value-exact vs a SQL oracle (queries.py ``multimodal_decode``).
-- **STUB** (``DecodeImageStub``): compressed formats (JPEG/PNG) and video
-  genuinely require PIL/ffmpeg, which are NOT in this container — the stub
-  derives deterministic fake metadata and is clearly marked; with PIL
-  present ``DecodeImage.decode`` falls through to it for real decode.
+- **STUB** (``DecodeImageStub``): video genuinely requires ffmpeg, which is
+  NOT in this container — the stub derives deterministic fake metadata and is
+  clearly marked; with PIL present ``DecodeImage.decode`` falls through to it
+  for real decode. PNG (stdlib zlib codec below) and baseline JPEG
+  (:mod:`.jpeg`, pure-numpy T.81 codec) decode REAL — only progressive or
+  chroma-subsampled JPEG and video remain gated.
 """
 
 from __future__ import annotations
@@ -166,11 +168,13 @@ def multimodal_pipeline(docs_ds, *, concurrency=None, batch_size: int = 256):
 
 
 # ------------------------------------------------- REAL decode (pure numpy)
-# PIL/ffmpeg are not in this container, but that only blocks JPEG and video:
-# BMP (BITMAPINFOHEADER, 24-bit) and PPM (P6) decode with header parsing +
-# a reshape, and PNG decodes with stdlib zlib + the five spec filters (codec
-# below). This is real pixel math over real bytes — the import-gated stub
-# above remains only for JPEG and video frames.
+# PIL/ffmpeg are not in this container, but that only blocks video (and the
+# exotic JPEG modes): BMP (BITMAPINFOHEADER, 24-bit) and PPM (P6) decode with
+# header parsing + a reshape, PNG decodes with stdlib zlib + the five spec
+# filters (codec below), and baseline JPEG decodes with the pure-numpy T.81
+# codec in stages/jpeg.py. This is real pixel math over real bytes — the
+# import-gated stub above remains only for video frames and
+# progressive/subsampled JPEG.
 
 def encode_bmp24(arr: np.ndarray) -> bytes:
     """(H, W, 3) uint8 RGB → 24-bit uncompressed BMP bytes (bottom-up rows,
@@ -438,6 +442,14 @@ class DecodeImage:
             return decode_bmp24(buf)
         if buf[:2] == b"P6":
             return decode_ppm(buf)
+        if buf[:2] == b"\xff\xd8":  # baseline JPEG: real T.81 codec
+            from .jpeg import decode_jpeg_rgb
+
+            try:
+                return decode_jpeg_rgb(buf)
+            except NotImplementedError:
+                if not HAVE_PIL:  # progressive / subsampled: honest gate
+                    raise
         if HAVE_PIL:  # pragma: no cover - PIL absent in this container
             import io
 
@@ -445,8 +457,9 @@ class DecodeImage:
 
             return np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
         raise NotImplementedError(
-            "JPEG/video need PIL/ffmpeg, which are not in this container; "
-            "PNG, BMP24 and PPM-P6 decode natively")
+            "video / progressive / chroma-subsampled JPEG need PIL/ffmpeg, "
+            "which are not in this container; PNG, baseline 4:4:4/gray "
+            "JPEG, BMP24 and PPM-P6 decode natively")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()

@@ -220,3 +220,107 @@ def test_decode_image_routes_png_magic():
     out = DecodeImage()(t)
     assert out["sum_r"].to_pylist()[0] == out["sum_r"].to_pylist()[1]
     assert out["n_pixels"].to_pylist() == [12, 12]
+
+
+# ─────────────────────────────────────────────── baseline JPEG (stages/jpeg)
+
+def test_jpeg_quality_tables_scaling():
+    from osm_lump_ways_ray.stages.jpeg import (STD_LUM_Q, quality_tables)
+
+    lum100, chrom100 = quality_tables(100)
+    assert (lum100 == 1).all() and (chrom100 == 1).all()
+    lum50, _ = quality_tables(50)  # scale 100 → the Annex K base table
+    assert (lum50 == STD_LUM_Q).all()
+    lum1, _ = quality_tables(1)
+    assert lum1.max() <= 255 and lum1.min() >= 1
+
+
+def test_jpeg_block_constant_gray_q100_bit_exact():
+    """All-ones quant tables + per-block-constant pixels → zero AC terms and
+    an exact-integer DC, so the full encode→decode path is lossless."""
+    from osm_lump_ways_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        h, w = (int(x) for x in rng.integers(9, 41, 2))
+        bv = rng.integers(0, 256,
+                          ((h + 7) // 8, (w + 7) // 8)).astype(np.uint8)
+        img = np.repeat(np.repeat(bv, 8, 0), 8, 1)[:h, :w]
+        out = decode_jpeg(encode_jpeg(img, quality=100))
+        assert out.shape == (h, w, 1)
+        assert (out[:, :, 0] == img).all()
+
+
+@pytest.mark.parametrize("quality,tol", [(95, 8), (75, 32)])
+def test_jpeg_gray_gradient_tolerance(quality, tol):
+    from osm_lump_ways_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    x = np.arange(53)
+    y = np.arange(37)
+    img = ((x[None, :] * 5 + y[:, None] * 3) % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=quality))[:, :, 0]
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= tol
+
+
+def test_jpeg_rgb_roundtrip_tolerance_and_shape():
+    from osm_lump_ways_ray.stages.jpeg import decode_jpeg_rgb, encode_jpeg
+
+    x = np.arange(29)
+    y = np.arange(22)
+    c = np.arange(3)
+    img = ((x[None, :, None] * 7 + y[:, None, None] * 3
+            + c[None, None, :] * 29) % 256).astype(np.uint8)
+    out = decode_jpeg_rgb(encode_jpeg(img, quality=95))
+    assert out.shape == img.shape
+    # YCbCr roundtrip + chroma quantization: tolerance, not exactness
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 20
+
+
+def test_jpeg_restart_interval_parity():
+    """DRI/RSTn markers segment the entropy stream and reset DC predictors;
+    the decoded pixels must be identical to the no-restart encoding."""
+    from osm_lump_ways_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    x = np.arange(40)
+    y = np.arange(24)
+    img = ((x[None, :] * 11 + y[:, None] * 7) % 256).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, quality=85))
+    restarted = decode_jpeg(encode_jpeg(img, quality=85,
+                                        restart_interval=2))
+    assert (plain == restarted).all()
+
+
+def test_jpeg_rejects_progressive_and_subsampled():
+    from osm_lump_ways_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((16, 16), 90, np.uint8)
+    buf = bytearray(encode_jpeg(img, quality=90))
+    sof_at = buf.index(b"\xff\xc0")
+    buf[sof_at + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(buf))
+
+    buf = bytearray(encode_jpeg(np.repeat(img[:, :, None], 3, 2),
+                                quality=90))
+    sof_at = buf.index(b"\xff\xc0")
+    buf[sof_at + 11] = 0x22  # Y component h=v=2 → 4:2:0-style sampling
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(buf))
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_decode_image_routes_jpeg_magic():
+    """DecodeImage routes FFD8 payloads through the real T.81 codec; a
+    grayscale block-constant q100 JPEG must yield exact channel sums."""
+    from osm_lump_ways_ray.stages.jpeg import encode_jpeg
+
+    img = np.full((10, 12), 77, np.uint8)
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([encode_jpeg(img, quality=100)],
+                                      pa.binary())})
+    out = DecodeImage()(t)
+    assert out["n_pixels"].to_pylist() == [120]
+    assert out["sum_r"].to_pylist() == [77 * 120]
+    assert out["sum_g"].to_pylist() == out["sum_r"].to_pylist()
