@@ -5,15 +5,17 @@ container has no PIL/ffmpeg, but baseline-DCT JPEG is a public spec, so —
 like the PNG/WAV codecs in :mod:`.multimodal` — the decode path is real, not
 stubbed. Scope (and what raises ``NotImplementedError``):
 
-- **encode**: 8-bit grayscale (1 component) and RGB→YCbCr 4:4:4 (no chroma
-  subsampling), Annex K quantization tables scaled with the classic IJG
-  quality formula, Annex K "typical" Huffman tables, optional restart
-  interval. Edge padding by replication (T.81 recommends it; it also keeps
-  block-constant fixtures block-constant).
+- **encode**: 8-bit grayscale (1 component) and RGB→YCbCr 4:4:4 or 4:2:0
+  (``subsample="420"`` box-averages chroma 2×2 — the dominant wild-JPEG
+  layout), Annex K quantization tables scaled with the classic IJG quality
+  formula, Annex K "typical" Huffman tables, optional restart interval. Edge
+  padding by replication (T.81 recommends it; it also keeps block-constant
+  fixtures block-constant).
 - **decode**: baseline sequential (SOF0; SOF1 accepted — identical entropy
-  coding), 8-bit, 1 or 3 components with all sampling factors 1 (4:4:4),
-  arbitrary DQT/DHT tables from the stream, restart markers honoured.
-  Progressive (SOF2) and subsampled (e.g. 4:2:0) streams raise
+  coding), 8-bit, 1 or 3 components with sampling factors 1 or 2 per axis
+  (4:4:4, 4:2:0, 4:2:2, 4:4:0), arbitrary DQT/DHT tables from the stream,
+  restart markers honoured; subsampled chroma upsamples by replication.
+  Progressive (SOF2) streams and sampling factors > 2 raise
   ``NotImplementedError`` — those are the *only* remaining image gates.
 
 Everything here is from the public T.81 spec (+ the JFIF YCbCr matrix);
@@ -157,17 +159,13 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1-bits (spec F.1.2.3)
 
 
-def _blocks_of(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
-    """Pad a (H, W) plane to 8×8 multiples by edge replication; return
-    (nblocks, 8, 8) float blocks in raster block order plus the block grid."""
+def _blocks_of(plane: np.ndarray, nby: int, nbx: int) -> np.ndarray:
+    """Pad a (H, W) plane to an (nby, nbx) 8×8 block grid by edge
+    replication; return (nby*nbx, 8, 8) float blocks in raster block order."""
     h, w = plane.shape
-    h8 = (h + 7) // 8 * 8
-    w8 = (w + 7) // 8 * 8
-    p = np.pad(plane, ((0, h8 - h), (0, w8 - w)), mode="edge")
-    nby, nbx = h8 // 8, w8 // 8
-    blocks = (p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
-               .reshape(nby * nbx, 8, 8).astype(np.float64) - 128.0)
-    return blocks, nby, nbx
+    p = np.pad(plane, ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge")
+    return (p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+             .reshape(nby * nbx, 8, 8).astype(np.float64) - 128.0)
 
 
 def _fdct_quant_zigzag(blocks: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
@@ -243,11 +241,12 @@ def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(arr: np.ndarray, *, quality: int = 90,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0, subsample: str = "444") -> bytes:
     """uint8 image → baseline JFIF JPEG bytes. ``(H, W)`` / ``(H, W, 1)`` →
-    grayscale single-component scan; ``(H, W, 3)`` → YCbCr 4:4:4 (no
-    subsampling). ``restart_interval`` > 0 emits DRI + RSTn markers every
-    that many MCUs (exercises the decoder's restart path)."""
+    grayscale single-component scan; ``(H, W, 3)`` → YCbCr, 4:4:4 by default
+    or 4:2:0 with ``subsample="420"`` (chroma box-averaged 2×2 — the
+    dominant wild-JPEG layout). ``restart_interval`` > 0 emits DRI + RSTn
+    markers every that many MCUs (exercises the decoder's restart path)."""
     if arr.dtype != np.uint8:
         raise ValueError("encode_jpeg wants uint8 pixels")
     if arr.ndim == 3 and arr.shape[2] == 1:
@@ -256,21 +255,43 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 90,
     h, w = arr.shape[:2]
     if not (0 < h < 65536 and 0 < w < 65536):
         raise ValueError("image dims out of JPEG range")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    sub = subsample == "420" and not gray
     lum_q, chrom_q = quality_tables(quality)
 
     if gray:
         planes = [arr.astype(np.float64)]
-        qsel = [0]
+        qsel, sampling = [0], [(1, 1)]
     else:
         ycc = rgb_to_ycbcr(arr)
-        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if sub:
+            # 2×2 box-average chroma on an even-padded grid
+            h2 = (h + 1) // 2 * 2
+            w2 = (w + 1) // 2 * 2
+            cb = np.pad(cb, ((0, h2 - h), (0, w2 - w)), mode="edge")
+            cr = np.pad(cr, ((0, h2 - h), (0, w2 - w)), mode="edge")
+            cb = cb.reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+            sampling = [(2, 2), (1, 1), (1, 1)]
+        else:
+            sampling = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
         qsel = [0, 1, 1]
-    zz_per_comp = []
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    nmcux = (w + 8 * hmax - 1) // (8 * hmax)
+    nmcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    nmcu = nmcux * nmcuy
+    zz_per_comp, grids = [], []
     for ci, plane in enumerate(planes):
-        blocks, nby, nbx = _blocks_of(plane)
+        hi, vi = sampling[ci]
+        nby, nbx = nmcuy * vi, nmcux * hi
+        blocks = _blocks_of(plane, nby, nbx)
         zz_per_comp.append(
             _fdct_quant_zigzag(blocks, lum_q if qsel[ci] == 0 else chrom_q))
-    nmcu = zz_per_comp[0].shape[0]
+        grids.append((nby, nbx))
 
     dc_tbls = [_build_codes(*_DC_LUM), _build_codes(*_DC_CHROM)]
     ac_tbls = [_build_codes(*_AC_LUM), _build_codes(*_AC_CHROM)]
@@ -281,11 +302,12 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 90,
     out += _seg(0xDB, bytes([0x00]) + bytes(lum_q[ZIGZAG].tolist()))
     if not gray:
         out += _seg(0xDB, bytes([0x01]) + bytes(chrom_q[ZIGZAG].tolist()))
-    ncomp = 1 if gray else 3
+    ncomp = len(planes)
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
         + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, qsel[ci]])  # id, h=v=1, quant sel
+        hi, vi = sampling[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, qsel[ci]])
     out += _seg(0xC0, sof)
     out += _seg(0xC4, _dht_payload(0x00, *_DC_LUM))
     out += _seg(0xC4, _dht_payload(0x10, *_AC_LUM))
@@ -311,10 +333,16 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 90,
             rst += 1
             bw = _BitWriter()
             preds = [0] * ncomp
+        my, mx = divmod(m, nmcux)
         for ci in range(ncomp):
-            preds[ci] = _encode_block(zz_per_comp[ci][m], preds[ci],
-                                      dc_tbls[hsel[ci]], ac_tbls[hsel[ci]],
-                                      bw)
+            hi, vi = sampling[ci]
+            nbx = grids[ci][1]
+            for dy in range(vi):
+                for dx in range(hi):
+                    bidx = (my * vi + dy) * nbx + (mx * hi + dx)
+                    preds[ci] = _encode_block(
+                        zz_per_comp[ci][bidx], preds[ci],
+                        dc_tbls[hsel[ci]], ac_tbls[hsel[ci]], bw)
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI
@@ -502,10 +530,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
-            if any(c[1] != 1 or c[2] != 1 for c in comps):
+            if any(c[1] not in (1, 2) or c[2] not in (1, 2) for c in comps):
                 raise NotImplementedError(
-                    "subsampled JPEG (e.g. 4:2:0) unsupported — "
-                    "4:4:4 / grayscale baseline only")
+                    "JPEG sampling factors > 2 unsupported — 4:4:4 / "
+                    "4:2:0 / 4:2:2 / 4:4:0 / grayscale baseline only")
             frame = (h, w, comps)
         elif marker == 0xC2:
             raise NotImplementedError("progressive JPEG unsupported")
@@ -533,24 +561,32 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
 def _decode_scan(frame, scan_sel, qtbl, huff, segs, dri) -> np.ndarray:
     h, w, comps = frame
     by_id = {c[0]: c for c in comps}
-    order = []  # (comp index in output, dc LUT, ac LUT, natural qtbl)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    nmcux = (w + 8 * hmax - 1) // (8 * hmax)
+    nmcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    nmcu = nmcux * nmcuy
+    # (scan idx, dc LUT, ac LUT, natural qtbl, h_i, v_i, comp block cols)
+    order = []
+    coeffs = []
     for si, (cs, td, ta) in enumerate(scan_sel):
-        cid, _, _, tq = by_id[cs]
-        order.append((si, huff[(0, td)], huff[(1, ta)], qtbl[tq]))
+        _, hi, vi, tq = by_id[cs]
+        order.append((si, huff[(0, td)], huff[(1, ta)], qtbl[tq], hi, vi,
+                      nmcux * hi))
+        coeffs.append(np.zeros((nmcuy * vi * nmcux * hi, 64), np.int32))
     ncomp = len(order)
-    nby = (h + 7) // 8
-    nbx = (w + 7) // 8
-    nmcu = nby * nbx
-    coeffs = [np.zeros((nmcu, 64), np.int32) for _ in range(ncomp)]
     m = 0
     for seg in segs:
         br = _BitReader(seg)
         preds = [0] * ncomp
         end = min(nmcu, m + dri) if dri else nmcu
         while m < end:
-            for si, dc, ac, _ in order:
-                zz, preds[si] = _decode_block(br, dc, ac, preds[si])
-                coeffs[si][m] = zz
+            my, mx = divmod(m, nmcux)
+            for si, dc, ac, _, hi, vi, nbx in order:
+                for dy in range(vi):
+                    for dx in range(hi):
+                        zz, preds[si] = _decode_block(br, dc, ac, preds[si])
+                        coeffs[si][(my * vi + dy) * nbx + (mx * hi + dx)] = zz
             m += 1
         if m >= nmcu:
             break
@@ -558,13 +594,19 @@ def _decode_scan(frame, scan_sel, qtbl, huff, segs, dri) -> np.ndarray:
         raise ValueError(f"scan ended after {m}/{nmcu} MCUs")
 
     planes = []
-    for si, _, _, q in order:
+    for si, _, _, q, hi, vi, nbx in order:
+        nby = nmcuy * vi
         nat = coeffs[si][:, _UNZIGZAG].astype(np.float64) \
             * q[None, :].astype(np.float64)
         blocks = np.einsum("ji,njk,kl->nil", _DCT_C,
                            nat.reshape(-1, 8, 8), _DCT_C, optimize=True)
         full = (blocks.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
                 .reshape(nby * 8, nbx * 8) + 128.0)
+        # replicate-upsample subsampled components to full resolution
+        if hi != hmax:
+            full = np.repeat(full, hmax // hi, axis=1)
+        if vi != vmax:
+            full = np.repeat(full, vmax // vi, axis=0)
         planes.append(full[:h, :w])
     if ncomp == 1:
         return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)[:, :, None]

@@ -290,7 +290,7 @@ def test_jpeg_restart_interval_parity():
     assert (plain == restarted).all()
 
 
-def test_jpeg_rejects_progressive_and_subsampled():
+def test_jpeg_rejects_progressive_and_extreme_sampling():
     from osm_lump_ways_ray.stages.jpeg import decode_jpeg, encode_jpeg
 
     img = np.full((16, 16), 90, np.uint8)
@@ -303,12 +303,42 @@ def test_jpeg_rejects_progressive_and_subsampled():
     buf = bytearray(encode_jpeg(np.repeat(img[:, :, None], 3, 2),
                                 quality=90))
     sof_at = buf.index(b"\xff\xc0")
-    buf[sof_at + 11] = 0x22  # Y component h=v=2 → 4:2:0-style sampling
+    buf[sof_at + 11] = 0x33  # Y component h=v=3 → beyond the ≤2 support
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(buf))
 
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 — 2×2 box-averaged chroma, interleaved 4-Y-per-MCU scan,
+    replicate upsample on decode: smooth images roundtrip near-exactly,
+    constant-color images exactly at q100, and restarts stay bit-stable."""
+    from osm_lump_ways_ray.stages.jpeg import decode_jpeg_rgb, encode_jpeg
+
+    x = np.arange(80)
+    y = np.arange(64)
+    c = np.arange(3)
+    smooth = np.clip(np.rint(100 + 30 * np.sin(y[:, None, None] / 6)
+                             + 40 * np.cos(x[None, :, None] / 8)
+                             + c[None, None, :] * 5), 0, 255).astype(np.uint8)
+    buf420 = encode_jpeg(smooth, quality=95, subsample="420")
+    buf444 = encode_jpeg(smooth, quality=95)
+    assert len(buf420) < len(buf444)  # subsampling actually shrinks chroma
+    out = decode_jpeg_rgb(buf420)
+    assert out.shape == smooth.shape
+    assert int(np.abs(out.astype(int) - smooth.astype(int)).max()) <= 4
+
+    const = np.full((24, 24, 3), (120, 60, 200), np.uint8)
+    o = decode_jpeg_rgb(encode_jpeg(const, quality=100, subsample="420"))
+    assert (o == const).all()
+
+    odd = smooth[:21, :27]  # non-multiple-of-16 dims exercise MCU padding
+    a = decode_jpeg_rgb(encode_jpeg(odd, quality=85, subsample="420",
+                                    restart_interval=2))
+    b = decode_jpeg_rgb(encode_jpeg(odd, quality=85, subsample="420"))
+    assert a.shape == odd.shape and (a == b).all()
 
 
 def test_decode_image_routes_jpeg_magic():
