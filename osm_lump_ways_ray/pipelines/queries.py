@@ -5731,3 +5731,29 @@ QUERIES.update({"det_shuffle": q_det_shuffle,
 ORACLES.update({"det_shuffle": SQL_DET_SHUFFLE,
                 "token_packing": SQL_TOKEN_PACKING,
                 "pbf_roundtrip": SQL_PBF_ROUNDTRIP})
+
+
+# ═══════════════ gzip payload inflate (WARC-style compressed records, r5)
+
+def q_gzip_roundtrip(sf_dir: str):
+    """Compressed-payload read path: each doc's text is gzip-framed
+    (zlib wbits=31 — the WARC record container) into a binary payload
+    column, then inflated back and fingerprinted (byte length + md5,
+    bit-identical to DuckDB ``md5()``). The oracle recomputes both stats
+    from the UNCOMPRESSED source column, so a value match certifies the
+    deflate→inflate roundtrip end to end. stages/web.gunzip_roundtrip —
+    two streaming map_batches stages, payloads never leave their block."""
+    from ..stages.web import gunzip_roundtrip
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return gunzip_roundtrip(docs).sort("doc_id")
+
+
+SQL_GZIP_ROUNDTRIP = """
+SELECT doc_id, CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS text_md5
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES.update({"gzip_roundtrip": q_gzip_roundtrip})
+ORACLES.update({"gzip_roundtrip": SQL_GZIP_ROUNDTRIP})

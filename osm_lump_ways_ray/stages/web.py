@@ -122,3 +122,59 @@ def synth_urls_sql(path_mod: int = 25) -> str:
             f"|| '/p/' || CAST(doc_id % {path_mod} AS VARCHAR) "
             "|| '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR) "
             "|| '#frag'")
+
+
+# ─────────────────────────── compressed-payload plumbing (WARC-style gzip)
+
+def gzip_text_batch(batch: pa.Table, *, text_col: str = "text",
+                    id_col: str = "doc_id", level: int = 6) -> pa.Table:
+    """text → gzip-framed binary payload column (zlib wbits=31 — the WARC
+    record framing; MTIME pinned 0 by CPython, so payloads are
+    deterministic). Synthesis side of the roundtrip fixture."""
+    import zlib
+
+    payloads = []
+    for t in batch[text_col].to_pylist():
+        co = zlib.compressobj(level, zlib.DEFLATED, 31)
+        payloads.append(co.compress(t.encode("utf-8")) + co.flush())
+    return pa.table({id_col: batch[id_col],
+                     "payload": pa.array(payloads, pa.binary())})
+
+
+def gunzip_stats_batch(batch: pa.Table, *, payload_col: str = "payload",
+                       id_col: str = "doc_id") -> pa.Table:
+    """gzip binary payloads → decompressed-text stats: byte length + md5
+    (bit-identical to DuckDB ``md5()``, so the oracle recomputes both from
+    the uncompressed source column — a value match certifies the whole
+    compress→decompress path). Real Common-Crawl inputs arrive as
+    gzip-framed WARC records; this is the inflate stage of that read path.
+    Per-payload ``zlib.decompress`` is one C call per row (like the image
+    codecs — decompression is inherently per-record); everything else is
+    vectorized."""
+    import zlib
+
+    from ..functions.hashing import md5_hex
+
+    texts = [zlib.decompress(p, 31) for p in batch[payload_col].to_pylist()]
+    n = len(texts)
+    nbytes = np.fromiter((len(t) for t in texts), np.int64, n)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_bytes": pa.array(nbytes, pa.int64()),
+        "text_md5": pa.array([md5_hex(t) for t in texts], pa.string()),
+    })
+
+
+def gunzip_roundtrip(docs_ds, *, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """compress → decompress → stats as two streaming map_batches stages
+    (no materialization between them; payload bytes stay inside each
+    block)."""
+    import functools
+
+    enc = docs_ds.map_batches(
+        functools.partial(gzip_text_batch, text_col=text_col,
+                          id_col=id_col), batch_format="pyarrow")
+    return enc.map_batches(
+        functools.partial(gunzip_stats_batch, id_col=id_col),
+        batch_format="pyarrow")

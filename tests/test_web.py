@@ -154,3 +154,45 @@ def test_new_ops_empty_input():
                                       "w": pa.array([], pa.int64())}))
     s = ray.data.from_arrow(pa.table({"node": pa.array([], pa.int64())}))
     assert sssp(e, s, force="local").count() == 0
+
+
+def test_gzip_roundtrip_stats_and_framing():
+    """gzip_text_batch emits REAL gzip-framed payloads (0x1f8b magic,
+    stdlib-gzip readable); gunzip_stats_batch recovers exact byte length
+    and an md5 matching hashlib over the original utf-8 bytes."""
+    import gzip as gzip_mod
+    import hashlib
+
+    import pyarrow as pa
+
+    from osm_lump_ways_ray.stages.web import (gzip_text_batch,
+                                              gunzip_stats_batch)
+
+    texts = ["hello world", "ünïcode ✓ text", "", "a" * 10_000]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    enc = gzip_text_batch(t)
+    for payload, txt in zip(enc["payload"].to_pylist(), texts):
+        assert payload[:2] == b"\x1f\x8b"  # gzip magic — WARC framing
+        assert gzip_mod.decompress(payload).decode("utf-8") == txt
+    out = gunzip_stats_batch(enc)
+    assert out["n_bytes"].to_pylist() == [len(x.encode()) for x in texts]
+    assert out["text_md5"].to_pylist() == [
+        hashlib.md5(x.encode()).hexdigest() for x in texts]
+
+
+def test_gunzip_roundtrip_dataset(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from osm_lump_ways_ray.stages.web import gunzip_roundtrip
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": f"doc {i} body " * (i + 1)}
+         for i in range(20)])
+    out = gunzip_roundtrip(ds).to_pandas().sort_values("doc_id")
+    assert list(out["n_bytes"]) == [len(f"doc {i} body " * (i + 1))
+                                    for i in range(20)]
+    assert out["text_md5"].iloc[3] == hashlib.md5(
+        ("doc 3 body " * 4).encode()).hexdigest()
