@@ -489,42 +489,60 @@ def _compose_levels(left, right, *, num_partitions: int = 8,
     x→x.ptr), extend by ``right``'s segment at x.ptr when one exists. With
     ``inner_only`` the un-extendable rows are dropped (binary-lifting level
     construction); otherwise they pass through unchanged (Wyllie pointer
-    jumping). Returns (dataset, n_extended)."""
-    from .relational import cogroup_join, concat_blocks
+    jumping). Returns (dataset, n_extended).
+
+    ONE ``left_outer`` join per round — the original inner + left_anti pair
+    paid two full join passes per doubling round, and at small scale the
+    per-execution fixed cost dominated (grouped_paths_dist 13.9 s → ~7 s).
+    Unmatched rows pass through via null-fill; null handling avoids float64
+    round-trips of 63-bit node ids (``fill_null`` + int64 cast, never NaN)."""
+    import pyarrow.compute as pc
+
+    from .relational import cogroup_join
 
     rview = right.map_batches(
         lambda b: pa.table({"ptr": b["node"], "_p2": b["ptr"],
                             "_d2": b["hop_len"], "_s2": b["_s"],
                             "_u2": b["hop_up"]}),
         batch_format="pyarrow")
-    inner = cogroup_join(left, rview, ("ptr",), how="inner",
-                         num_partitions=num_partitions)
+    joined = cogroup_join(left, rview, ("ptr",), how="left_outer",
+                          num_partitions=num_partitions)
 
     def compose(b: pa.Table) -> pa.Table:
-        return pa.table({
+        ok = pc.is_valid(b["_p2"]).to_numpy(zero_copy_only=False)
+        p2 = pc.fill_null(b["_p2"], 0).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        d2 = pc.fill_null(b["_d2"], 0.0).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        s2 = pc.fill_null(b["_s2"], 0).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        u2 = pc.fill_null(b["_u2"], 0.0).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        ptr = b["ptr"].to_numpy(zero_copy_only=False)
+        hop_len = b["hop_len"].to_numpy(zero_copy_only=False)
+        hop_up = b["hop_up"].to_numpy(zero_copy_only=False)
+        s = b["_s"].to_numpy(zero_copy_only=False)
+        t = pa.table({
             "node": b["node"],
-            "ptr": b["_p2"],
-            "hop_len": pa.array(
-                b["hop_len"].to_numpy(zero_copy_only=False)
-                + b["_d2"].to_numpy(zero_copy_only=False), pa.float64()),
-            "hop_up": b["_u2"],
-            "_s": pa.array(
-                b["_s"].to_numpy(zero_copy_only=False)
-                + b["_s2"].to_numpy(zero_copy_only=False), pa.int64()),
+            "ptr": pa.array(np.where(ok, p2, ptr), pa.int64()),
+            "hop_len": pa.array(np.where(ok, hop_len + d2, hop_len),
+                                pa.float64()),
+            "hop_up": pa.array(np.where(ok, u2, hop_up), pa.float64()),
+            "_s": pa.array(np.where(ok, s + s2, s), pa.int64()),
+            "_ext": pa.array(ok.astype(np.int64), pa.int64()),
         })
+        if inner_only:
+            t = t.filter(pa.array(ok))
+        return t
 
-    composed = snapshot(inner.map_batches(compose, batch_format="pyarrow"))
-    n_ext = composed.count()
+    out = snapshot(joined.map_batches(compose, batch_format="pyarrow"))
     if inner_only:
-        return composed, n_ext
-    rest = cogroup_join(left, rview, ("ptr",), how="left_anti",
-                        num_partitions=num_partitions)
-    rest = rest.map_batches(
-        lambda b: pa.table({"node": b["node"], "ptr": b["ptr"],
-                            "hop_len": b["hop_len"], "hop_up": b["hop_up"],
-                            "_s": b["_s"]}),
-        batch_format="pyarrow")
-    return snapshot(concat_blocks(composed, rest)), n_ext
+        n_ext = out.count()  # metadata-only on a snapshot
+    else:
+        n_ext = int(out.sum("_ext") or 0)
+    # _ext is dropped LAZILY — the next round's consumer fuses the select
+    return out.select_columns(["node", "ptr", "hop_len", "hop_up", "_s"]), \
+        n_ext
 
 
 def grouped_paths_distributed(flow_edges_ds, assign_ds, *,
@@ -644,39 +662,41 @@ def grouped_paths_distributed(flow_edges_ds, assign_ds, *,
                                     "_d": b["hop_len"], "_u": b["hop_up"],
                                     "_n": b["_s"]}),
                 batch_format="pyarrow")
-            j = cogroup_join(est, lview, ("cur",), how="inner",
+            # ONE left_outer join per level (rows with no segment at cur
+            # simply stay — same fusion as _compose_levels)
+            j = cogroup_join(est, lview, ("cur",), how="left_outer",
                              num_partitions=num_partitions)
 
             def take_if_fits(b: pa.Table, cap=float(max_dist_m)) -> pa.Table:
+                import pyarrow.compute as _pc
+
+                matched = _pc.is_valid(b["_p"]).to_numpy(zero_copy_only=False)
+                p2 = _pc.fill_null(b["_p"], 0).cast(pa.int64()) \
+                    .to_numpy(zero_copy_only=False)
+                d2 = _pc.fill_null(b["_d"], 0.0).cast(pa.float64()) \
+                    .to_numpy(zero_copy_only=False)
+                n2 = _pc.fill_null(b["_n"], 0).cast(pa.int64()) \
+                    .to_numpy(zero_copy_only=False)
+                u2 = _pc.fill_null(b["_u"], 0.0).cast(pa.float64()) \
+                    .to_numpy(zero_copy_only=False)
                 dist = b["dist"].to_numpy(zero_copy_only=False)
-                d2 = b["_d"].to_numpy(zero_copy_only=False)
-                ok = dist + d2 <= cap
+                ok = matched & (dist + d2 <= cap)
                 lu = b["last_up"].to_numpy(zero_copy_only=False)
                 return pa.table({
                     "end": b["end"],
                     "cur": pa.array(np.where(
-                        ok, b["_p"].to_numpy(zero_copy_only=False),
-                        b["cur"].to_numpy(zero_copy_only=False)), pa.int64()),
+                        ok, p2, b["cur"].to_numpy(zero_copy_only=False)),
+                        pa.int64()),
                     "dist": pa.array(np.where(ok, dist + d2, dist),
                                      pa.float64()),
                     "hops": pa.array(np.where(
-                        ok, b["hops"].to_numpy(zero_copy_only=False)
-                        + b["_n"].to_numpy(zero_copy_only=False),
+                        ok, b["hops"].to_numpy(zero_copy_only=False) + n2,
                         b["hops"].to_numpy(zero_copy_only=False)), pa.int64()),
-                    "last_up": pa.array(np.where(
-                        ok, b["_u"].to_numpy(zero_copy_only=False), lu),
-                        pa.float64()),
+                    "last_up": pa.array(np.where(ok, u2, lu), pa.float64()),
                 })
 
-            moved = j.map_batches(take_if_fits, batch_format="pyarrow")
-            stay = cogroup_join(est, lview, ("cur",), how="left_anti",
-                                num_partitions=num_partitions)
-            stay = stay.map_batches(
-                lambda b: pa.table({"end": b["end"], "cur": b["cur"],
-                                    "dist": b["dist"], "hops": b["hops"],
-                                    "last_up": b["last_up"]}),
-                batch_format="pyarrow")
-            est = snapshot(concat_blocks(moved, stay))
+            est = snapshot(j.map_batches(take_if_fits,
+                                         batch_format="pyarrow"))
         est = est.map_batches(
             lambda b: pa.table({"node": b["end"], "dist": b["dist"],
                                 "hops": b["hops"], "last_up": b["last_up"]}),
