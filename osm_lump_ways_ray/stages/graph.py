@@ -1098,6 +1098,35 @@ def sssp_multi(edges_ds, sources_ds, *, src_col: str = "src",
     return dist
 
 
+def _emit_wedges(k: np.ndarray, x: np.ndarray, side: np.ndarray):
+    """All (a, c) pairs sharing a mid-vertex b with a < b < c. Input is the
+    two-sided adjacency (k = mid vertex, x = other endpoint, side 0 ⇒ x < k,
+    side 1 ⇒ x > k) SORTED by (k, side, x). One vectorized pass: per-key
+    A×C cross products are emitted through a single global pair-index
+    arange (p // nC picks the A element, p % nC the C element) — no Python
+    loop over the ~|V| distinct keys."""
+    if len(k) == 0:
+        e = np.empty(0, np.int64)
+        return e, e
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    ends = np.r_[starts[1:], np.int64(len(k))]
+    nA = np.add.reduceat((side == 0).astype(np.int64), starts)
+    nC = (ends - starts) - nA
+    tot = nA * nC
+    keep = tot > 0
+    starts, nA, nC, tot = starts[keep], nA[keep], nC[keep], tot[keep]
+    if len(tot) == 0:
+        e = np.empty(0, np.int64)
+        return e, e
+    off = np.concatenate([[0], np.cumsum(tot)[:-1]])
+    seg = np.repeat(np.arange(len(tot), dtype=np.int64), tot)
+    p = np.arange(int(tot.sum()), dtype=np.int64) - off[seg]
+    nc_r = nC[seg]
+    wa = x[starts[seg] + p // nc_r]
+    wc = x[starts[seg] + nA[seg] + p % nc_r]
+    return wa, wc
+
+
 def _local_triangle_arrays(u: np.ndarray, v: np.ndarray):
     """Driver base case: wedge emit + composite-rank closure over numpy
     arrays (id-oriented u<v input). Same algorithm as the distributed path
@@ -1106,21 +1135,9 @@ def _local_triangle_arrays(u: np.ndarray, v: np.ndarray):
     x = np.concatenate([u, v])
     side = np.r_[np.zeros(len(u), np.int8), np.ones(len(u), np.int8)]
     order = np.lexsort((x, side, k))
-    k, x, side = k[order], x[order], side[order]
-    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
-    ends = np.r_[starts[1:], len(k)]
-    aa, cc = [], []
-    for s0, e0 in zip(starts, ends):
-        sd = side[s0:e0]
-        nA = int(np.searchsorted(sd, 1))
-        nC = (e0 - s0) - nA
-        if nA == 0 or nC == 0:
-            continue
-        aa.append(np.repeat(x[s0:s0 + nA], nC))
-        cc.append(np.tile(x[s0 + nA:e0], nA))
-    if not aa:
+    wa, wc = _emit_wedges(k[order], x[order], side[order])
+    if len(wa) == 0:
         return 0
-    wa, wc = np.concatenate(aa), np.concatenate(cc)
     uu = np.unique(np.concatenate([u, v, wa, wc]))
     span = np.int64(len(uu) + 1)
     comp_e = np.sort(np.searchsorted(uu, u) * span + np.searchsorted(uu, v))
@@ -1209,24 +1226,11 @@ def triangle_count(edges_ds, *, u_col: str = "u", v_col: str = "v",
         x = b["x"].to_numpy(zero_copy_only=False)
         side = b["side"].to_numpy(zero_copy_only=False)
         order = np.lexsort((x, side, k))
-        k, x, side = k[order], x[order], side[order]
-        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
-        ends = np.r_[starts[1:], len(k)]
-        aa, cc = [], []
-        for s0, e0 in zip(starts, ends):
-            sd = side[s0:e0]
-            nA = int(np.searchsorted(sd, 1))
-            nC = (e0 - s0) - nA
-            if nA == 0 or nC == 0:
-                continue
-            A = x[s0:s0 + nA]
-            C = x[s0 + nA:e0]
-            aa.append(np.repeat(A, nC))
-            cc.append(np.tile(C, nA))
-        z = pa.array([], pa.int64())
-        if not aa:
+        wa, wc = _emit_wedges(k[order], x[order], side[order])
+        if len(wa) == 0:
+            z = pa.array([], pa.int64())
             return pa.table({"u": z, "v": z, "n": z})
-        uniq, inv = _unique_pairs(np.concatenate(aa), np.concatenate(cc))
+        uniq, inv = _unique_pairs(wa, wc)
         return pa.table({
             "u": pa.array(uniq[:, 0], pa.int64()),
             "v": pa.array(uniq[:, 1], pa.int64()),
