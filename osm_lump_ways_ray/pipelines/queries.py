@@ -5757,3 +5757,76 @@ FROM documents ORDER BY doc_id
 
 QUERIES.update({"gzip_roundtrip": q_gzip_roundtrip})
 ORACLES.update({"gzip_roundtrip": SQL_GZIP_ROUNDTRIP})
+
+
+# ═══════════════ WARC container source/sink roundtrip (ISO 28500, r5)
+
+def q_warc_roundtrip(sf_dir: str):
+    """Full WARC container roundtrip — the Common Crawl read path end to
+    end: documents → synthetic (url, warc_ts, html) pages → ``write_warc``
+    (one gzip member per record, one .warc.gz per block — sources/warc.py)
+    → ``read_warc`` (parallel over files, sequential member scan within
+    one, the PBF blob-shard pattern) → per-record fingerprint. The oracle
+    recomputes url/ts/length/md5 straight from the source table, so a value
+    match certifies header framing, Content-Length payload slicing, the
+    per-member gzip framing AND the WARC-Date second-resolution timestamp
+    codec. Reference analog: the native-container read loop,
+    bin/osm-lump-ways/main.rs:263-284."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources.warc import read_warc, write_warc
+    from ..stages.web import synth_urls_batch
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang", "source"])
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        b = synth_urls_batch(b)
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "url": b["url"],
+            "warc_ts": pa.array(d + 1_600_000_000, pa.int64()),
+            "html": b["text"].cast(pa.binary()),
+            "doc_id": b["doc_id"],
+        })
+
+    out_dir = os.path.join(
+        "/tmp", "olwr_warc",
+        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_warc(docs.map_batches(to_pages, batch_format="pyarrow"), out_dir)
+
+    def fingerprint(b: pa.Table) -> pa.Table:
+        payloads = b["html"].to_pylist()
+        return pa.table({
+            "url": b["url"],
+            "warc_ts": b["warc_ts"],
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            "payload_md5": pa.array(
+                [hashlib.md5(p).hexdigest() for p in payloads],
+                pa.string()),
+        })
+
+    return (read_warc(out_dir)
+            .map_batches(fingerprint, batch_format="pyarrow")
+            .sort(["url", "warc_ts"]))
+
+
+def _sql_warc_roundtrip() -> str:
+    from ..stages.web import synth_urls_sql
+
+    return f"""
+SELECT {synth_urls_sql()} AS url,
+       CAST(doc_id + 1600000000 AS BIGINT) AS warc_ts,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents ORDER BY url, warc_ts
+"""
+
+
+SQL_WARC_ROUNDTRIP = _sql_warc_roundtrip()
+
+QUERIES.update({"warc_roundtrip": q_warc_roundtrip})
+ORACLES.update({"warc_roundtrip": SQL_WARC_ROUNDTRIP})
