@@ -37,12 +37,21 @@ import pyarrow as pa
 _PAYLOAD_SUFFIX = b"\r\n\r\n"
 
 
-def _warc_record(url: str, date: str, payload: bytes) -> bytes:
+# record-type → Content-Type, the two members of the Common Crawl family:
+# .warc (response = raw fetch) and .wet (conversion = extracted text)
+_RECORD_TYPES = {
+    "response": "application/http; msgtype=response",
+    "conversion": "text/plain",
+}
+
+
+def _warc_record(url: str, date: str, payload: bytes,
+                 record_type: str = "response") -> bytes:
     hdr = ("WARC/1.0\r\n"
-           "WARC-Type: response\r\n"
+           f"WARC-Type: {record_type}\r\n"
            f"WARC-Target-URI: {url}\r\n"
            f"WARC-Date: {date}Z\r\n"
-           "Content-Type: application/http; msgtype=response\r\n"
+           f"Content-Type: {_RECORD_TYPES[record_type]}\r\n"
            f"Content-Length: {len(payload)}\r\n\r\n").encode()
     return hdr + payload + _PAYLOAD_SUFFIX
 
@@ -50,6 +59,7 @@ def _warc_record(url: str, date: str, payload: bytes) -> bytes:
 def warc_bytes_for_batch(batch: pa.Table, *, url_col: str = "url",
                          ts_col: str = "warc_ts",
                          payload_col: str = "html",
+                         record_type: str = "response",
                          level: int = 6) -> bytes:
     """One gzip member per record, concatenated — the file body for a batch.
     ``ts_col`` is int64 epoch SECONDS (WARC-Date is second-resolution)."""
@@ -61,14 +71,14 @@ def warc_bytes_for_batch(batch: pa.Table, *, url_col: str = "url",
     for u, dt, p in zip(urls, dates, payloads):
         if isinstance(p, str):
             p = p.encode()
-        parts.append(gzip.compress(_warc_record(u, str(dt), p),
+        parts.append(gzip.compress(_warc_record(u, str(dt), p, record_type),
                                    compresslevel=level, mtime=0))
     return b"".join(parts)
 
 
 def write_warc(pages_ds, out_dir: str, *, url_col: str = "url",
                ts_col: str = "warc_ts", payload_col: str = "html",
-               level: int = 6):
+               record_type: str = "response", level: int = 6):
     """Sink: one ``part-<md5>.warc.gz`` per block. The filename keys on the
     block's (first url, row count, last url), so identical input partitioned
     identically rewrites the same file set — a retried run overwrites
@@ -82,7 +92,8 @@ def write_warc(pages_ds, out_dir: str, *, url_col: str = "url",
                              "n_records": pa.array([], pa.int64()),
                              "n_bytes": pa.array([], pa.int64())})
         body = warc_bytes_for_batch(batch, url_col=url_col, ts_col=ts_col,
-                                    payload_col=payload_col, level=level)
+                                    payload_col=payload_col,
+                                    record_type=record_type, level=level)
         u0 = batch[url_col][0].as_py()
         u1 = batch[url_col][len(batch) - 1].as_py()
         tag = hashlib.md5(
@@ -119,8 +130,9 @@ def scan_warc_members(data: bytes):
 
 
 def parse_warc_record(rec: bytes):
-    """(url, iso_date, payload) from one WARC/1.0 record; Content-Length
-    frames the payload, so header-like bytes INSIDE payloads are safe."""
+    """(url, iso_date, payload, record_type) from one WARC/1.0 record;
+    Content-Length frames the payload, so header-like bytes INSIDE payloads
+    are safe."""
     i = rec.find(b"\r\n\r\n")
     if i < 0 or not rec.startswith(b"WARC/"):
         raise ValueError("not a WARC/1.0 record")
@@ -132,13 +144,14 @@ def parse_warc_record(rec: bytes):
     payload = rec[i + 4:i + 4 + clen]
     if len(payload) != clen:
         raise ValueError("payload shorter than Content-Length")
-    return h["warc-target-uri"], h["warc-date"], payload
+    return (h["warc-target-uri"], h["warc-date"], payload,
+            h.get("warc-type", "response"))
 
 
 def _decode_file_batch(batch: pa.Table) -> pa.Table:
     import pyarrow.fs as pafs
 
-    urls, dates, payloads = [], [], []
+    urls, dates, payloads, types = [], [], [], []
     for path in batch["path"].to_pylist():
         # compression=None — the .gz suffix must NOT trigger a whole-stream
         # auto-inflate (member boundaries ARE the record framing; the
@@ -148,15 +161,17 @@ def _decode_file_batch(batch: pa.Table) -> pa.Table:
         with fs.open_input_stream(path, compression=None) as f:
             blob = f.read()
         for rec in scan_warc_members(blob):
-            u, dt, p = parse_warc_record(rec)
+            u, dt, p, rt = parse_warc_record(rec)
             urls.append(u)
             dates.append(dt)
             payloads.append(p)
+            types.append(rt)
     ts = (np.array([d.rstrip("Z") for d in dates], dtype="datetime64[s]")
           .astype(np.int64) if dates else np.array([], np.int64))
     return pa.table({"url": pa.array(urls, pa.string()),
                      "warc_ts": pa.array(ts, pa.int64()),
-                     "html": pa.array(payloads, pa.binary())})
+                     "html": pa.array(payloads, pa.binary()),
+                     "rec_type": pa.array(types, pa.string())})
 
 
 def read_warc(path: str):
@@ -177,3 +192,14 @@ def read_warc(path: str):
     ds = ray.data.from_items([{"path": f} for f in files])
     return ds.map_batches(_decode_file_batch, batch_format="pyarrow",
                           batch_size=1)
+
+
+def write_wet(docs_ds, out_dir: str, *, url_col: str = "url",
+              ts_col: str = "warc_ts", text_col: str = "text",
+              level: int = 6):
+    """WET sink — the extracted-text companion format (``conversion``
+    records, text/plain payloads): what the headline's extract stage would
+    publish at production scale. Same framing/idempotency as write_warc."""
+    return write_warc(docs_ds, out_dir, url_col=url_col, ts_col=ts_col,
+                      payload_col=text_col, record_type="conversion",
+                      level=level)

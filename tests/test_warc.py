@@ -48,11 +48,32 @@ def test_members_individually_decompressible():
 def test_parse_record_content_length_framing():
     body = warc_bytes_for_batch(_pages(2))
     recs = list(scan_warc_members(body))
-    url, date, payload = parse_warc_record(recs[0])
+    url, date, payload, rec_type = parse_warc_record(recs[0])
     assert url == "https://ex.org/p/0"
     assert date == "2020-09-13T12:26:40Z"
+    assert rec_type == "response"
     # the payload embeds \r\n\r\n — Content-Length framing must keep it whole
     assert payload == b"payload 0 \r\n\r\n tricky body"
+
+
+def test_wet_conversion_records(ray_session, tmp_path):
+    """WET = conversion records with text/plain payloads; the reader tags
+    them via rec_type so mixed archives stay distinguishable."""
+    import ray.data
+
+    from osm_lump_ways_ray.sources.warc import write_wet
+
+    docs = pa.table({
+        "url": ["https://ex.org/a", "https://ex.org/b"],
+        "warc_ts": pa.array([1_600_000_000, 1_600_000_001], pa.int64()),
+        "text": ["extracted text one", "extracted text two"],
+    })
+    out = str(tmp_path / "wet")
+    write_wet(ray.data.from_arrow(docs), out)
+    back = read_warc(out).to_pandas().sort_values("url")
+    assert list(back["rec_type"]) == ["conversion", "conversion"]
+    assert [bytes(b).decode() for b in back["html"]] == [
+        "extracted text one", "extracted text two"]
 
 
 def test_deterministic_bytes():
