@@ -5809,9 +5809,10 @@ def q_warc_roundtrip(sf_dir: str):
                 pa.string()),
         })
 
+    # canonical battery row order: all columns ascending by sorted name
     return (read_warc(out_dir)
             .map_batches(fingerprint, batch_format="pyarrow")
-            .sort(["url", "warc_ts"]))
+            .sort(["n_bytes", "payload_md5", "url", "warc_ts"]))
 
 
 def _sql_warc_roundtrip() -> str:
@@ -5822,7 +5823,7 @@ SELECT {synth_urls_sql()} AS url,
        CAST(doc_id + 1600000000 AS BIGINT) AS warc_ts,
        CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
        md5(text) AS payload_md5
-FROM documents ORDER BY url, warc_ts
+FROM documents ORDER BY n_bytes, payload_md5, url, warc_ts
 """
 
 
