@@ -5831,3 +5831,84 @@ SQL_WARC_ROUNDTRIP = _sql_warc_roundtrip()
 
 QUERIES.update({"warc_roundtrip": q_warc_roundtrip})
 ORACLES.update({"warc_roundtrip": SQL_WARC_ROUNDTRIP})
+
+
+def q_cdx_random_access(sf_dir: str):
+    """CDX index + ranged-read certification — the Common Crawl cluster.idx
+    access pattern: documents → WARC containers (write_warc) → ``build_cdx``
+    scans member byte spans in parallel (surt, url, ts, filename, offset,
+    length, digest) → ``read_warc_at`` re-fetches EVERY record via its
+    (filename, offset, length) span only (seek + exact ranged read +
+    single-member inflate — no sequential scan) → md5 of the fetched
+    payload joined back to the index row on the unique warc_ts. The oracle
+    recomputes url/surt/ts/length/md5 straight from the source table, so a
+    value match certifies the span arithmetic byte-exactly TWICE (digest
+    from the scan, payload_md5 through the ranged read) plus the SURT key
+    codec. Reference analog: the blob-index fan-out of the PBF reader
+    (sources/pbf.py), applied as an index artifact."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources.warc import build_cdx, read_warc_at, write_warc
+    from ..stages.relational import cogroup_join
+    from ..stages.web import synth_urls_batch
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang", "source"])
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        b = synth_urls_batch(b)
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "url": b["url"],
+            "warc_ts": pa.array(d + 1_600_000_000, pa.int64()),
+            "html": b["text"].cast(pa.binary()),
+        })
+
+    out_dir = os.path.join(
+        "/tmp", "olwr_cdx", os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_warc(docs.map_batches(to_pages, batch_format="pyarrow"), out_dir)
+
+    cdx = build_cdx(out_dir)
+
+    def fingerprint(b: pa.Table) -> pa.Table:
+        payloads = b["html"].to_pylist()
+        return pa.table({
+            "warc_ts": b["warc_ts"],
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            "payload_md5": pa.array(
+                [hashlib.md5(p).hexdigest() for p in payloads],
+                pa.string()),
+        })
+
+    fetched = read_warc_at(
+        cdx.select_columns(["filename", "offset", "length", "warc_ts"]),
+        out_dir).map_batches(fingerprint, batch_format="pyarrow")
+    joined = cogroup_join(
+        cdx.select_columns(["surt", "url", "warc_ts", "digest"]),
+        fetched, on=["warc_ts"])
+    # canonical battery row order: all columns ascending by sorted name
+    return joined.sort(
+        ["digest", "n_bytes", "payload_md5", "surt", "url", "warc_ts"])
+
+
+def _sql_cdx_random_access() -> str:
+    from ..stages.web import synth_urls_sql
+
+    return f"""
+SELECT 'org,example,' || LOWER(source) || ')/' || lang || '/p/'
+           || CAST(doc_id % 25 AS VARCHAR) AS surt,
+       {synth_urls_sql()} AS url,
+       CAST(doc_id + 1600000000 AS BIGINT) AS warc_ts,
+       md5(text) AS digest,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+ORDER BY digest, n_bytes, payload_md5, surt, url, warc_ts
+"""
+
+
+QUERIES.update({"cdx_random_access": q_cdx_random_access})
+ORACLES.update({"cdx_random_access": _sql_cdx_random_access()})

@@ -57,6 +57,30 @@ def canonical_url_batch(batch: pa.Table, *, url_col: str = "url") -> pa.Table:
     return t.append_column("curl", curl)
 
 
+def surt_key_batch(batch: pa.Table, *, url_col: str = "url") -> pa.Table:
+    """Adds ``surt``: the Sort-friendly URI Reordering Transform key that CDX
+    indexes sort by (``com,example)/path`` — host labels reversed and
+    comma-joined so one host's captures are contiguous under a plain byte
+    sort). Label reversal is the repo's run-split idiom: one global
+    permutation over the dot-split ListArray's flat values, no per-row
+    Python."""
+    t = parse_urls_batch(batch, url_col=url_col)
+    labels = pc.split_pattern(t["host"], ".")
+    la = labels.combine_chunks() if isinstance(labels, pa.ChunkedArray) \
+        else labels
+    off = la.offsets.to_numpy().astype(np.int64)
+    starts, ends = off[:-1], off[1:]
+    list_id = np.repeat(np.arange(len(starts)), ends - starts)
+    perm = starts[list_id] + (ends[list_id] - 1) - np.arange(len(la.values))
+    rev = pa.ListArray.from_arrays(
+        pa.array(off, type=pa.int32()),
+        la.values.take(pa.array(perm, pa.int64())))
+    host_key = pc.binary_join(rev, ",")
+    path = pc.if_else(pc.equal(t["path"], ""), "/", t["path"])
+    surt = pc.binary_join_element_wise(host_key, ")", path, "")
+    return t.append_column("surt", surt)
+
+
 def url_dedup(pages_ds, *, url_col: str = "url", id_col: str = "doc_id",
               num_partitions: int = 16):
     """Canonical-URL dedup: (curl, n_pages, keep_id=min id). The shuffle is

@@ -113,3 +113,55 @@ def test_corrupt_member_rejected(ray_session, tmp_path):
 def test_non_warc_record_rejected():
     with pytest.raises(ValueError, match="not a WARC"):
         parse_warc_record(b"HTTP/1.1 200 OK\r\n\r\nbody")
+
+
+def test_member_spans_tile_file_exactly():
+    """CDX spans: offsets/lengths must cover every byte of the container
+    with no gaps or overlap (the ranged-read contract)."""
+    from osm_lump_ways_ray.sources.warc import scan_warc_member_spans
+
+    body = warc_bytes_for_batch(_pages(5))
+    pos = 0
+    for off, ln, rec in scan_warc_member_spans(body):
+        assert off == pos and ln > 0
+        assert gzip.decompress(body[off:off + ln]) == rec
+        pos = off + ln
+    assert pos == len(body)
+
+
+def test_build_cdx_and_ranged_read(ray_session, tmp_path):
+    import ray.data
+
+    from osm_lump_ways_ray.sources.warc import build_cdx, read_warc_at
+
+    out = str(tmp_path / "w")
+    pages = _pages(9)
+    write_warc(ray.data.from_arrow(pages), out)
+    cdx = build_cdx(out).to_pandas()
+    assert len(cdx) == 9
+    assert set(cdx.columns) == {"surt", "url", "warc_ts", "filename",
+                                "offset", "length", "digest"}
+    # surt: host labels reversed, query/frag-free path
+    assert (cdx["surt"] == "org,ex)/p/" +
+            cdx["url"].str.rsplit("/", n=1).str[-1]).all()
+    fetched = read_warc_at(
+        ray.data.from_pandas(cdx[["filename", "offset", "length"]]),
+        out).to_pandas().sort_values("url").reset_index(drop=True)
+    src = {u: h for u, h in zip(pages["url"].to_pylist(),
+                                pages["html"].to_pylist())}
+    assert len(fetched) == 9
+    for _, r in fetched.iterrows():
+        assert bytes(r["html"]) == src[r["url"]]
+
+
+def test_ranged_read_bad_span_rejected(ray_session, tmp_path):
+    import ray.data
+
+    from osm_lump_ways_ray.sources.warc import build_cdx, read_warc_at
+
+    out = str(tmp_path / "w")
+    write_warc(ray.data.from_arrow(_pages(3)), out)
+    cdx = build_cdx(out).to_pandas().head(1)
+    cdx["offset"] += 1  # mid-member: not a gzip stream start
+    with pytest.raises(Exception):
+        read_warc_at(ray.data.from_pandas(cdx), out).materialize()
