@@ -5912,3 +5912,52 @@ ORDER BY digest, n_bytes, payload_md5, surt, url, warc_ts
 
 QUERIES.update({"cdx_random_access": q_cdx_random_access})
 ORACLES.update({"cdx_random_access": _sql_cdx_random_access()})
+
+
+def q_link_graph(sf_dir: str):
+    """Host-level web link graph — href extraction certified end-to-end:
+    documents → pages whose html embeds one RELATIVE link (``/about``,
+    resolves to the page's own host) and one ABSOLUTE cross-host link
+    (``https://h<doc_id%11>.example.net/x``) → ``host_link_graph`` (the
+    vectorized split+RE2 findall, stages/web.py) → (src_host, dst_host,
+    n_links) combiner rollup. The oracle recomputes the expected edge set
+    arithmetically from the source table — a value match certifies the
+    anchor splitting, href capture, relative-vs-absolute resolution AND the
+    pair aggregation. The edge list is graph-engine-ready (PageRank/SCC
+    over hosts). Reference analog: way-graph edge derivation from shared
+    node refs (src/bin/osm-lump-ways/main.rs pass 1)."""
+    from ..stages.web import host_link_graph, synth_urls_batch
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang", "source"])
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        b = synth_urls_batch(b)
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hub = pa.array((d % 11).astype("U"), pa.string())
+        html = pc.binary_join_element_wise(
+            '<html><body><nav><a href="/about">about</a> '
+            '<a href="https://h', hub, '.example.net/x">x</a></nav>',
+            b["text"], "</body></html>", "")
+        return pa.table({"url": b["url"], "html": html})
+
+    edges = host_link_graph(
+        docs.map_batches(to_pages, batch_format="pyarrow"))
+    # canonical battery row order: all columns ascending by sorted name
+    return edges.sort(["dst_host", "n_links", "src_host"])
+
+
+SQL_LINK_GRAPH = """
+SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links FROM (
+  SELECT LOWER(source) || '.example.org' AS src_host,
+         LOWER(source) || '.example.org' AS dst_host FROM documents
+  UNION ALL
+  SELECT LOWER(source) || '.example.org' AS src_host,
+         'h' || CAST(doc_id % 11 AS VARCHAR) || '.example.net' AS dst_host
+  FROM documents
+) GROUP BY src_host, dst_host
+ORDER BY dst_host, n_links, src_host
+"""
+
+QUERIES.update({"link_graph": q_link_graph})
+ORACLES.update({"link_graph": SQL_LINK_GRAPH})

@@ -196,3 +196,42 @@ def test_gunzip_roundtrip_dataset(ray_session):
                                     for i in range(20)]
     assert out["text_md5"].iloc[3] == hashlib.md5(
         ("doc 3 body " * 4).encode()).hexdigest()
+
+
+def test_extract_hrefs_variants():
+    """Vectorized findall: multiple links per page, relative resolution,
+    pages with zero links, malformed (unclosed) hrefs dropped."""
+    import pyarrow as pa
+
+    from osm_lump_ways_ray.stages.web import extract_hrefs_batch
+
+    t = pa.table({
+        "url": ["https://a.example.com/p", "http://B.example.com/q",
+                "https://c.example.com/"],
+        "html": [
+            '<a href="/x">x</a><a href="https://z.net/1">z</a>'
+            '<a href="/y">y</a>',
+            "no links here",
+            '<a href="unclosed',  # no closing quote → no capture
+        ],
+    })
+    out = extract_hrefs_batch(t).to_pandas()
+    assert list(out["src_host"]) == ["a.example.com"] * 3
+    assert list(out["dst_host"]) == ["a.example.com", "z.net",
+                                     "a.example.com"]
+    assert list(out["href"]) == ["/x", "https://z.net/1", "/y"]
+
+
+def test_host_link_graph_rollup(ray_session):
+    import ray.data
+
+    from osm_lump_ways_ray.stages.web import host_link_graph
+
+    rows = [{"url": f"https://s{i % 2}.org/p{i}",
+             "html": '<a href="/self">s</a><a href="https://hub.net/x">h</a>'}
+            for i in range(10)]
+    out = host_link_graph(ray.data.from_items(rows)).to_pandas()
+    edges = {(r.src_host, r.dst_host): r.n_links
+             for r in out.itertuples()}
+    assert edges == {("s0.org", "s0.org"): 5, ("s1.org", "s1.org"): 5,
+                     ("s0.org", "hub.net"): 5, ("s1.org", "hub.net"): 5}
