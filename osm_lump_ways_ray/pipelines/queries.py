@@ -5961,3 +5961,48 @@ ORDER BY dst_host, n_links, src_host
 
 QUERIES.update({"link_graph": q_link_graph})
 ORACLES.update({"link_graph": SQL_LINK_GRAPH})
+
+
+def q_anchor_text(sf_dir: str):
+    """Inbound anchor-text rollup — anchor terms keyed by TARGET host (the
+    web-corpus signal used to augment target-page training text): the same
+    vectorized href findall as link_graph, but the capture keeps the
+    ``>text<`` anchor span and the rollup keys on (dst_host, anchor). The
+    page html embeds a per-doc anchor (the doc's lang) on its cross-host
+    link plus a constant relative link, so the oracle recomputes the
+    expected (host, anchor, count) triples arithmetically."""
+    from ..stages.web import anchor_text_rollup, synth_urls_batch
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang", "source"])
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        b = synth_urls_batch(b)
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hub = pa.array((d % 11).astype("U"), pa.string())
+        html = pc.binary_join_element_wise(
+            '<html><body><nav><a href="/about">about</a> '
+            '<a href="https://h', hub, '.example.net/x">', b["lang"],
+            "</a></nav>", b["text"], "</body></html>", "")
+        return pa.table({"url": b["url"], "html": html})
+
+    rolled = anchor_text_rollup(
+        docs.map_batches(to_pages, batch_format="pyarrow"))
+    # canonical battery row order: all columns ascending by sorted name
+    return rolled.sort(["anchor", "dst_host", "n_links"])
+
+
+SQL_ANCHOR_TEXT = """
+SELECT dst_host, anchor, CAST(COUNT(*) AS BIGINT) AS n_links FROM (
+  SELECT LOWER(source) || '.example.org' AS dst_host,
+         'about' AS anchor FROM documents
+  UNION ALL
+  SELECT 'h' || CAST(doc_id % 11 AS VARCHAR) || '.example.net' AS dst_host,
+         lang AS anchor
+  FROM documents
+) GROUP BY dst_host, anchor
+ORDER BY anchor, dst_host, n_links
+"""
+
+QUERIES.update({"anchor_text": q_anchor_text})
+ORACLES.update({"anchor_text": SQL_ANCHOR_TEXT})

@@ -144,8 +144,10 @@ def extract_hrefs_batch(batch: pa.Table, *, html_col: str = "html",
     keep = local > 0  # drop each page's pre-first-anchor fragment
     flat = fa.values.take(pa.array(np.nonzero(keep)[0], pa.int64()))
     page_id = page_id[keep]
-    href = pc.struct_field(
-        pc.extract_regex(flat, pattern='^(?P<h>[^"]*)"'), "h")
+    cap = pc.extract_regex(
+        flat, pattern='^(?P<h>[^"]*)"[^>]*>(?P<t>[^<]*)')
+    href = pc.struct_field(cap, "h")
+    anchor = pc.struct_field(cap, "t")
     src_host = t["host"].take(pa.array(page_id, pa.int64()))
     # resolve: absolute → its own host; relative (leading /) → page host
     dst = pc.struct_field(
@@ -155,7 +157,8 @@ def extract_hrefs_batch(batch: pa.Table, *, html_col: str = "html",
     dst_host = pc.if_else(rel, src_host, dst)
     ok = pc.and_(pc.is_valid(href), pc.not_equal(dst_host, ""))
     return pa.table({"src_host": src_host, "dst_host": dst_host,
-                     "href": href}).filter(ok)
+                     "href": href,
+                     "anchor": pc.fill_null(anchor, "")}).filter(ok)
 
 
 def host_link_graph(pages_ds, *, html_col: str = "html",
@@ -171,8 +174,26 @@ def host_link_graph(pages_ds, *, html_col: str = "html",
         lambda b: extract_hrefs_batch(b, html_col=html_col,
                                       url_col=url_col),
         batch_format="pyarrow")
-    return bucket_agg(links.drop_columns(["href"]),
+    return bucket_agg(links.select_columns(["src_host", "dst_host"]),
                       ["src_host", "dst_host"],
+                      {"n_links": (None, "count")},
+                      num_partitions=num_partitions, combine=True)
+
+
+def anchor_text_rollup(pages_ds, *, html_col: str = "html",
+                       url_col: str = "url", num_partitions: int = 16):
+    """Inbound anchor-text aggregation — the classic web-corpus training
+    signal (anchor terms describe the TARGET page better than its own
+    text): (dst_host, anchor) → count, combiner-backed so one row per
+    distinct (host, anchor) pair per block enters the shuffle."""
+    from .relational import bucket_agg
+
+    links = pages_ds.map_batches(
+        lambda b: extract_hrefs_batch(b, html_col=html_col,
+                                      url_col=url_col),
+        batch_format="pyarrow")
+    return bucket_agg(links.select_columns(["dst_host", "anchor"]),
+                      ["dst_host", "anchor"],
                       {"n_links": (None, "count")},
                       num_partitions=num_partitions, combine=True)
 

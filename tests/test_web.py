@@ -235,3 +235,17 @@ def test_host_link_graph_rollup(ray_session):
              for r in out.itertuples()}
     assert edges == {("s0.org", "s0.org"): 5, ("s1.org", "s1.org"): 5,
                      ("s0.org", "hub.net"): 5, ("s1.org", "hub.net"): 5}
+
+
+def test_anchor_text_rollup(ray_session):
+    import ray.data
+
+    from osm_lump_ways_ray.stages.web import anchor_text_rollup
+
+    rows = [{"url": f"https://s{i % 2}.org/p{i}",
+             "html": f'<a href="https://hub.net/x">term{i % 3}</a>'}
+            for i in range(12)]
+    out = anchor_text_rollup(ray.data.from_items(rows)).to_pandas()
+    got = {(r.dst_host, r.anchor): r.n_links for r in out.itertuples()}
+    assert got == {("hub.net", "term0"): 4, ("hub.net", "term1"): 4,
+                   ("hub.net", "term2"): 4}
