@@ -6006,3 +6006,71 @@ ORDER BY anchor, dst_host, n_links
 
 QUERIES.update({"anchor_text": q_anchor_text})
 ORACLES.update({"anchor_text": SQL_ANCHOR_TEXT})
+
+
+def q_robots_filter(sf_dir: str):
+    """robots.txt exclusion under longest-match REP semantics: documents →
+    pages with synthetic urls; a per-host robots table derived from the
+    source hosts (odd-numbered hosts disallow ``/de/`` and ``/zh/``;
+    hosts divisible by 3 carry a LONGER ``Allow: /de/p/1`` override, so the
+    allow-beats-disallow-on-longer-match rule is exercised, not just plain
+    prefix drops). ``robots_filter`` joins pages⋈rules on host (cogroup,
+    left_outer — absent hosts fully allowed) and applies one vectorized
+    startswith per prefix per host run. Output: surviving pages per
+    (source, lang); the oracle reproduces the rule arithmetic directly."""
+    from ..stages.relational import bucket_agg
+    from ..stages.web import robots_filter, synth_urls_batch
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang", "source"])
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        b = synth_urls_batch(b)
+        return b.select(["url", "doc_id", "lang", "source"])
+
+    pages = docs.map_batches(to_pages, batch_format="pyarrow")
+
+    def robots_rows(b: pa.Table) -> pa.Table:
+        hosts, texts = [], []
+        for s in b["source"].to_pylist():
+            n = int("".join(c for c in s if c.isdigit()) or 0)
+            txt = "# synthetic robots\nUser-agent: crawler-x\nDisallow: /\n" \
+                  "\nUser-agent: *\n"
+            if n % 2 == 1:
+                txt += "Disallow: /de/\nDisallow: /zh/\n"
+            if n % 3 == 0:
+                txt += "Allow: /de/p/1\n"
+            hosts.append(s.lower() + ".example.org")
+            texts.append(txt)
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "robots": pa.array(texts, pa.string())})
+
+    robots = bucket_agg(
+        docs.map_batches(lambda b: pa.table({"source": b["source"]}),
+                         batch_format="pyarrow"),
+        ["source"], {"_n": (None, "count")},
+        num_partitions=8, combine=True).map_batches(
+        robots_rows, batch_format="pyarrow")
+
+    kept = robots_filter(pages, robots)
+    out = bucket_agg(kept.select_columns(["source", "lang"]),
+                     ["source", "lang"], {"n_kept": (None, "count")},
+                     num_partitions=8, combine=True)
+    # canonical battery row order: all columns ascending by sorted name
+    return out.sort(["lang", "n_kept", "source"])
+
+
+SQL_ROBOTS_FILTER = """
+SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM documents
+WHERE NOT (CAST(regexp_extract(source, '[0-9]+') AS INT) % 2 = 1
+           AND lang IN ('de', 'zh'))
+   OR (CAST(regexp_extract(source, '[0-9]+') AS INT) % 3 = 0
+       AND lang = 'de'
+       AND starts_with(CAST(doc_id % 25 AS VARCHAR), '1'))
+GROUP BY source, lang
+ORDER BY lang, n_kept, source
+"""
+
+QUERIES.update({"robots_filter": q_robots_filter})
+ORACLES.update({"robots_filter": SQL_ROBOTS_FILTER})

@@ -198,6 +198,93 @@ def anchor_text_rollup(pages_ds, *, html_col: str = "html",
                       num_partitions=num_partitions, combine=True)
 
 
+def parse_robots_text(text: str):
+    """(allow_prefixes, disallow_prefixes) for the ``User-agent: *`` group —
+    the standard subset: comments stripped, empty Disallow ignored, groups
+    other than ``*`` skipped. One tiny file per host; Python parse is fine."""
+    allow, dis = [], []
+    active = False
+    for ln in text.splitlines():
+        ln = ln.split("#", 1)[0].strip()
+        if not ln:
+            continue
+        k, _, v = ln.partition(":")
+        k, v = k.strip().lower(), v.strip()
+        if k == "user-agent":
+            active = v == "*"
+        elif active and k == "disallow" and v:
+            dis.append(v)
+        elif active and k == "allow" and v:
+            allow.append(v)
+    return allow, dis
+
+
+def robots_filter(pages_ds, robots_ds, *, url_col: str = "url",
+                  num_partitions: int = 16):
+    """Crawl-politeness filter: drop pages whose url path is excluded by
+    their host's robots.txt under LONGEST-MATCH semantics (the REP rule:
+    the longest matching Allow/Disallow prefix decides; ties go to Allow;
+    hosts with no robots row are fully allowed).
+
+    Scale shape: rules are parsed once per host into prefix lists, then
+    pages JOIN rules on host (cogroup left_outer — host-partitioned, skew
+    machinery included; never a broadcast of an unbounded host map). The
+    per-batch apply groups rows by host runs and tests each host's few
+    prefixes with one vectorized ``startswith`` per prefix."""
+    from .relational import cogroup_join
+
+    def rules_stage(b: pa.Table) -> pa.Table:
+        al, di = [], []
+        for t in b["robots"].to_pylist():
+            a, d = parse_robots_text(t)
+            al.append(a)
+            di.append(d)
+        return pa.table({"host": b["host"],
+                         "_allow": pa.array(al, pa.list_(pa.string())),
+                         "_dis": pa.array(di, pa.list_(pa.string()))})
+
+    rules = robots_ds.map_batches(rules_stage, batch_format="pyarrow")
+    keep_cols = pages_ds.schema().names
+    pages = pages_ds.map_batches(
+        lambda b: parse_urls_batch(b, url_col=url_col).drop_columns(
+            ["scheme", "port"]),
+        batch_format="pyarrow")
+    joined = cogroup_join(pages, rules, ("host",), how="left_outer",
+                          num_partitions=num_partitions)
+
+    def apply(b: pa.Table) -> pa.Table:
+        n = len(b)
+        if n == 0:
+            return b.select(keep_cols)
+        paths = np.asarray(b["path"].to_pylist(), dtype="U")
+        hosts = np.asarray(b["host"].to_pylist(), dtype=object)
+        allow_l = b["_allow"].to_pylist()
+        dis_l = b["_dis"].to_pylist()
+        keep = np.ones(n, dtype=bool)
+        order = np.argsort(hosts, kind="stable")
+        sh = hosts[order]
+        bounds = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1], True])
+        for i0, i1 in zip(bounds[:-1], bounds[1:]):
+            idx = order[i0:i1]
+            dis = dis_l[idx[0]]
+            if not dis:  # no robots row (nulls) or nothing disallowed
+                continue
+            al = allow_l[idx[0]] or []
+            ps = paths[idx]
+            best_dis = np.zeros(len(idx), dtype=np.int64)
+            for p in dis:
+                m = np.char.startswith(ps, p)
+                best_dis = np.maximum(best_dis, m * len(p))
+            best_al = np.zeros(len(idx), dtype=np.int64)
+            for p in al:
+                m = np.char.startswith(ps, p)
+                best_al = np.maximum(best_al, m * len(p))
+            keep[idx] = (best_dis == 0) | (best_al >= best_dis)
+        return b.filter(pa.array(keep)).select(keep_cols)
+
+    return joined.map_batches(apply, batch_format="pyarrow")
+
+
 # ─────────────────────────── deterministic raw-url synthesis (battery input)
 # The documents table carries no url column; the battery synthesizes one
 # deterministically from (source, lang, doc_id) — dirty on purpose (upper-case

@@ -249,3 +249,36 @@ def test_anchor_text_rollup(ray_session):
     got = {(r.dst_host, r.anchor): r.n_links for r in out.itertuples()}
     assert got == {("hub.net", "term0"): 4, ("hub.net", "term1"): 4,
                    ("hub.net", "term2"): 4}
+
+
+def test_parse_robots_text_groups_and_comments():
+    from osm_lump_ways_ray.stages.web import parse_robots_text
+
+    txt = ("# hi\nUser-agent: bad-bot\nDisallow: /\n\n"
+           "User-agent: *\nDisallow: /private/  # trailing\n"
+           "Allow: /private/ok\nDisallow:\n")
+    allow, dis = parse_robots_text(txt)
+    assert allow == ["/private/ok"]
+    assert dis == ["/private/"]  # other group's rules and empty line skipped
+
+
+def test_robots_filter_longest_match(ray_session):
+    import ray.data
+
+    from osm_lump_ways_ray.stages.web import robots_filter
+
+    pages = ray.data.from_items([
+        {"url": "https://a.org/private/ok/deep", "id": 1},   # allow wins
+        {"url": "https://a.org/private/no", "id": 2},        # disallowed
+        {"url": "https://a.org/pub", "id": 3},               # unmatched
+        {"url": "https://a.org/tie", "id": 4},               # tie → allow
+        {"url": "https://b.org/private/no", "id": 5},        # no robots row
+    ])
+    robots = ray.data.from_items([{
+        "host": "a.org",
+        "robots": ("User-agent: *\nDisallow: /private/\n"
+                   "Allow: /private/ok\nDisallow: /tie\nAllow: /tie\n"),
+    }])
+    out = robots_filter(pages, robots).to_pandas()
+    assert sorted(out["id"]) == [1, 3, 4, 5]
+    assert sorted(out.columns) == ["id", "url"]
