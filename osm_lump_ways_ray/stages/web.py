@@ -233,6 +233,12 @@ def robots_filter(pages_ds, robots_ds, *, url_col: str = "url",
     prefixes with one vectorized ``startswith`` per prefix."""
     from .relational import cogroup_join
 
+    keep_cols = pages_ds.schema().names
+    clash = {"host", "path", "_allow", "_dis"} & set(keep_cols)
+    if clash:
+        raise ValueError(f"robots_filter: pages columns collide with "
+                         f"internal names {sorted(clash)}")
+
     def rules_stage(b: pa.Table) -> pa.Table:
         al, di = [], []
         for t in b["robots"].to_pylist():
@@ -244,7 +250,6 @@ def robots_filter(pages_ds, robots_ds, *, url_col: str = "url",
                          "_dis": pa.array(di, pa.list_(pa.string()))})
 
     rules = robots_ds.map_batches(rules_stage, batch_format="pyarrow")
-    keep_cols = pages_ds.schema().names
     pages = pages_ds.map_batches(
         lambda b: parse_urls_batch(b, url_col=url_col).drop_columns(
             ["scheme", "port"]),
