@@ -6008,6 +6008,37 @@ QUERIES.update({"anchor_text": q_anchor_text})
 ORACLES.update({"anchor_text": SQL_ANCHOR_TEXT})
 
 
+def _synth_robots_table(docs):
+    """Deterministic per-host robots table from the distinct source hosts:
+    odd-numbered hosts disallow /de/ and /zh/; hosts divisible by 3 carry a
+    LONGER ``Allow: /de/p/1`` override (exercises longest-match). Shared by
+    q_robots_filter and q_cc_pipeline; the SQL twin is the rule arithmetic
+    in SQL_ROBOTS_FILTER."""
+    from ..stages.relational import bucket_agg
+
+    def robots_rows(b: pa.Table) -> pa.Table:
+        hosts, texts = [], []
+        for s in b["source"].to_pylist():
+            n = int("".join(c for c in s if c.isdigit()) or 0)
+            txt = "# synthetic robots\nUser-agent: crawler-x\nDisallow: /\n" \
+                  "\nUser-agent: *\n"
+            if n % 2 == 1:
+                txt += "Disallow: /de/\nDisallow: /zh/\n"
+            if n % 3 == 0:
+                txt += "Allow: /de/p/1\n"
+            hosts.append(s.lower() + ".example.org")
+            texts.append(txt)
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "robots": pa.array(texts, pa.string())})
+
+    return bucket_agg(
+        docs.map_batches(lambda b: pa.table({"source": b["source"]}),
+                         batch_format="pyarrow"),
+        ["source"], {"_n": (None, "count")},
+        num_partitions=8, combine=True).map_batches(
+        robots_rows, batch_format="pyarrow")
+
+
 def q_robots_filter(sf_dir: str):
     """robots.txt exclusion under longest-match REP semantics: documents →
     pages with synthetic urls; a per-host robots table derived from the
@@ -6030,29 +6061,7 @@ def q_robots_filter(sf_dir: str):
 
     pages = docs.map_batches(to_pages, batch_format="pyarrow")
 
-    def robots_rows(b: pa.Table) -> pa.Table:
-        hosts, texts = [], []
-        for s in b["source"].to_pylist():
-            n = int("".join(c for c in s if c.isdigit()) or 0)
-            txt = "# synthetic robots\nUser-agent: crawler-x\nDisallow: /\n" \
-                  "\nUser-agent: *\n"
-            if n % 2 == 1:
-                txt += "Disallow: /de/\nDisallow: /zh/\n"
-            if n % 3 == 0:
-                txt += "Allow: /de/p/1\n"
-            hosts.append(s.lower() + ".example.org")
-            texts.append(txt)
-        return pa.table({"host": pa.array(hosts, pa.string()),
-                         "robots": pa.array(texts, pa.string())})
-
-    robots = bucket_agg(
-        docs.map_batches(lambda b: pa.table({"source": b["source"]}),
-                         batch_format="pyarrow"),
-        ["source"], {"_n": (None, "count")},
-        num_partitions=8, combine=True).map_batches(
-        robots_rows, batch_format="pyarrow")
-
-    kept = robots_filter(pages, robots)
+    kept = robots_filter(pages, _synth_robots_table(docs))
     out = bucket_agg(kept.select_columns(["source", "lang"]),
                      ["source", "lang"], {"n_kept": (None, "count")},
                      num_partitions=8, combine=True)
